@@ -1,0 +1,176 @@
+"""Configuration system.
+
+The reference ships a config.yaml whose schema is never actually loaded by any module
+(reference: services/tts/config.yaml:1-62; startup() hardcodes everything,
+services/tts/server.py:402-408).  Here the same schema IS loaded and honored, extended
+with `model`/`engine` sections for the in-repo TPU model stack.
+
+Precedence: explicit kwargs > environment (TTS_PORT, TTS_INSTANCE_ID — the only env vars
+the reference honors, server.py:487-488) > config.yaml > defaults.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import yaml
+from pydantic import BaseModel, Field
+
+
+class ModelConfig(BaseModel):
+    """Reference `model:` section (config.yaml:4-10) + TPU model hyperparameters."""
+
+    model_path: Optional[str] = None  # checkpoint dir (orbax) or None for fresh init
+    device: str = "tpu"
+    device_index: int = 0
+    chunk_size: int = 50  # accepted-but-unused in the reference too (synthesizer.py:226)
+    sample_rate: int = 24000
+
+    # --- acoustic model (FastPitch-class) ---
+    n_mels: int = 80
+    n_fft: int = 1024
+    hop_length: int = 256
+    win_length: int = 1024
+    fmin: float = 0.0
+    fmax: float = 12000.0
+    vocab_size: int = 256  # phoneme symbol table size (padded for MXU friendliness)
+    d_model: int = 256
+    n_heads: int = 4
+    d_ff: int = 1024
+    encoder_layers: int = 4
+    decoder_layers: int = 4
+    conv_kernel: int = 3
+    speaker_dim: int = 256
+    max_frames_per_token: int = 8
+
+    # --- vocoder (HiFi-GAN generator class) ---
+    upsample_rates: List[int] = Field(default_factory=lambda: [8, 8, 2, 2])
+    upsample_kernels: List[int] = Field(default_factory=lambda: [16, 16, 4, 4])
+    upsample_initial_channel: int = 256
+    resblock_kernels: List[int] = Field(default_factory=lambda: [3, 7, 11])
+    resblock_dilations: List[List[int]] = Field(
+        default_factory=lambda: [[1, 3, 5], [1, 3, 5], [1, 3, 5]]
+    )
+
+    compute_dtype: str = "bfloat16"  # engine compute dtype on TPU; f32 on CPU tests
+
+
+class VoiceCloningConfig(BaseModel):
+    """Reference `voice_cloning:` section (config.yaml:13-24)."""
+
+    enabled: bool = True
+    cache_dir: str = "./voices"
+    max_cached_voices: int = 100
+    default_voice_path: Optional[str] = "./voices/default.wav"
+    min_duration: float = 3.0
+    max_duration: float = 10.0
+    min_snr: float = 5.0
+
+
+class SynthesisConfig(BaseModel):
+    """Reference `synthesis:` section (config.yaml:27-30)."""
+
+    default_exaggeration: float = 0.5
+    default_cfg_weight: float = 3.0
+    enable_streaming: bool = True
+
+
+class ServerConfig(BaseModel):
+    """Reference `server:` section (config.yaml:33-37)."""
+
+    host: str = "0.0.0.0"
+    port: int = 8002
+    max_connections: int = 50
+    connection_timeout: float = 300.0
+
+
+class QueueConfig(BaseModel):
+    """Reference `queues:` section (config.yaml:40-42)."""
+
+    input_queue_size: int = 500
+    output_queue_size: int = 2000
+
+
+class RateLimitConfig(BaseModel):
+    """Reference `rate_limiting:` section (config.yaml:45-48)."""
+
+    enabled: bool = True
+    max_requests_per_minute: int = 100
+    window_seconds: int = 60
+
+
+class LoggingConfig(BaseModel):
+    """Reference `logging:` section (config.yaml:51-57)."""
+
+    level: str = "INFO"
+    format: str = "json"
+    file: Optional[str] = None
+    log_syntheses: bool = True
+    log_voice_registrations: bool = True
+
+
+class MonitoringConfig(BaseModel):
+    """Reference `monitoring:` section (config.yaml:60-62)."""
+
+    enable_health_endpoint: bool = True
+    enable_metrics_endpoint: bool = True
+
+
+class EngineConfig(BaseModel):
+    """TPU engine extension: bucketing, batching, streaming (no reference analog —
+    replaces the serialized single worker, reference server.py:110-186)."""
+
+    token_buckets: List[int] = Field(default_factory=lambda: [32, 64, 128, 192])
+    batch_buckets: List[int] = Field(default_factory=lambda: [1, 4, 8, 16])
+    max_batch: int = 16
+    batch_window_ms: float = 10.0  # admission window for dynamic batching
+    stream_chunk_frames: int = 72  # vocoder streaming window (mel frames)
+    stream_overlap_frames: int = 8  # crossfade overlap between windows
+    warmup_shapes: List[List[int]] = Field(
+        default_factory=lambda: [[1, 64], [8, 64], [16, 64]]
+    )  # (batch, token_bucket) pairs compiled at startup
+    mesh_data_axis: int = 0  # 0 = use all local devices on the data axis
+    mesh_model_axis: int = 1
+
+
+class Config(BaseModel):
+    model: ModelConfig = Field(default_factory=ModelConfig)
+    voice_cloning: VoiceCloningConfig = Field(default_factory=VoiceCloningConfig)
+    synthesis: SynthesisConfig = Field(default_factory=SynthesisConfig)
+    server: ServerConfig = Field(default_factory=ServerConfig)
+    queues: QueueConfig = Field(default_factory=QueueConfig)
+    rate_limiting: RateLimitConfig = Field(default_factory=RateLimitConfig)
+    logging: LoggingConfig = Field(default_factory=LoggingConfig)
+    monitoring: MonitoringConfig = Field(default_factory=MonitoringConfig)
+    engine: EngineConfig = Field(default_factory=EngineConfig)
+
+
+def load_config(path: Optional[str] = None, **overrides) -> Config:
+    """Load config.yaml (if present) and apply env + keyword overrides."""
+    data: dict = {}
+    if path is None:
+        candidate = os.path.join(os.getcwd(), "config.yaml")
+        path = candidate if os.path.exists(candidate) else None
+    if path is not None and os.path.exists(path):
+        with open(path) as f:
+            loaded = yaml.safe_load(f) or {}
+        if not isinstance(loaded, dict):
+            raise ValueError(f"config file {path} must contain a mapping")
+        data = loaded
+
+    cfg = Config.model_validate(data)
+
+    # Env overrides honored by the reference (server.py:487-488).
+    if "TTS_PORT" in os.environ:
+        cfg.server.port = int(os.environ["TTS_PORT"])
+
+    for dotted, value in overrides.items():
+        section, _, key = dotted.partition(".")
+        if not key:
+            raise KeyError(f"override must be 'section.key', got {dotted!r}")
+        target = getattr(cfg, section)
+        if not hasattr(target, key):
+            raise KeyError(f"unknown config key: {dotted}")
+        setattr(target, key, value)
+    return cfg
