@@ -1,0 +1,342 @@
+"""Rule-based English grapheme-to-phoneme conversion.
+
+The reference repo has no G2P of its own (text goes verbatim to the external model);
+a phoneme frontend is required for the in-repo acoustic model (SURVEY.md §7 step 2).
+Design: exception lexicon for frequent irregular words, then ordered letter-to-sound
+rules with digraph handling, c/g softening, and a final-silent-e heuristic.  Output is
+the stressless ARPAbet set from symbols.py.  Deterministic, dependency-free, unit-tested.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List
+
+# Frequent irregular words (top-of-Zipf words whose LTS rules would mangle).
+LEXICON = {
+    "a": ["AH"], "an": ["AE", "N"], "the": ["DH", "AH"],
+    "of": ["AH", "V"], "to": ["T", "UW"], "and": ["AE", "N", "D"],
+    "in": ["IH", "N"], "is": ["IH", "Z"], "was": ["W", "AH", "Z"],
+    "he": ["HH", "IY"], "she": ["SH", "IY"], "it": ["IH", "T"],
+    "for": ["F", "AO", "R"], "on": ["AA", "N"], "are": ["AA", "R"],
+    "as": ["AE", "Z"], "with": ["W", "IH", "DH"], "his": ["HH", "IH", "Z"],
+    "they": ["DH", "EY"], "i": ["AY"], "at": ["AE", "T"], "be": ["B", "IY"],
+    "this": ["DH", "IH", "S"], "have": ["HH", "AE", "V"], "from": ["F", "R", "AH", "M"],
+    "or": ["AO", "R"], "one": ["W", "AH", "N"], "had": ["HH", "AE", "D"],
+    "by": ["B", "AY"], "word": ["W", "ER", "D"], "but": ["B", "AH", "T"],
+    "not": ["N", "AA", "T"], "what": ["W", "AH", "T"], "all": ["AO", "L"],
+    "were": ["W", "ER"], "we": ["W", "IY"], "when": ["W", "EH", "N"],
+    "your": ["Y", "AO", "R"], "can": ["K", "AE", "N"], "said": ["S", "EH", "D"],
+    "there": ["DH", "EH", "R"], "use": ["Y", "UW", "Z"], "each": ["IY", "CH"],
+    "which": ["W", "IH", "CH"], "do": ["D", "UW"], "how": ["HH", "AW"],
+    "their": ["DH", "EH", "R"], "if": ["IH", "F"], "will": ["W", "IH", "L"],
+    "up": ["AH", "P"], "other": ["AH", "DH", "ER"], "about": ["AH", "B", "AW", "T"],
+    "out": ["AW", "T"], "many": ["M", "EH", "N", "IY"], "then": ["DH", "EH", "N"],
+    "them": ["DH", "EH", "M"], "these": ["DH", "IY", "Z"], "so": ["S", "OW"],
+    "some": ["S", "AH", "M"], "her": ["HH", "ER"], "would": ["W", "UH", "D"],
+    "make": ["M", "EY", "K"], "like": ["L", "AY", "K"], "him": ["HH", "IH", "M"],
+    "into": ["IH", "N", "T", "UW"], "time": ["T", "AY", "M"], "has": ["HH", "AE", "Z"],
+    "look": ["L", "UH", "K"], "two": ["T", "UW"], "more": ["M", "AO", "R"],
+    "write": ["R", "AY", "T"], "go": ["G", "OW"], "see": ["S", "IY"],
+    "no": ["N", "OW"], "way": ["W", "EY"], "could": ["K", "UH", "D"],
+    "people": ["P", "IY", "P", "AH", "L"], "my": ["M", "AY"],
+    "than": ["DH", "AE", "N"], "first": ["F", "ER", "S", "T"],
+    "water": ["W", "AO", "T", "ER"], "been": ["B", "IH", "N"],
+    "who": ["HH", "UW"], "its": ["IH", "T", "S"], "now": ["N", "AW"],
+    "did": ["D", "IH", "D"], "get": ["G", "EH", "T"], "come": ["K", "AH", "M"],
+    "made": ["M", "EY", "D"], "may": ["M", "EY"], "part": ["P", "AA", "R", "T"],
+    "over": ["OW", "V", "ER"], "new": ["N", "UW"], "sound": ["S", "AW", "N", "D"],
+    "take": ["T", "EY", "K"], "only": ["OW", "N", "L", "IY"],
+    "little": ["L", "IH", "T", "AH", "L"], "work": ["W", "ER", "K"],
+    "know": ["N", "OW"], "place": ["P", "L", "EY", "S"], "year": ["Y", "IH", "R"],
+    "live": ["L", "IH", "V"], "me": ["M", "IY"], "back": ["B", "AE", "K"],
+    "give": ["G", "IH", "V"], "most": ["M", "OW", "S", "T"],
+    "very": ["V", "EH", "R", "IY"], "after": ["AE", "F", "T", "ER"],
+    "thing": ["TH", "IH", "NG"], "our": ["AW", "ER"], "just": ["JH", "AH", "S", "T"],
+    "name": ["N", "EY", "M"], "good": ["G", "UH", "D"],
+    "sentence": ["S", "EH", "N", "T", "AH", "N", "S"], "man": ["M", "AE", "N"],
+    "think": ["TH", "IH", "NG", "K"], "say": ["S", "EY"],
+    "great": ["G", "R", "EY", "T"], "where": ["W", "EH", "R"],
+    "help": ["HH", "EH", "L", "P"], "through": ["TH", "R", "UW"],
+    "much": ["M", "AH", "CH"], "before": ["B", "IH", "F", "AO", "R"],
+    "line": ["L", "AY", "N"], "right": ["R", "AY", "T"], "too": ["T", "UW"],
+    "mean": ["M", "IY", "N"], "old": ["OW", "L", "D"], "any": ["EH", "N", "IY"],
+    "same": ["S", "EY", "M"], "tell": ["T", "EH", "L"], "boy": ["B", "OY"],
+    "follow": ["F", "AA", "L", "OW"], "came": ["K", "EY", "M"],
+    "want": ["W", "AA", "N", "T"], "show": ["SH", "OW"], "also": ["AO", "L", "S", "OW"],
+    "around": ["ER", "AW", "N", "D"], "form": ["F", "AO", "R", "M"],
+    "three": ["TH", "R", "IY"], "small": ["S", "M", "AO", "L"],
+    "set": ["S", "EH", "T"], "put": ["P", "UH", "T"], "end": ["EH", "N", "D"],
+    "does": ["D", "AH", "Z"], "another": ["AH", "N", "AH", "DH", "ER"],
+    "well": ["W", "EH", "L"], "large": ["L", "AA", "R", "JH"],
+    "must": ["M", "AH", "S", "T"], "big": ["B", "IH", "G"],
+    "even": ["IY", "V", "AH", "N"], "such": ["S", "AH", "CH"],
+    "because": ["B", "IH", "K", "AH", "Z"], "turn": ["T", "ER", "N"],
+    "here": ["HH", "IY", "R"], "why": ["W", "AY"], "ask": ["AE", "S", "K"],
+    "went": ["W", "EH", "N", "T"], "men": ["M", "EH", "N"],
+    "read": ["R", "IY", "D"], "need": ["N", "IY", "D"], "land": ["L", "AE", "N", "D"],
+    "different": ["D", "IH", "F", "ER", "AH", "N", "T"],
+    "home": ["HH", "OW", "M"], "us": ["AH", "S"], "move": ["M", "UW", "V"],
+    "try": ["T", "R", "AY"], "kind": ["K", "AY", "N", "D"],
+    "hand": ["HH", "AE", "N", "D"], "picture": ["P", "IH", "K", "CH", "ER"],
+    "again": ["AH", "G", "EH", "N"], "change": ["CH", "EY", "N", "JH"],
+    "off": ["AO", "F"], "play": ["P", "L", "EY"], "spell": ["S", "P", "EH", "L"],
+    "air": ["EH", "R"], "away": ["AH", "W", "EY"], "animal": ["AE", "N", "AH", "M", "AH", "L"],
+    "house": ["HH", "AW", "S"], "point": ["P", "OY", "N", "T"],
+    "page": ["P", "EY", "JH"], "letter": ["L", "EH", "T", "ER"],
+    "mother": ["M", "AH", "DH", "ER"], "answer": ["AE", "N", "S", "ER"],
+    "found": ["F", "AW", "N", "D"], "study": ["S", "T", "AH", "D", "IY"],
+    "still": ["S", "T", "IH", "L"], "learn": ["L", "ER", "N"],
+    "should": ["SH", "UH", "D"], "world": ["W", "ER", "L", "D"],
+    "high": ["HH", "AY"], "every": ["EH", "V", "R", "IY"],
+    "near": ["N", "IH", "R"], "add": ["AE", "D"], "food": ["F", "UW", "D"],
+    "between": ["B", "IH", "T", "W", "IY", "N"], "own": ["OW", "N"],
+    "below": ["B", "IH", "L", "OW"], "country": ["K", "AH", "N", "T", "R", "IY"],
+    "plant": ["P", "L", "AE", "N", "T"], "last": ["L", "AE", "S", "T"],
+    "school": ["S", "K", "UW", "L"], "father": ["F", "AA", "DH", "ER"],
+    "keep": ["K", "IY", "P"], "tree": ["T", "R", "IY"], "never": ["N", "EH", "V", "ER"],
+    "start": ["S", "T", "AA", "R", "T"], "city": ["S", "IH", "T", "IY"],
+    "earth": ["ER", "TH"], "eye": ["AY"], "light": ["L", "AY", "T"],
+    "thought": ["TH", "AO", "T"], "head": ["HH", "EH", "D"],
+    "under": ["AH", "N", "D", "ER"], "story": ["S", "T", "AO", "R", "IY"],
+    "saw": ["S", "AO"], "left": ["L", "EH", "F", "T"], "don't": ["D", "OW", "N", "T"],
+    "few": ["F", "Y", "UW"], "while": ["W", "AY", "L"], "along": ["AH", "L", "AO", "NG"],
+    "might": ["M", "AY", "T"], "close": ["K", "L", "OW", "S"],
+    "something": ["S", "AH", "M", "TH", "IH", "NG"], "seem": ["S", "IY", "M"],
+    "next": ["N", "EH", "K", "S", "T"], "hard": ["HH", "AA", "R", "D"],
+    "open": ["OW", "P", "AH", "N"], "example": ["IH", "G", "Z", "AE", "M", "P", "AH", "L"],
+    "begin": ["B", "IH", "G", "IH", "N"], "life": ["L", "AY", "F"],
+    "always": ["AO", "L", "W", "EY", "Z"], "those": ["DH", "OW", "Z"],
+    "both": ["B", "OW", "TH"], "paper": ["P", "EY", "P", "ER"],
+    "together": ["T", "AH", "G", "EH", "DH", "ER"], "got": ["G", "AA", "T"],
+    "group": ["G", "R", "UW", "P"], "often": ["AO", "F", "AH", "N"],
+    "run": ["R", "AH", "N"], "important": ["IH", "M", "P", "AO", "R", "T", "AH", "N", "T"],
+    "until": ["AH", "N", "T", "IH", "L"], "children": ["CH", "IH", "L", "D", "R", "AH", "N"],
+    "side": ["S", "AY", "D"], "feet": ["F", "IY", "T"], "car": ["K", "AA", "R"],
+    "mile": ["M", "AY", "L"], "night": ["N", "AY", "T"], "walk": ["W", "AO", "K"],
+    "white": ["W", "AY", "T"], "sea": ["S", "IY"], "began": ["B", "IH", "G", "AE", "N"],
+    "grow": ["G", "R", "OW"], "took": ["T", "UH", "K"], "river": ["R", "IH", "V", "ER"],
+    "four": ["F", "AO", "R"], "carry": ["K", "AE", "R", "IY"],
+    "state": ["S", "T", "EY", "T"], "once": ["W", "AH", "N", "S"],
+    "book": ["B", "UH", "K"], "hear": ["HH", "IY", "R"], "stop": ["S", "T", "AA", "P"],
+    "without": ["W", "IH", "TH", "AW", "T"], "second": ["S", "EH", "K", "AH", "N", "D"],
+    "later": ["L", "EY", "T", "ER"], "miss": ["M", "IH", "S"],
+    "idea": ["AY", "D", "IY", "AH"], "enough": ["IH", "N", "AH", "F"],
+    "eat": ["IY", "T"], "face": ["F", "EY", "S"], "watch": ["W", "AA", "CH"],
+    "far": ["F", "AA", "R"], "really": ["R", "IH", "L", "IY"],
+    "almost": ["AO", "L", "M", "OW", "S", "T"], "let": ["L", "EH", "T"],
+    "above": ["AH", "B", "AH", "V"], "girl": ["G", "ER", "L"],
+    "sometimes": ["S", "AH", "M", "T", "AY", "M", "Z"],
+    "mountain": ["M", "AW", "N", "T", "AH", "N"], "cut": ["K", "AH", "T"],
+    "young": ["Y", "AH", "NG"], "talk": ["T", "AO", "K"], "soon": ["S", "UW", "N"],
+    "list": ["L", "IH", "S", "T"], "song": ["S", "AO", "NG"],
+    "being": ["B", "IY", "IH", "NG"], "leave": ["L", "IY", "V"],
+    "family": ["F", "AE", "M", "AH", "L", "IY"], "it's": ["IH", "T", "S"],
+    "body": ["B", "AA", "D", "IY"], "music": ["M", "Y", "UW", "Z", "IH", "K"],
+    "color": ["K", "AH", "L", "ER"], "stand": ["S", "T", "AE", "N", "D"],
+    "sun": ["S", "AH", "N"], "question": ["K", "W", "EH", "S", "CH", "AH", "N"],
+    "fish": ["F", "IH", "SH"], "area": ["EH", "R", "IY", "AH"],
+    "mark": ["M", "AA", "R", "K"], "dog": ["D", "AO", "G"],
+    "horse": ["HH", "AO", "R", "S"], "birds": ["B", "ER", "D", "Z"],
+    "problem": ["P", "R", "AA", "B", "L", "AH", "M"],
+    "complete": ["K", "AH", "M", "P", "L", "IY", "T"],
+    "room": ["R", "UW", "M"], "knew": ["N", "UW"], "since": ["S", "IH", "N", "S"],
+    "ever": ["EH", "V", "ER"], "piece": ["P", "IY", "S"], "told": ["T", "OW", "L", "D"],
+    "usually": ["Y", "UW", "ZH", "AH", "W", "AH", "L", "IY"],
+    "didn't": ["D", "IH", "D", "AH", "N", "T"],
+    "friends": ["F", "R", "EH", "N", "D", "Z"], "friend": ["F", "R", "EH", "N", "D"],
+    "easy": ["IY", "Z", "IY"], "heard": ["HH", "ER", "D"], "order": ["AO", "R", "D", "ER"],
+    "red": ["R", "EH", "D"], "door": ["D", "AO", "R"], "sure": ["SH", "UH", "R"],
+    "become": ["B", "IH", "K", "AH", "M"], "top": ["T", "AA", "P"],
+    "ship": ["SH", "IH", "P"], "across": ["AH", "K", "R", "AO", "S"],
+    "today": ["T", "AH", "D", "EY"], "during": ["D", "UH", "R", "IH", "NG"],
+    "short": ["SH", "AO", "R", "T"], "better": ["B", "EH", "T", "ER"],
+    "best": ["B", "EH", "S", "T"], "however": ["HH", "AW", "EH", "V", "ER"],
+    "low": ["L", "OW"], "hours": ["AW", "ER", "Z"], "hour": ["AW", "ER"],
+    "black": ["B", "L", "AE", "K"], "products": ["P", "R", "AA", "D", "AH", "K", "T", "S"],
+    "happened": ["HH", "AE", "P", "AH", "N", "D"],
+    "whole": ["HH", "OW", "L"], "measure": ["M", "EH", "ZH", "ER"],
+    "remember": ["R", "IH", "M", "EH", "M", "B", "ER"],
+    "early": ["ER", "L", "IY"], "waves": ["W", "EY", "V", "Z"],
+    "reached": ["R", "IY", "CH", "T"], "listen": ["L", "IH", "S", "AH", "N"],
+    "wind": ["W", "IH", "N", "D"], "rock": ["R", "AA", "K"],
+    "space": ["S", "P", "EY", "S"], "covered": ["K", "AH", "V", "ER", "D"],
+    "fast": ["F", "AE", "S", "T"], "several": ["S", "EH", "V", "R", "AH", "L"],
+    "hold": ["HH", "OW", "L", "D"], "himself": ["HH", "IH", "M", "S", "EH", "L", "F"],
+    "toward": ["T", "AH", "W", "AO", "R", "D"], "five": ["F", "AY", "V"],
+    "step": ["S", "T", "EH", "P"], "morning": ["M", "AO", "R", "N", "IH", "NG"],
+    "passed": ["P", "AE", "S", "T"], "vowel": ["V", "AW", "AH", "L"],
+    "true": ["T", "R", "UW"], "hundred": ["HH", "AH", "N", "D", "R", "AH", "D"],
+    "against": ["AH", "G", "EH", "N", "S", "T"],
+    "pattern": ["P", "AE", "T", "ER", "N"], "numeral": ["N", "UW", "M", "ER", "AH", "L"],
+    "table": ["T", "EY", "B", "AH", "L"], "north": ["N", "AO", "R", "TH"],
+    "slowly": ["S", "L", "OW", "L", "IY"], "money": ["M", "AH", "N", "IY"],
+    "map": ["M", "AE", "P"], "farm": ["F", "AA", "R", "M"],
+    "pulled": ["P", "UH", "L", "D"], "draw": ["D", "R", "AO"],
+    "voice": ["V", "OY", "S"], "seen": ["S", "IY", "N"], "cold": ["K", "OW", "L", "D"],
+    "cried": ["K", "R", "AY", "D"], "plan": ["P", "L", "AE", "N"],
+    "notice": ["N", "OW", "T", "IH", "S"], "south": ["S", "AW", "TH"],
+    "sing": ["S", "IH", "NG"], "war": ["W", "AO", "R"], "ground": ["G", "R", "AW", "N", "D"],
+    "fall": ["F", "AO", "L"], "king": ["K", "IH", "NG"], "town": ["T", "AW", "N"],
+    "I'll": ["AY", "L"], "unit": ["Y", "UW", "N", "IH", "T"],
+    "figure": ["F", "IH", "G", "Y", "ER"], "certain": ["S", "ER", "T", "AH", "N"],
+    "field": ["F", "IY", "L", "D"], "travel": ["T", "R", "AE", "V", "AH", "L"],
+    "wood": ["W", "UH", "D"], "fire": ["F", "AY", "ER"], "upon": ["AH", "P", "AA", "N"],
+    "quickly": ["K", "W", "IH", "K", "L", "IY"], "quick": ["K", "W", "IH", "K"],
+    "brown": ["B", "R", "AW", "N"], "fox": ["F", "AA", "K", "S"],
+    "jumps": ["JH", "AH", "M", "P", "S"], "lazy": ["L", "EY", "Z", "IY"],
+    "zero": ["Z", "IH", "R", "OW"],
+    "hello": ["HH", "AH", "L", "OW"],
+    "speech": ["S", "P", "IY", "CH"], "synthesis": ["S", "IH", "N", "TH", "AH", "S", "IH", "S"],
+    "test": ["T", "EH", "S", "T"], "testing": ["T", "EH", "S", "T", "IH", "NG"],
+    "streaming": ["S", "T", "R", "IY", "M", "IH", "NG"],
+    "service": ["S", "ER", "V", "IH", "S"],
+}
+
+# Ordered letter-to-sound rules: (pattern at position, phonemes, chars consumed).
+# Longest-match-first within each leading letter.
+_DIGRAPH_RULES = [
+    ("tch", ["CH"], 3),
+    ("sch", ["S", "K"], 3),
+    ("igh", ["AY"], 3),
+    ("dge", ["JH"], 3),
+    ("ough", ["AO"], 4),  # rough approximation; lexicon covers common irregulars
+    ("augh", ["AO"], 4),
+    ("eigh", ["EY"], 4),
+    ("tion", ["SH", "AH", "N"], 4),
+    ("sion", ["ZH", "AH", "N"], 4),
+    ("ture", ["CH", "ER"], 4),
+    ("ing", ["IH", "NG"], 3),
+    ("ck", ["K"], 2),
+    ("ch", ["CH"], 2),
+    ("sh", ["SH"], 2),
+    ("th", ["TH"], 2),
+    ("ph", ["F"], 2),
+    ("wh", ["W"], 2),
+    ("ng", ["NG"], 2),
+    ("qu", ["K", "W"], 2),
+    ("wr", ["R"], 2),
+    ("kn", ["N"], 2),
+    ("gn", ["N"], 2),
+    ("mb", ["M"], 2),  # only correct word-finally; acceptable approximation
+    ("ee", ["IY"], 2),
+    ("ea", ["IY"], 2),
+    ("oo", ["UW"], 2),
+    ("ou", ["AW"], 2),
+    ("ow", ["OW"], 2),
+    ("oi", ["OY"], 2),
+    ("oy", ["OY"], 2),
+    ("au", ["AO"], 2),
+    ("aw", ["AO"], 2),
+    ("ai", ["EY"], 2),
+    ("ay", ["EY"], 2),
+    ("ei", ["EY"], 2),
+    ("ey", ["EY"], 2),
+    ("ie", ["IY"], 2),
+    ("ar", ["AA", "R"], 2),
+    ("er", ["ER"], 2),
+    ("ir", ["ER"], 2),
+    ("or", ["AO", "R"], 2),
+    ("ur", ["ER"], 2),
+]
+
+_SHORT_VOWELS = {"a": "AE", "e": "EH", "i": "IH", "o": "AA", "u": "AH", "y": "IH"}
+_LONG_VOWELS = {"a": "EY", "e": "IY", "i": "AY", "o": "OW", "u": "UW", "y": "AY"}
+
+_SINGLE_CONSONANTS = {
+    "b": ["B"], "d": ["D"], "f": ["F"], "h": ["HH"], "j": ["JH"], "k": ["K"],
+    "l": ["L"], "m": ["M"], "n": ["N"], "p": ["P"], "r": ["R"], "t": ["T"],
+    "v": ["V"], "w": ["W"], "z": ["Z"],
+}
+
+_VOWEL_CHARS = set("aeiouy")
+
+
+def _word_to_phonemes_lts(word: str) -> List[str]:
+    """Letter-to-sound fallback for out-of-lexicon words."""
+    phonemes: List[str] = []
+    w = word
+    # Final-silent-e heuristic: mark the vowel before C+e as long, drop the e.
+    silent_e = (
+        len(w) >= 3
+        and w.endswith("e")
+        and w[-2] not in _VOWEL_CHARS
+        and any(c in _VOWEL_CHARS for c in w[:-2])
+    )
+    long_vowel_pos = -1
+    if silent_e:
+        for j in range(len(w) - 3, -1, -1):
+            if w[j] in _VOWEL_CHARS:
+                long_vowel_pos = j
+                break
+        w = w[:-1]
+
+    i = 0
+    while i < len(w):
+        matched = False
+        for pat, phs, consumed in _DIGRAPH_RULES:
+            if w.startswith(pat, i):
+                phonemes.extend(phs)
+                i += consumed
+                matched = True
+                break
+        if matched:
+            continue
+
+        ch = w[i]
+        if ch == "c":
+            nxt = w[i + 1] if i + 1 < len(w) else ""
+            phonemes.append("S" if nxt in "eiy" else "K")
+        elif ch == "g":
+            nxt = w[i + 1] if i + 1 < len(w) else ""
+            phonemes.append("JH" if nxt in "eiy" else "G")
+        elif ch == "s":
+            prev = w[i - 1] if i > 0 else ""
+            is_final = i == len(w) - 1
+            voiced = prev in _VOWEL_CHARS or prev in "bdglmnrvw"
+            phonemes.append("Z" if (is_final and voiced) else "S")
+        elif ch == "x":
+            phonemes.extend(["K", "S"])
+        elif ch == "y" and i == 0:
+            phonemes.append("Y")
+        elif ch in _VOWEL_CHARS:
+            if i == long_vowel_pos:
+                phonemes.append(_LONG_VOWELS[ch])
+            elif ch == "y" and i == len(w) - 1:
+                phonemes.append("IY")
+            else:
+                phonemes.append(_SHORT_VOWELS[ch])
+        elif ch in _SINGLE_CONSONANTS:
+            # Collapse doubled consonants.
+            if i + 1 < len(w) and w[i + 1] == ch:
+                i += 1
+            phonemes.extend(_SINGLE_CONSONANTS[ch])
+        # Anything else (apostrophes already stripped upstream) is dropped.
+        i += 1
+    return phonemes
+
+
+_RE_TOKEN = re.compile(r"[a-zA-Z']+|[.,?!;:\-\"]")
+
+
+def word_to_phonemes(word: str) -> List[str]:
+    lower = word.lower()
+    if lower in LEXICON:
+        return list(LEXICON[lower])
+    return _word_to_phonemes_lts(lower.replace("'", ""))
+
+
+def text_to_phonemes(text: str) -> List[str]:
+    """Normalized text → flat phoneme/punctuation symbol sequence with word separators."""
+    out: List[str] = []
+    prev_was_word = False
+    for tok in _RE_TOKEN.findall(text):
+        if tok[0].isalpha() or tok[0] == "'":
+            if prev_was_word:
+                out.append("<sp>")
+            out.extend(word_to_phonemes(tok))
+            prev_was_word = True
+        else:
+            out.append(tok)
+            prev_was_word = False
+    return out

@@ -1,0 +1,233 @@
+"""Text frontend tests: segmentation parity with the reference semantics
+(services/tts/core/synthesizer.py:48-99), normalization, G2P, tokenization."""
+
+import numpy as np
+import pytest
+
+from gonova_tts_tpu.text import (
+    PAD_ID,
+    batch_to_bucket,
+    n_symbols,
+    normalize_text,
+    number_to_words,
+    ordinal_to_words,
+    pad_to_bucket,
+    split_into_sentences,
+    text_to_ids,
+    text_to_phonemes,
+    word_to_phonemes,
+    year_to_words,
+)
+from gonova_tts_tpu.text.symbols import PHONEMES, SYMBOLS, decode, encode
+
+
+# ------------------------------------------------------- segmentation (reference parity)
+
+
+def test_split_empty():
+    assert split_into_sentences("") == []
+    assert split_into_sentences("   ") == []
+
+
+def test_split_simple_sentences():
+    out = split_into_sentences("Hello world. This is a test. Goodbye!")
+    assert out == ["Hello world.", "This is a test.", "Goodbye!"]
+
+
+def test_split_requires_uppercase_after_boundary():
+    # Reference regex only splits when next char is uppercase.
+    out = split_into_sentences("version 2. is out. Try it.")
+    assert out == ["version 2. is out.", "Try it."]
+
+
+def test_split_long_sentence_on_commas():
+    long = (
+        "This is a very long sentence that keeps going and going, "
+        "it has several clauses separated by commas, "
+        "and each of them is fairly long on its own, "
+        "so the splitter must cut it into chunks under the limit."
+    )
+    out = split_into_sentences(long, max_chars=150)
+    assert len(out) >= 2
+    # Greedy re-merge keeps chunks under the cap whenever the parts allow it.
+    assert all(len(c) <= 150 for c in out)
+    # Re-joined content preserves all words.
+    rejoined = " ".join(out).replace(",", "").split()
+    assert rejoined == long.replace(",", "").split()
+
+
+def test_split_merges_with_comma_space():
+    # Parts re-merge joined by ", " exactly like the reference.
+    text = "aaa bbb, ccc ddd, eee fff"
+    out = split_into_sentences("x" * 0 + text, max_chars=15)
+    assert out[0] == "aaa bbb"  # "aaa bbb, ccc ddd" would be 16 chars > 15
+    assert out[1] == "ccc ddd"
+
+
+def test_split_part_longer_than_cap_kept_whole():
+    text = "b" * 200  # no commas, one sentence longer than cap
+    out = split_into_sentences(text, max_chars=150, hard_max_chars=None)
+    assert out == [text]
+
+
+def test_hard_wrap_extension():
+    words = ("word " * 200).strip()
+    out = split_into_sentences(words, max_chars=150, hard_max_chars=200)
+    assert all(len(c) <= 200 for c in out)
+    assert " ".join(out).split() == words.split()
+
+
+# ------------------------------------------------------- normalization
+
+
+@pytest.mark.parametrize(
+    "n,words",
+    [
+        (0, "zero"),
+        (7, "seven"),
+        (13, "thirteen"),
+        (42, "forty-two"),
+        (100, "one hundred"),
+        (101, "one hundred one"),
+        (999, "nine hundred ninety-nine"),
+        (1000, "one thousand"),
+        (1234, "one thousand two hundred thirty-four"),
+        (1000000, "one million"),
+        (2500000, "two million five hundred thousand"),
+        (-5, "minus five"),
+    ],
+)
+def test_number_to_words(n, words):
+    assert number_to_words(n) == words
+
+
+@pytest.mark.parametrize(
+    "n,words",
+    [(1, "first"), (2, "second"), (3, "third"), (4, "fourth"), (12, "twelfth"),
+     (21, "twenty-first"), (30, "thirtieth"), (100, "one hundredth")],
+)
+def test_ordinals(n, words):
+    assert ordinal_to_words(n) == words
+
+
+@pytest.mark.parametrize(
+    "n,words",
+    [
+        (1984, "nineteen eighty-four"),
+        (2000, "two thousand"),
+        (2005, "two thousand five"),
+        (1900, "nineteen hundred"),
+        (2023, "twenty twenty-three"),
+        (1807, "eighteen oh seven"),
+    ],
+)
+def test_years(n, words):
+    assert year_to_words(n) == words
+
+
+def test_normalize_currency():
+    assert "five dollars" in normalize_text("It costs $5.")
+    assert "one dollar" in normalize_text("Just $1!")
+    out = normalize_text("That's $3.50 please")
+    assert "three dollars and fifty cents" in out
+
+
+def test_normalize_percent_decimal():
+    assert "fifty percent" in normalize_text("50% off")
+    assert "three point one four" in normalize_text("pi is 3.14")
+
+
+def test_normalize_abbreviations():
+    out = normalize_text("Dr. Smith met Mr. Jones")
+    assert "doctor" in out.lower()
+    assert "mister" in out.lower()
+
+
+def test_normalize_unicode():
+    out = normalize_text("“Hello” — it’s fine…")
+    assert "“" not in out and "’" not in out and "—" not in out
+
+
+def test_normalize_comma_number():
+    assert "one thousand two hundred thirty-four" in normalize_text("1,234 items")
+
+
+def test_normalize_year_in_context():
+    assert "nineteen eighty-four" in normalize_text("Published in 1984.")
+
+
+# ------------------------------------------------------- G2P
+
+
+def test_lexicon_words():
+    assert word_to_phonemes("the") == ["DH", "AH"]
+    assert word_to_phonemes("Hello") == ["HH", "AH", "L", "OW"]
+
+
+def test_lts_regular_words():
+    # Regular words through the rule path produce valid phonemes.
+    for w in ["cat", "dog", "ship", "string", "flute", "brick"]:
+        phones = word_to_phonemes(w)
+        assert len(phones) > 0
+        assert all(p in PHONEMES for p in phones)
+
+
+def test_lts_silent_e():
+    assert word_to_phonemes("cake") == ["K", "EY", "K"]
+    assert word_to_phonemes("bike") == ["B", "AY", "K"]
+
+
+def test_lts_digraphs():
+    assert word_to_phonemes("chat")[0] == "CH"
+    assert word_to_phonemes("phone")[0] == "F"
+    assert "NG" in word_to_phonemes("ring")
+
+
+def test_lts_c_g_softening():
+    assert word_to_phonemes("cent")[0] == "S"
+    assert word_to_phonemes("cat")[0] == "K"
+    assert word_to_phonemes("gem")[0] == "JH"
+    assert word_to_phonemes("gap")[0] == "G"
+
+
+def test_text_to_phonemes_includes_separators_and_punct():
+    phones = text_to_phonemes("hello world.")
+    assert "<sp>" in phones
+    assert phones[-1] == "."
+
+
+def test_every_g2p_output_is_encodable():
+    phones = text_to_phonemes("the quick brown fox jumps over the lazy dog.")
+    ids = encode(phones)
+    assert all(0 <= i < n_symbols() for i in ids)
+    # Nothing except possibly unknowns dropped: decode round-trips modulo bos/eos.
+    assert decode(ids)[1:-1] == phones
+
+
+# ------------------------------------------------------- tokenization / bucketing
+
+
+def test_text_to_ids_nonempty():
+    ids = text_to_ids("Hello world, this is a test.")
+    assert len(ids) > 5
+
+
+def test_pad_to_bucket():
+    arr, length, bucket = pad_to_bucket([5, 6, 7], [8, 16])
+    assert bucket == 8 and length == 3
+    assert arr.shape == (8,)
+    assert list(arr[:3]) == [5, 6, 7]
+    assert all(arr[3:] == PAD_ID)
+
+
+def test_batch_to_bucket_shares_bucket():
+    batch, lengths, bucket = batch_to_bucket([[1] * 3, [2] * 10], [8, 16, 32])
+    assert bucket == 16
+    assert batch.shape == (2, 16)
+    assert list(lengths) == [3, 10]
+
+
+def test_symbol_table_stable():
+    # The id layout is a serving contract (checkpoints depend on it).
+    assert SYMBOLS[0] == "<pad>"
+    assert n_symbols() < 256  # fits the padded embedding table
