@@ -1,0 +1,152 @@
+"""NovaSpeech — FastPitch-class non-autoregressive acoustic model.
+
+phonemes [B, L] + speaker embedding [B, S] + exaggeration [B]
+    → encoder (pre-LN transformer, conv FFN)
+    → duration & pitch predictors (per phoneme)
+    → static-shape length regulator (searchsorted gather, T = L * max_frames_per_token)
+    → decoder (pre-LN transformer) → log-mel frames [B, T, n_mels] + frame mask.
+
+TPU-first design notes (vs the reference's external 0.5B autoregressive Llama TTS,
+SURVEY.md §2.2): no token-by-token decode loop — the whole utterance is a handful of
+batched MXU matmuls with fully static shapes; variable length lives only in masks.
+The reference's `exaggeration` knob (services/tts/core/synthesizer.py:344-350) maps to
+pitch-variance scaling: pitch' = mean + (1 + exaggeration) * (pitch - mean).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from . import layers
+from .layers import Params
+
+
+def predictor_init(rng, dim: int, hidden: int = 256, kernel: int = 3) -> Params:
+    ks = jax.random.split(rng, 3)
+    return {
+        "c1": layers.conv1d_init(ks[0], dim, hidden, kernel),
+        "ln1": layers.layernorm_init(hidden),
+        "c2": layers.conv1d_init(ks[1], hidden, hidden, kernel),
+        "ln2": layers.layernorm_init(hidden),
+        "out": layers.dense_init(ks[2], hidden, 1),
+    }
+
+
+def predictor_apply(p: Params, x: jnp.ndarray, mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """Variance predictor: [B, L, D] → [B, L] scalar per position."""
+    m = mask[..., None].astype(x.dtype)
+    h = layers.conv1d(p["c1"], x * m, dtype=dtype)
+    h = layers.layernorm(p["ln1"], jax.nn.relu(h))
+    h = layers.conv1d(p["c2"], h * m, dtype=dtype)
+    h = layers.layernorm(p["ln2"], jax.nn.relu(h))
+    return layers.dense(p["out"], h, dtype)[..., 0] * mask.astype(dtype)
+
+
+def init(rng, cfg: ModelConfig) -> Params:
+    ks = jax.random.split(rng, 8)
+    d = cfg.d_model
+    return {
+        "embed": layers.embedding_init(ks[0], cfg.vocab_size, d),
+        "spk_proj": layers.dense_init(ks[1], cfg.speaker_dim, d),
+        "encoder": layers.transformer_stack_init(
+            ks[2], cfg.encoder_layers, d, cfg.n_heads, cfg.d_ff, cfg.conv_kernel
+        ),
+        "dur_pred": predictor_init(ks[3], d),
+        "pitch_pred": predictor_init(ks[4], d),
+        "pitch_embed": layers.dense_init(ks[5], 1, d),
+        "decoder": layers.transformer_stack_init(
+            ks[6], cfg.decoder_layers, d, cfg.n_heads, cfg.d_ff, cfg.conv_kernel
+        ),
+        "mel_out": layers.dense_init(ks[7], d, cfg.n_mels),
+    }
+
+
+def length_regulate(
+    enc: jnp.ndarray, durations: jnp.ndarray, token_mask: jnp.ndarray, max_frames: int
+) -> Dict[str, jnp.ndarray]:
+    """Expand per-token encodings to per-frame encodings with fully static shapes.
+
+    durations: [B, L] non-negative ints (padded tokens must have 0).
+    Frame t maps to the token j with cumsum(dur)[j-1] <= t < cumsum(dur)[j], via a
+    branch-free searchsorted-style comparison (O(L*T) mask matmul — tiny vs attention,
+    and perfectly MXU/VPU friendly; no dynamic shapes, no scatter).
+    """
+    cum = jnp.cumsum(durations, axis=-1)  # [B, L]
+    total = cum[:, -1]  # [B]
+    t_idx = jnp.arange(max_frames)[None, :, None]  # [1, T, 1]
+    # frame→token assignment: count how many cumsums are <= t  == index of owning token
+    token_idx = jnp.sum(cum[:, None, :] <= t_idx, axis=-1)  # [B, T]
+    token_idx = jnp.minimum(token_idx, enc.shape[1] - 1)
+    frames = jnp.take_along_axis(enc, token_idx[..., None], axis=1)  # [B, T, D]
+    frame_mask = (jnp.arange(max_frames)[None, :] < total[:, None]).astype(enc.dtype)
+    return {
+        "frames": frames * frame_mask[..., None],
+        "frame_mask": frame_mask,
+        "token_idx": token_idx,
+        "total_frames": total,
+    }
+
+
+def forward(
+    params: Params,
+    tokens: jnp.ndarray,  # [B, L] int32
+    token_mask: jnp.ndarray,  # [B, L] 1 = valid
+    speaker: jnp.ndarray,  # [B, speaker_dim]
+    exaggeration: jnp.ndarray,  # [B]
+    cfg: ModelConfig,
+    durations: Optional[jnp.ndarray] = None,  # teacher durations [B, L] (training)
+    dtype=jnp.float32,
+) -> Dict[str, jnp.ndarray]:
+    b, l = tokens.shape
+    max_frames = l * cfg.max_frames_per_token
+    mask_f = token_mask.astype(dtype)
+
+    x = layers.embedding(params["embed"], tokens, dtype)
+    x = x + jnp.asarray(layers.sinusoidal_positions(l, cfg.d_model), dtype)[None]
+    spk = layers.dense(params["spk_proj"], speaker.astype(dtype), dtype)  # [B, D]
+    x = (x + spk[:, None, :]) * mask_f[..., None]
+
+    enc = layers.transformer_stack(params["encoder"], x, cfg.n_heads, token_mask, dtype)
+
+    # Durations (log-domain predictor).
+    log_dur = predictor_apply(params["dur_pred"], enc, token_mask, dtype)  # [B, L]
+    if durations is None:
+        dur = jnp.round(jnp.exp(log_dur.astype(jnp.float32)) - 1.0)
+        dur = jnp.clip(dur, 1.0, float(cfg.max_frames_per_token)).astype(jnp.int32)
+        dur = dur * token_mask.astype(jnp.int32)
+    else:
+        dur = durations.astype(jnp.int32) * token_mask.astype(jnp.int32)
+
+    # Pitch with exaggeration-scaled variance (reference knob mapping).
+    pitch = predictor_apply(params["pitch_pred"], enc, token_mask, dtype)  # [B, L]
+    denom = jnp.maximum(jnp.sum(mask_f, axis=-1, keepdims=True), 1.0)
+    pitch_mean = jnp.sum(pitch * mask_f, axis=-1, keepdims=True) / denom
+    scale = (1.0 + exaggeration.astype(dtype))[:, None]
+    pitch_scaled = (pitch_mean + scale * (pitch - pitch_mean)) * mask_f
+    enc = enc + layers.dense(params["pitch_embed"], pitch_scaled[..., None], dtype)
+    enc = enc * mask_f[..., None]
+
+    reg = length_regulate(enc, dur, token_mask, max_frames)
+    dec_in = reg["frames"] + spk[:, None, :] * reg["frame_mask"][..., None]
+    dec = layers.transformer_stack(
+        params["decoder"], dec_in, cfg.n_heads, reg["frame_mask"], dtype
+    )
+    mel = layers.dense(params["mel_out"], dec, dtype)  # [B, T, n_mels]
+    mel = mel * reg["frame_mask"][..., None]
+
+    return {
+        "mel": mel,
+        "frame_mask": reg["frame_mask"],
+        "durations": dur,
+        "log_durations": log_dur,
+        "pitch": pitch,
+        "total_frames": reg["total_frames"],
+    }
+
+
+def param_count(params: Params) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))

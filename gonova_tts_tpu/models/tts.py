@@ -1,0 +1,83 @@
+"""The combined TTS pipeline: acoustic + vocoder + speaker encoder as one param bundle.
+
+This is the unit the engine jit-compiles per (batch, token-bucket) shape, and the unit
+checkpoints save/restore.  `synthesize` is the flagship jittable function:
+tokens → mel → waveform in one XLA graph (no host round-trip between the stages).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from . import acoustic, speaker, vocoder
+from .layers import Params
+
+
+def init(rng, cfg: ModelConfig) -> Params:
+    ka, kv, ks = jax.random.split(rng, 3)
+    return {
+        "acoustic": acoustic.init(ka, cfg),
+        "vocoder": vocoder.init(kv, cfg),
+        "speaker": speaker.init(ks, cfg),
+    }
+
+
+def synthesize(
+    params: Params,
+    tokens: jnp.ndarray,  # [B, L] int32
+    token_mask: jnp.ndarray,  # [B, L]
+    spk_embedding: jnp.ndarray,  # [B, speaker_dim]
+    exaggeration: jnp.ndarray,  # [B]
+    cfg: ModelConfig,
+    dtype=jnp.float32,
+) -> Dict[str, jnp.ndarray]:
+    """Full pipeline forward. Returns audio [B, T_frames * hop], sample mask, mel, frames."""
+    ac = acoustic.forward(
+        params["acoustic"], tokens, token_mask, spk_embedding, exaggeration, cfg, dtype=dtype
+    )
+    wav = vocoder.forward(params["vocoder"], ac["mel"], cfg, dtype=dtype)  # [B, T*hop]
+    hop = vocoder.upsample_factor(cfg)
+    total_samples = ac["total_frames"] * hop
+    sample_mask = (
+        jnp.arange(wav.shape[-1])[None, :] < total_samples[:, None]
+    )
+    return {
+        "audio": wav * sample_mask.astype(wav.dtype),
+        "sample_mask": sample_mask,
+        "total_samples": total_samples,
+        "mel": ac["mel"],
+        "frame_mask": ac["frame_mask"],
+        "total_frames": ac["total_frames"],
+        "durations": ac["durations"],
+    }
+
+
+def embed_speaker(
+    params: Params, mel: jnp.ndarray, frame_mask: jnp.ndarray, dtype=jnp.float32
+) -> jnp.ndarray:
+    return speaker.forward(params["speaker"], mel, frame_mask, dtype=dtype)
+
+
+def vocode(
+    params: Params, mel: jnp.ndarray, cfg: ModelConfig, dtype=jnp.float32
+) -> jnp.ndarray:
+    return vocoder.forward(params["vocoder"], mel, cfg, dtype=dtype)
+
+
+def acoustic_mel(
+    params: Params,
+    tokens: jnp.ndarray,
+    token_mask: jnp.ndarray,
+    spk_embedding: jnp.ndarray,
+    exaggeration: jnp.ndarray,
+    cfg: ModelConfig,
+    dtype=jnp.float32,
+) -> Dict[str, jnp.ndarray]:
+    """Acoustic stage only (used by the streaming engine: mel first, then chunked vocode)."""
+    return acoustic.forward(
+        params["acoustic"], tokens, token_mask, spk_embedding, exaggeration, cfg, dtype=dtype
+    )
