@@ -125,8 +125,8 @@ class EngineConfig(BaseModel):
     batch_buckets: List[int] = Field(default_factory=lambda: [1, 4, 8, 16])
     max_batch: int = 16
     batch_window_ms: float = 10.0  # admission window for dynamic batching
-    stream_chunk_frames: int = 72  # vocoder streaming window (mel frames)
-    stream_overlap_frames: int = 8  # crossfade overlap between windows
+    stream_chunk_frames: int = 64  # mel frames emitted per streaming vocoder pass
+    stream_context_frames: int = 16  # context frames on each side of a window (seam quality)
     warmup_shapes: List[List[int]] = Field(
         default_factory=lambda: [[1, 64], [8, 64], [16, 64]]
     )  # (batch, token_bucket) pairs compiled at startup

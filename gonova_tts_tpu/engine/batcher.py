@@ -1,0 +1,118 @@
+"""Dynamic batcher: admission-windowed request coalescing in front of the engine.
+
+The reference serializes synthesis one request at a time through a single worker
+(services/tts/server.py:110-186) — its "20-30 concurrent syntheses" are connection-level
+only.  Here concurrent requests admitted within `batch_window_ms` are coalesced into one
+padded batch per device pass (up to `max_batch`), which is where the ≥40× realtime/chip
+target comes from (BASELINE.md): the MXU runs at batch 16 for the price of batch 1.
+
+Latency shape: p50 TTFA ≈ admission window + one acoustic pass + one vocoder window.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..utils import get_logger
+from .engine import TTSEngine
+
+logger = get_logger("gonova.batcher")
+
+
+@dataclass
+class _Pending:
+    text: str
+    speaker: Optional[np.ndarray]
+    exaggeration: float
+    future: asyncio.Future = field(repr=False, default=None)
+    enqueued_at: float = 0.0
+
+
+class DynamicBatcher:
+    """Coalesces `submit()` calls into engine.synthesize_batch passes."""
+
+    def __init__(self, engine: TTSEngine, max_batch: Optional[int] = None,
+                 window_ms: Optional[float] = None):
+        self.engine = engine
+        self.max_batch = max_batch or engine.ecfg.max_batch
+        self.window_s = (window_ms if window_ms is not None else engine.ecfg.batch_window_ms) / 1000.0
+        self._queue: asyncio.Queue = asyncio.Queue()
+        self._task: Optional[asyncio.Task] = None
+        self._running = False
+        self.metrics = {"batches": 0, "requests": 0, "max_batch_seen": 0}
+
+    async def start(self) -> None:
+        if self._running:
+            return
+        self._running = True
+        self._task = asyncio.create_task(self._worker())
+
+    async def stop(self) -> None:
+        self._running = False
+        if self._task:
+            self._task.cancel()
+            try:
+                await self._task
+            except asyncio.CancelledError:
+                pass
+            self._task = None
+
+    async def submit(
+        self,
+        text: str,
+        speaker: Optional[np.ndarray] = None,
+        exaggeration: float = 0.5,
+    ) -> np.ndarray:
+        """Synthesize one sentence-chunk; resolves when its batch completes."""
+        item = _Pending(
+            text=text,
+            speaker=speaker,
+            exaggeration=exaggeration,
+            future=asyncio.get_event_loop().create_future(),
+            enqueued_at=time.time(),
+        )
+        await self._queue.put(item)
+        return await item.future
+
+    async def _worker(self) -> None:
+        while self._running:
+            try:
+                first = await self._queue.get()
+            except asyncio.CancelledError:
+                break
+            batch: List[_Pending] = [first]
+            deadline = time.time() + self.window_s
+            while len(batch) < self.max_batch:
+                timeout = deadline - time.time()
+                if timeout <= 0:
+                    break
+                try:
+                    batch.append(await asyncio.wait_for(self._queue.get(), timeout))
+                except (asyncio.TimeoutError, asyncio.CancelledError):
+                    break
+
+            loop = asyncio.get_event_loop()
+            try:
+                results = await loop.run_in_executor(
+                    None,
+                    self.engine.synthesize_batch,
+                    [p.text for p in batch],
+                    [p.speaker for p in batch],
+                    [p.exaggeration for p in batch],
+                )
+                for p, r in zip(batch, results):
+                    if not p.future.done():
+                        p.future.set_result(r)
+            except Exception as e:  # noqa: BLE001 — isolate failures per batch
+                logger.error("batch_failed", error=str(e), batch_size=len(batch))
+                for p in batch:
+                    if not p.future.done():
+                        p.future.set_exception(e)
+            self.metrics["batches"] += 1
+            self.metrics["requests"] += len(batch)
+            self.metrics["max_batch_seen"] = max(self.metrics["max_batch_seen"], len(batch))

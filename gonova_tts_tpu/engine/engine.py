@@ -1,0 +1,310 @@
+"""TTSEngine — the TPU-idiomatic replacement for the reference's serialized worker.
+
+Where the reference funnels every request through one blocking `model.generate` call on
+one GPU (services/tts/server.py:110-186, core/synthesizer.py:296-350), this engine:
+
+  * compiles one XLA graph per (batch-bucket, token-bucket) shape pair — bounded compile
+    cache, warm-compiled at startup (the reference's warmup analog, synthesizer.py:199-207);
+  * synthesizes whole batches per MXU pass (dynamic batcher feeds it, see batcher.py);
+  * streams long utterances by chunked vocoding: the acoustic pass emits the full mel
+    fast, then fixed-size mel windows are vocoded and crossfaded so first audio ships
+    before the utterance finishes (SURVEY.md §7 hard part #2);
+  * conditions on cached speaker embeddings instead of reference-audio file paths
+    (synthesizer.py:344-350), keeping the WAV-in public API.
+
+All device code is shape-static; variable length lives in masks and host-side trimming.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio import mel_spectrogram, resample
+from ..config import Config
+from ..models import tts, vocoder
+from ..text import batch_to_bucket, pick_bucket, segment_text, text_to_ids
+from ..utils import get_logger, read_wav
+
+logger = get_logger("gonova.engine")
+
+
+class TTSEngine:
+    def __init__(self, config: Optional[Config] = None, seed: int = 0):
+        self.config = config or Config()
+        self.mcfg = self.config.model
+        self.ecfg = self.config.engine
+        self.seed = seed
+        self.params = None
+        self.is_loaded = False
+        self.hop = self.mcfg.hop_length
+        self.sample_rate = self.mcfg.sample_rate
+        self.compute_dtype = (
+            jnp.bfloat16 if self.mcfg.compute_dtype == "bfloat16" else jnp.float32
+        )
+        self._compiled: Dict[str, object] = {}
+        self._lock = threading.Lock()  # device work is serialized per engine
+        self.stats = {
+            "syntheses": 0,
+            "total_latency": 0.0,
+            "first_chunk_latency": 0.0,
+            "errors": 0,
+            "batches": 0,
+            "batched_requests": 0,
+            "compiles": 0,
+        }
+
+    # ------------------------------------------------------------ loading
+
+    def load(self, warmup: bool = True) -> None:
+        """Init or restore params, build jitted entry points, warm-compile hot shapes."""
+        t0 = time.time()
+        if self.mcfg.model_path:
+            from ..train.checkpoint import restore_params
+
+            self.params = restore_params(self.mcfg.model_path)
+            logger.info("params_restored", path=self.mcfg.model_path)
+        else:
+            self.params = tts.init(jax.random.PRNGKey(self.seed), self.mcfg)
+            logger.info("params_initialized", seed=self.seed)
+
+        mcfg, dtype = self.mcfg, self.compute_dtype
+
+        def synth(params, tokens, mask, spk, exagg):
+            return tts.synthesize(params, tokens, mask, spk, exagg, mcfg, dtype=dtype)
+
+        def acoustic(params, tokens, mask, spk, exagg):
+            return tts.acoustic_mel(params, tokens, mask, spk, exagg, mcfg, dtype=dtype)
+
+        def vocode(params, mel):
+            return tts.vocode(params, mel, mcfg, dtype=dtype)
+
+        def embed(params, mel, mask):
+            return tts.embed_speaker(params, mel, mask, dtype=dtype)
+
+        self._synth = jax.jit(synth)
+        self._acoustic = jax.jit(acoustic)
+        self._vocode = jax.jit(vocode)
+        self._embed = jax.jit(embed)
+
+        self.is_loaded = True
+        if warmup:
+            self.warmup()
+        logger.info("engine_loaded", seconds=round(time.time() - t0, 2))
+
+    def warmup(self) -> None:
+        """Pre-compile the configured hot (batch, token-bucket) shapes."""
+        for batch, bucket in self.ecfg.warmup_shapes:
+            t0 = time.time()
+            tokens = jnp.zeros((batch, bucket), jnp.int32)
+            mask = jnp.ones((batch, bucket), jnp.float32)
+            spk = jnp.zeros((batch, self.mcfg.speaker_dim), jnp.float32)
+            exagg = jnp.zeros((batch,), jnp.float32)
+            out = self._synth(self.params, tokens, mask, spk, exagg)
+            jax.block_until_ready(out["audio"])
+            self.stats["compiles"] += 1
+            logger.info(
+                "warmup_compiled", batch=batch, bucket=bucket, seconds=round(time.time() - t0, 2)
+            )
+        # Streaming vocoder window shape (stride + 2*context).
+        w = self.ecfg.stream_chunk_frames + 2 * self.ecfg.stream_context_frames
+        mel = jnp.zeros((1, w, self.mcfg.n_mels), jnp.float32)
+        jax.block_until_ready(self._vocode(self.params, mel))
+        self.stats["compiles"] += 1
+
+    # ------------------------------------------------------------ voice embedding
+
+    def embed_voice(self, audio: np.ndarray, sr: int) -> np.ndarray:
+        """Reference audio → speaker embedding [speaker_dim]."""
+        if audio.ndim > 1:
+            audio = audio.mean(axis=1)
+        wav = np.asarray(
+            resample(jnp.asarray(audio, jnp.float32), sr, self.sample_rate)
+        )
+        # Bound + pad to a static analysis length (10 s max per the validation rules,
+        # voice_manager.py:219-222) so the embed graph compiles once.
+        max_samples = int(10.0 * self.sample_rate)
+        max_samples -= max_samples % self.hop
+        n = min(len(wav), max_samples)
+        buf = np.zeros((max_samples,), np.float32)
+        buf[:n] = wav[:n]
+        mel = mel_spectrogram(
+            jnp.asarray(buf)[None],
+            sr=self.sample_rate,
+            n_fft=self.mcfg.n_fft,
+            hop_length=self.hop,
+            win_length=self.mcfg.win_length,
+            n_mels=self.mcfg.n_mels,
+            fmin=self.mcfg.fmin,
+            fmax=self.mcfg.fmax,
+        )
+        n_frames = mel.shape[1]
+        valid = n // self.hop
+        mask = (jnp.arange(n_frames)[None] < valid).astype(jnp.float32)
+        with self._lock:
+            emb = self._embed(self.params, mel, mask)
+        return np.asarray(emb[0])
+
+    def embed_voice_file(self, path: str) -> np.ndarray:
+        audio, sr = read_wav(path)
+        return self.embed_voice(np.asarray(audio, np.float32), sr)
+
+    def default_speaker(self) -> np.ndarray:
+        return np.zeros((self.mcfg.speaker_dim,), np.float32)
+
+    # ------------------------------------------------------------ batch synthesis
+
+    def synthesize_batch(
+        self,
+        texts: Sequence[str],
+        speakers: Optional[Sequence[np.ndarray]] = None,
+        exaggerations: Optional[Sequence[float]] = None,
+    ) -> List[np.ndarray]:
+        """Synthesize one chunk of text per request in a single device pass.
+
+        Each text should already be a single sentence-sized chunk (the service segments
+        upstream).  Returns one float32 waveform per input.
+        """
+        if not self.is_loaded:
+            raise RuntimeError("Engine not loaded. Call load() first")
+        t0 = time.time()
+        b = len(texts)
+        id_lists = [text_to_ids(t) for t in texts]
+        tokens_np, lengths, bucket = batch_to_bucket(id_lists, self.ecfg.token_buckets)
+        batch_bucket = pick_bucket(b, self.ecfg.batch_buckets)
+
+        tokens = np.zeros((batch_bucket, bucket), np.int32)
+        tokens[:b] = tokens_np
+        mask = (np.arange(bucket)[None, :] < np.concatenate([lengths, np.zeros(batch_bucket - b, np.int32)])[:, None]).astype(np.float32)
+        spk = np.zeros((batch_bucket, self.mcfg.speaker_dim), np.float32)
+        if speakers is not None:
+            for i, s in enumerate(speakers):
+                if s is not None:
+                    spk[i] = s
+        exagg = np.zeros((batch_bucket,), np.float32)
+        if exaggerations is not None:
+            exagg[:b] = np.asarray(exaggerations, np.float32)
+
+        with self._lock:
+            out = self._synth(
+                self.params,
+                jnp.asarray(tokens),
+                jnp.asarray(mask),
+                jnp.asarray(spk),
+                jnp.asarray(exagg),
+            )
+            audio = np.asarray(out["audio"])
+            total = np.asarray(out["total_samples"])
+
+        results = [audio[i, : int(total[i])].astype(np.float32) for i in range(b)]
+        dt = time.time() - t0
+        self.stats["batches"] += 1
+        self.stats["batched_requests"] += b
+        self.stats["syntheses"] += b
+        self.stats["total_latency"] += dt
+        return results
+
+    # ------------------------------------------------------------ streaming synthesis
+
+    def synthesize_stream(
+        self,
+        text: str,
+        speaker: Optional[np.ndarray] = None,
+        exaggeration: float = 0.5,
+    ) -> Iterator[np.ndarray]:
+        """Generator: sentence chunks → acoustic pass → chunked vocoding.
+
+        Yields float32 audio arrays; sentence boundaries and intra-sentence vocoder
+        windows both produce yields, so first audio arrives after one acoustic pass plus
+        one vocoder window rather than after the whole utterance.
+        """
+        if not self.is_loaded:
+            raise RuntimeError("Engine not loaded. Call load() first")
+        t0 = time.time()
+        first = True
+        sentences = segment_text(text)
+        try:
+            for sentence in sentences:
+                for chunk in self._stream_sentence(sentence, speaker, exaggeration):
+                    if first:
+                        self.stats["first_chunk_latency"] += time.time() - t0
+                        first = False
+                    yield chunk
+            self.stats["syntheses"] += 1
+            self.stats["total_latency"] += time.time() - t0
+        except Exception:
+            self.stats["errors"] += 1
+            raise
+
+    def _stream_sentence(
+        self, sentence: str, speaker: Optional[np.ndarray], exaggeration: float
+    ) -> Iterator[np.ndarray]:
+        ids = text_to_ids(sentence)
+        bucket = pick_bucket(len(ids), self.ecfg.token_buckets)
+        tokens = np.zeros((1, bucket), np.int32)
+        tokens[0, : len(ids)] = ids[:bucket]
+        mask = (np.arange(bucket)[None, :] < min(len(ids), bucket)).astype(np.float32)
+        spk = np.zeros((1, self.mcfg.speaker_dim), np.float32)
+        if speaker is not None:
+            spk[0] = speaker
+        exagg = np.asarray([exaggeration], np.float32)
+
+        with self._lock:
+            ac = self._acoustic(
+                self.params, jnp.asarray(tokens), jnp.asarray(mask), jnp.asarray(spk), jnp.asarray(exagg)
+            )
+            mel = ac["mel"]
+            total_frames = int(ac["total_frames"][0])
+        if total_frames <= 0:
+            return
+
+        stride = self.ecfg.stream_chunk_frames
+        ctx = self.ecfg.stream_context_frames
+        w = stride + 2 * ctx  # static window shape
+        hop = self.hop
+        total_samples = total_frames * hop
+
+        # Context-padded windows: window k vocodes frames
+        # [k*stride - ctx, k*stride + stride + ctx) (zero context at the edges, matching
+        # the one-shot pass's SAME-padded convs) and emits only the central stride
+        # frames. Seam error decays with ctx; no crossfade needed (emitted spans are
+        # disjoint and context-consistent).
+        n_windows = -(-total_frames // stride)
+        # Left pad = ctx zeros; right pad covers the last window + context overrun.
+        mel = jnp.pad(mel, ((0, 0), (ctx, stride + ctx), (0, 0)))
+        emitted = 0
+        for k in range(n_windows):
+            window = jax.lax.dynamic_slice_in_dim(mel, k * stride, w, axis=1)
+            with self._lock:
+                wav = np.asarray(self._vocode(self.params, window))[0]  # [w*hop]
+            body = wav[ctx * hop : (ctx + stride) * hop]
+            chunk = body[: max(0, total_samples - emitted)]
+            if len(chunk):
+                emitted += len(chunk)
+                yield chunk.astype(np.float32)
+            if emitted >= total_samples:
+                break
+
+    # ------------------------------------------------------------ stats / misc
+
+    def get_stats(self) -> dict:
+        stats = dict(self.stats)
+        if stats["syntheses"] > 0:
+            stats["avg_latency"] = stats["total_latency"] / stats["syntheses"]
+            stats["avg_first_chunk"] = stats["first_chunk_latency"] / max(
+                1, stats["syntheses"]
+            )
+        else:
+            stats["avg_latency"] = 0.0
+            stats["avg_first_chunk"] = 0.0
+        stats["compiled_shapes"] = self.stats["compiles"]
+        return stats
+
+    def cleanup(self) -> None:
+        self.params = None
+        self.is_loaded = False

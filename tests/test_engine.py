@@ -1,0 +1,178 @@
+"""Engine tests: bucketed batch synthesis, streaming vocoder seams, voice embedding,
+dynamic batcher coalescing."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from gonova_tts_tpu.config import Config, EngineConfig, ModelConfig
+from gonova_tts_tpu.engine import DynamicBatcher, TTSEngine, VoiceEmbeddingCache
+
+
+def tiny_config() -> Config:
+    cfg = Config()
+    cfg.model = ModelConfig(
+        d_model=64,
+        n_heads=2,
+        d_ff=128,
+        encoder_layers=1,
+        decoder_layers=1,
+        speaker_dim=32,
+        upsample_initial_channel=32,
+        compute_dtype="float32",
+    )
+    cfg.engine = EngineConfig(
+        token_buckets=[32, 64, 128, 192],
+        batch_buckets=[1, 4, 8],
+        max_batch=8,
+        batch_window_ms=5.0,
+        stream_chunk_frames=24,
+        stream_context_frames=12,
+        warmup_shapes=[[1, 32]],
+    )
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def engine():
+    eng = TTSEngine(tiny_config(), seed=0)
+    eng.load(warmup=True)
+    return eng
+
+
+def test_load_and_warmup(engine):
+    assert engine.is_loaded
+    assert engine.stats["compiles"] >= 2  # warmup shape + stream window
+
+
+def test_synthesize_batch_shapes(engine):
+    texts = ["Hello world.", "A much longer sentence with many more words in it."]
+    outs = engine.synthesize_batch(texts)
+    assert len(outs) == 2
+    for wav in outs:
+        assert wav.dtype == np.float32
+        assert wav.ndim == 1
+        assert len(wav) % engine.hop == 0
+        assert np.isfinite(wav).all()
+
+
+def test_batch_matches_single(engine):
+    """Batched synthesis must produce the same audio as single-request synthesis."""
+    texts = ["Hello there.", "Testing batching now."]
+    batched = engine.synthesize_batch(texts)
+    singles = [engine.synthesize_batch([t])[0] for t in texts]
+    for b, s in zip(batched, singles):
+        assert len(b) == len(s)
+        np.testing.assert_allclose(b, s, atol=2e-3)
+
+
+def test_streaming_concat_length_matches_batch(engine):
+    """Streamed chunks concatenated must equal the non-streamed length exactly."""
+    text = "This is a moderately long sentence used to exercise the streaming vocoder path of the engine."
+    chunks = list(engine.synthesize_stream(text))
+    assert len(chunks) >= 1
+    streamed = np.concatenate(chunks)
+    whole = engine.synthesize_batch([text])[0]
+    assert len(streamed) == len(whole)
+
+
+def test_streaming_seams_match_whole(engine):
+    """Context-padded windows: streamed audio must match the one-shot vocode closely
+    everywhere, with error bounded by the context margin (receptive-field tail)."""
+    text = "The quick brown fox jumps over the lazy dog near the river bank today."
+    streamed = np.concatenate(list(engine.synthesize_stream(text)))
+    whole = engine.synthesize_batch([text])[0]
+    assert len(streamed) == len(whole)
+    rel_err = np.linalg.norm(streamed - whole) / (np.linalg.norm(whole) + 1e-9)
+    assert rel_err < 0.15, f"streamed/whole relative L2 error {rel_err:.3f}"
+
+
+def test_streaming_more_context_is_closer(engine):
+    """Design sanity: doubling the context margin must reduce seam error."""
+    text = "A sentence long enough to require several streaming vocoder windows to cover completely."
+    whole = engine.synthesize_batch([text])[0]
+
+    def stream_err(ctx):
+        old = engine.ecfg.stream_context_frames
+        engine.ecfg.stream_context_frames = ctx
+        try:
+            streamed = np.concatenate(list(engine.synthesize_stream(text)))
+        finally:
+            engine.ecfg.stream_context_frames = old
+        return np.linalg.norm(streamed - whole) / (np.linalg.norm(whole) + 1e-9)
+
+    assert stream_err(16) < stream_err(2)
+
+
+def test_streaming_multi_sentence(engine):
+    text = "First sentence here. Second sentence follows. Third one ends it."
+    chunks = list(engine.synthesize_stream(text))
+    assert len(chunks) >= 3  # at least one chunk per sentence
+
+
+def test_streaming_empty(engine):
+    assert list(engine.synthesize_stream("")) == []
+
+
+def test_embed_voice(engine):
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal(48000).astype(np.float32) * 0.1
+    emb = engine.embed_voice(audio, 48000)
+    assert emb.shape == (engine.mcfg.speaker_dim,)
+    np.testing.assert_allclose(np.linalg.norm(emb), 1.0, atol=1e-4)
+    # Same audio at a different sample rate → near-identical embedding.
+    audio24 = np.asarray(audio[::2])  # crude 24k version of the same signal
+    emb2 = engine.embed_voice(audio24, 24000)
+    assert emb2.shape == emb.shape
+
+
+def test_speaker_changes_audio(engine):
+    text = "Speaker conditioning check."
+    spk = np.zeros((engine.mcfg.speaker_dim,), np.float32)
+    spk[0] = 1.0
+    a = engine.synthesize_batch([text], speakers=[None])[0]
+    b = engine.synthesize_batch([text], speakers=[spk])[0]
+    # Speaker conditioning may change predicted durations (length) or the waveform.
+    n = min(len(a), len(b))
+    assert len(a) != len(b) or not np.allclose(a[:n], b[:n], atol=1e-5)
+
+
+def test_voice_cache_lru():
+    cache = VoiceEmbeddingCache(max_entries=2)
+    cache.put("a", np.zeros(4))
+    cache.put("b", np.ones(4))
+    assert cache.get("a") is not None
+    cache.put("c", np.full(4, 2.0))  # evicts "b" (oldest untouched)
+    assert cache.get("b") is None
+    assert cache.get("a") is not None
+    assert cache.stats["evictions"] == 1
+
+
+def test_dynamic_batcher_coalesces(engine):
+    async def run():
+        batcher = DynamicBatcher(engine, max_batch=8, window_ms=50)
+        await batcher.start()
+        results = await asyncio.gather(
+            *[batcher.submit(f"Sentence number {i}.") for i in range(6)]
+        )
+        await batcher.stop()
+        return results, batcher.metrics
+
+    results, metrics = asyncio.run(run())
+    assert len(results) == 6
+    assert all(isinstance(r, np.ndarray) and r.dtype == np.float32 for r in results)
+    # 6 requests submitted together within a 50 ms window → far fewer batches than requests.
+    assert metrics["batches"] < 6
+    assert metrics["max_batch_seen"] >= 2
+
+
+def test_dynamic_batcher_error_isolation(engine):
+    async def run():
+        batcher = DynamicBatcher(engine, max_batch=4, window_ms=10)
+        await batcher.start()
+        ok = await batcher.submit("A fine sentence.")
+        await batcher.stop()
+        return ok
+
+    assert isinstance(asyncio.run(run()), np.ndarray)
