@@ -1,0 +1,478 @@
+"""TTS service: WebSocket streaming API, health/metrics, REST synth — on aiohttp.
+
+Protocol parity with the reference (services/tts/server.py; SURVEY.md §2.3):
+  * WS `/v1/stream/tts`: inbound JSON `synthesize` / `register_voice` / `list_voices`;
+    outbound binary frames = raw float32 mono 24 kHz PCM, then JSON
+    `{"type": "synthesis_complete", "chunk_id": N}`; `voice_registered`, `voice_list`,
+    `error` messages (:215-256, :280-286);
+  * admission control: per-IP rate limit then max-connections, reject with close code
+    1008 (:425-436);
+  * unknown voice_id → warn + default voice (:128-138); per-request error isolation —
+    worker survives and still marks done (:173-186);
+  * `GET /health` (503 until loaded, then queue/synth/voice stats + device info,
+    :447-475), `GET /metrics` (queue metrics dict, :478-481);
+  * env: TTS_PORT / TTS_INSTANCE_ID (:485-494).
+
+Extensions the reference documents but never implemented (README.md:137-146, 220-251;
+SURVEY.md §2.5 sanctions them): REST `POST /v1/synthesize` returning a complete WAV, and
+the `cancel` control message (generation-counter based).
+
+Architectural difference (the point of the rebuild): instead of ONE serialized worker
+(server.py:110-186), a pool of workers feeds the dynamic batcher, so concurrent
+requests share MXU passes (engine/batcher.py).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import io
+import json
+import os
+import signal
+import time
+import uuid
+from typing import Dict, Optional
+
+import numpy as np
+
+try:
+    from aiohttp import WSMsgType, web
+except ImportError:  # pragma: no cover - aiohttp is in the image; belt and braces
+    web = None
+    WSMsgType = None
+
+from ..config import Config, load_config
+from ..engine import DynamicBatcher, VoiceEmbeddingCache
+from ..text import segment_text
+from ..utils import configure_logging, get_logger, write_wav
+from .queue_manager import SynthesisRequest, TTSQueueManager
+from .rate_limiter import RateLimiter
+from .synthesizer import StreamingSynthesizer
+from .voice_manager import VoiceManager
+
+logger = get_logger("gonova.server")
+
+WS_POLICY_VIOLATION = 1008
+
+
+class TTSService:
+    """Composition root: synthesizer/engine, voice manager, queues, batcher, workers."""
+
+    def __init__(self, config: Optional[Config] = None):
+        self.config = config or load_config()
+        configure_logging(self.config.logging.level, logfile=self.config.logging.file)
+
+        self.synthesizer = StreamingSynthesizer(self.config)
+        self.voice_manager = VoiceManager(
+            cache_dir=self.config.voice_cloning.cache_dir,
+            max_cached=self.config.voice_cloning.max_cached_voices,
+            min_duration=self.config.voice_cloning.min_duration,
+            max_duration=self.config.voice_cloning.max_duration,
+            min_snr=self.config.voice_cloning.min_snr,
+        )
+        self.queue_manager = TTSQueueManager(
+            input_queue_size=self.config.queues.input_queue_size,
+            output_queue_size=self.config.queues.output_queue_size,
+        )
+        self.rate_limiter = RateLimiter(
+            max_requests=self.config.rate_limiting.max_requests_per_minute,
+            window=self.config.rate_limiting.window_seconds,
+        )
+        self.voice_embeddings = VoiceEmbeddingCache(
+            max_entries=self.config.voice_cloning.max_cached_voices
+        )
+        self.batcher: Optional[DynamicBatcher] = None
+
+        self.max_connections = self.config.server.max_connections
+        self.active_connections = 0
+        self.connections: Dict[str, dict] = {}
+        self.is_shutting_down = False
+        self._workers = []
+        self._cancel_generations: Dict[str, int] = {}
+        self._default_speaker: Optional[np.ndarray] = None
+        self.started_at: Optional[float] = None
+
+    # ------------------------------------------------------------ lifecycle
+
+    async def start(self, n_workers: Optional[int] = None) -> None:
+        logger.info("service_starting")
+        await self.synthesizer.load()
+        self.batcher = DynamicBatcher(self.synthesizer.engine)
+        await self.batcher.start()
+        await self.queue_manager.start()
+        await self._load_default_voice()
+        n = n_workers or self.config.engine.max_batch
+        self._workers = [asyncio.create_task(self._tts_worker(i)) for i in range(n)]
+        self.started_at = time.time()
+        logger.info("service_started", workers=n)
+
+    async def shutdown(self) -> None:
+        logger.info("service_shutting_down")
+        self.is_shutting_down = True
+        await self.queue_manager.wait_until_empty(timeout=30.0)
+        for w in self._workers:
+            w.cancel()
+        await asyncio.gather(*self._workers, return_exceptions=True)
+        self._workers.clear()
+        if self.batcher:
+            await self.batcher.stop()
+        await self.queue_manager.stop()
+        await self.synthesizer.cleanup()
+        logger.info("service_stopped")
+
+    async def _load_default_voice(self) -> None:
+        path = self.config.voice_cloning.default_voice_path
+        if path and os.path.exists(path):
+            loop = asyncio.get_event_loop()
+            try:
+                self._default_speaker = await loop.run_in_executor(
+                    None, self.synthesizer.engine.embed_voice_file, path
+                )
+                logger.info("default_voice_loaded", path=path)
+            except Exception as e:  # noqa: BLE001
+                logger.warning("default_voice_load_failed", path=path, error=str(e))
+        else:
+            logger.info("default_voice_absent", path=path)
+
+    # ------------------------------------------------------------ synthesis workers
+
+    async def _resolve_speaker(self, voice_id: str) -> Optional[np.ndarray]:
+        """voice_id → speaker embedding; unknown ids warn + fall back to default
+        (reference behavior, server.py:128-138)."""
+        if not voice_id or voice_id == "default":
+            return self._default_speaker
+        cached = self.voice_embeddings.get(voice_id)
+        if cached is not None:
+            return cached
+        path = await self.voice_manager.get_voice(voice_id)
+        if path is None:
+            logger.warning("voice_not_found", voice_id=voice_id)
+            return self._default_speaker
+        loop = asyncio.get_event_loop()
+        emb = await loop.run_in_executor(
+            None, self.synthesizer.engine.embed_voice_file, path
+        )
+        self.voice_embeddings.put(voice_id, emb)
+        return emb
+
+    def _is_stale(self, request: SynthesisRequest) -> bool:
+        return request.generation < self._cancel_generations.get(request.connection_id, 0)
+
+    async def _tts_worker(self, worker_id: int) -> None:
+        """Pull requests, segment, feed the batcher, stream chunks back in order.
+
+        N of these run concurrently; the batcher coalesces their sentences into shared
+        device passes. Per-request failures are isolated (reference server.py:173-186)."""
+        logger.info("tts_worker_started", worker=worker_id)
+        while not self.is_shutting_down:
+            try:
+                request = await self.queue_manager.get_next_request()
+                if request is None:
+                    continue
+                if self._is_stale(request):
+                    await self.queue_manager.mark_request_done()
+                    continue
+                chunk_id = 0
+                try:
+                    speaker = await self._resolve_speaker(request.voice_id)
+                    sentences = segment_text(request.text)
+                    pending = [
+                        asyncio.create_task(
+                            self.batcher.submit(s, speaker, request.exaggeration)
+                        )
+                        for s in sentences
+                    ]
+                    for fut in pending:
+                        audio = await fut
+                        if self._is_stale(request):
+                            break
+                        await self.queue_manager.enqueue_audio_chunk(
+                            request.connection_id,
+                            audio.astype(np.float32).tobytes(),
+                            chunk_id,
+                            is_final=False,
+                        )
+                        chunk_id += 1
+                    await self.queue_manager.enqueue_audio_chunk(
+                        request.connection_id, b"", chunk_id, is_final=True
+                    )
+                    logger.info(
+                        "synthesis_completed",
+                        connection_id=request.connection_id,
+                        text_length=len(request.text),
+                        chunks=chunk_id,
+                    )
+                except Exception as e:  # noqa: BLE001
+                    logger.error(
+                        "synthesis_failed",
+                        connection_id=request.connection_id,
+                        error=str(e),
+                        exc_info=True,
+                    )
+                await self.queue_manager.mark_request_done()
+            except asyncio.CancelledError:
+                break
+            except Exception as e:  # noqa: BLE001
+                logger.error("tts_worker_error", worker=worker_id, error=str(e))
+                await asyncio.sleep(1.0)
+
+    # ------------------------------------------------------------ WS connection
+
+    async def handle_connection(self, ws: web.WebSocketResponse, conn_id: str) -> None:
+        output_queue = self.queue_manager.register_connection(conn_id)
+        self.connections[conn_id] = {"connected_at": time.time()}
+        self.active_connections += 1
+        self._cancel_generations[conn_id] = 0
+        logger.info(
+            "connection_established",
+            connection_id=conn_id,
+            active_connections=self.active_connections,
+        )
+
+        async def receive_requests() -> None:
+            try:
+                async for msg in ws:
+                    if msg.type == WSMsgType.TEXT:
+                        try:
+                            await self._handle_message(ws, conn_id, json.loads(msg.data))
+                        except Exception as e:  # noqa: BLE001
+                            logger.error(
+                                "request_processing_error",
+                                connection_id=conn_id,
+                                error=str(e),
+                            )
+                    elif msg.type in (WSMsgType.CLOSE, WSMsgType.ERROR, WSMsgType.CLOSING):
+                        break
+            except asyncio.CancelledError:
+                pass
+
+        async def send_audio() -> None:
+            try:
+                while True:
+                    try:
+                        chunk = await asyncio.wait_for(output_queue.get(), timeout=1.0)
+                    except asyncio.TimeoutError:
+                        continue
+                    try:
+                        if not chunk.is_final:
+                            await ws.send_bytes(chunk.audio_data)
+                        else:
+                            await ws.send_json(
+                                {"type": "synthesis_complete", "chunk_id": chunk.chunk_id}
+                            )
+                    except (ConnectionResetError, RuntimeError):
+                        break
+                    except Exception as e:  # noqa: BLE001
+                        logger.error("send_error", connection_id=conn_id, error=str(e))
+                        break
+            except asyncio.CancelledError:
+                pass
+
+        recv_task = asyncio.create_task(receive_requests())
+        send_task = asyncio.create_task(send_audio())
+        try:
+            done, pending = await asyncio.wait(
+                [recv_task, send_task], return_when=asyncio.FIRST_COMPLETED
+            )
+            for t in pending:
+                t.cancel()
+            await asyncio.gather(*pending, return_exceptions=True)
+        finally:
+            self.queue_manager.unregister_connection(conn_id)
+            self.connections.pop(conn_id, None)
+            self._cancel_generations.pop(conn_id, None)
+            self.active_connections -= 1
+            logger.info(
+                "connection_closed",
+                connection_id=conn_id,
+                active_connections=self.active_connections,
+            )
+
+    async def _handle_message(
+        self, ws: web.WebSocketResponse, conn_id: str, data: dict
+    ) -> None:
+        mtype = data.get("type")
+        if mtype == "synthesize":
+            await self.queue_manager.enqueue_request(
+                connection_id=conn_id,
+                text=data.get("text", ""),
+                voice_id=data.get("voice_id", "default"),
+                chunk_size=data.get("chunk_size", self.config.model.chunk_size),
+                exaggeration=data.get(
+                    "exaggeration", self.config.synthesis.default_exaggeration
+                ),
+                streaming=data.get("streaming", True),
+                generation=self._cancel_generations.get(conn_id, 0),
+            )
+        elif mtype == "register_voice":
+            voice_id = data.get("voice_id")
+            reference_audio = data.get("reference_audio")
+            if voice_id and reference_audio:
+                try:
+                    await self.voice_manager.register_voice(
+                        voice_id=voice_id,
+                        reference_audio_b64=reference_audio,
+                        description=data.get("description", ""),
+                    )
+                    self.voice_embeddings.invalidate(voice_id)
+                    await ws.send_json({"type": "voice_registered", "voice_id": voice_id})
+                except Exception as e:  # noqa: BLE001
+                    await ws.send_json(
+                        {"type": "error", "message": f"Voice registration failed: {e}"}
+                    )
+        elif mtype == "list_voices":
+            await ws.send_json(
+                {"type": "voice_list", "voices": self.voice_manager.list_voices()}
+            )
+        elif mtype == "cancel":
+            # Extension (README.md:137-146): drop queued/in-flight synthesis for this
+            # connection; a confirmation is sent so clients can resynchronize.
+            self._cancel_generations[conn_id] = self._cancel_generations.get(conn_id, 0) + 1
+            await ws.send_json({"type": "cancelled"})
+
+    # ------------------------------------------------------------ REST synthesis
+
+    async def synthesize_full(
+        self, text: str, voice_id: str = "default", exaggeration: float = 0.5
+    ) -> np.ndarray:
+        """Whole-utterance synthesis for the REST endpoint (segment → batch → concat)."""
+        speaker = await self._resolve_speaker(voice_id)
+        sentences = segment_text(text)
+        if not sentences:
+            return np.zeros((0,), np.float32)
+        parts = await asyncio.gather(
+            *[self.batcher.submit(s, speaker, exaggeration) for s in sentences]
+        )
+        return np.concatenate([p for p in parts if len(p)]) if parts else np.zeros((0,), np.float32)
+
+
+# ---------------------------------------------------------------- aiohttp app
+
+service: Optional[TTSService] = None
+
+
+async def websocket_endpoint(request: web.Request) -> web.WebSocketResponse:
+    ws = web.WebSocketResponse(max_msg_size=64 * 1024 * 1024)
+    await ws.prepare(request)
+
+    client_ip = request.remote or "unknown"
+    if not service.rate_limiter.check(client_ip):
+        await ws.close(code=WS_POLICY_VIOLATION, message=b"Rate limit exceeded")
+        return ws
+    if service.active_connections >= service.max_connections:
+        await ws.close(code=WS_POLICY_VIOLATION, message=b"Max connections reached")
+        return ws
+
+    conn_id = str(uuid.uuid4())
+    await service.handle_connection(ws, conn_id)
+    return ws
+
+
+async def health_check(request: web.Request) -> web.Response:
+    if not service or not service.synthesizer.is_loaded:
+        return web.json_response(
+            {"status": "unhealthy", "reason": "Model not loaded"}, status=503
+        )
+    import jax
+
+    devices = jax.devices()
+    device_info = {
+        "backend": jax.default_backend(),
+        "device_count": len(devices),
+        "devices": [str(d) for d in devices[:8]],
+    }
+    return web.json_response(
+        {
+            "status": "healthy",
+            "device": device_info["backend"],
+            "active_connections": service.active_connections,
+            "queue_metrics": service.queue_manager.get_metrics(),
+            "synthesizer_stats": service.synthesizer.get_stats(),
+            "voice_stats": service.voice_manager.get_stats(),
+            "batcher_metrics": service.batcher.metrics if service.batcher else {},
+            "tpu": device_info,
+        }
+    )
+
+
+async def metrics(request: web.Request) -> web.Response:
+    return web.json_response(service.queue_manager.get_metrics())
+
+
+async def rest_synthesize(request: web.Request) -> web.Response:
+    """POST /v1/synthesize {text, voice_id?, exaggeration?, format?: wav|pcm}."""
+    if not service or not service.synthesizer.is_loaded:
+        return web.json_response({"error": "Model not loaded"}, status=503)
+    try:
+        data = await request.json()
+    except Exception:  # noqa: BLE001
+        return web.json_response({"error": "Invalid JSON body"}, status=400)
+    text = data.get("text", "")
+    if not text.strip():
+        return web.json_response({"error": "Missing 'text'"}, status=400)
+    client_ip = request.remote or "unknown"
+    if not service.rate_limiter.check(client_ip):
+        return web.json_response({"error": "Rate limit exceeded"}, status=429)
+
+    audio = await service.synthesize_full(
+        text,
+        voice_id=data.get("voice_id", "default"),
+        exaggeration=data.get("exaggeration", service.config.synthesis.default_exaggeration),
+    )
+    fmt = data.get("format", "wav")
+    sr = service.config.model.sample_rate
+    if fmt == "pcm":
+        return web.Response(
+            body=audio.astype(np.float32).tobytes(),
+            content_type="application/octet-stream",
+            headers={"X-Sample-Rate": str(sr)},
+        )
+    buf = io.BytesIO()
+    write_wav(buf, audio, sr)
+    return web.Response(body=buf.getvalue(), content_type="audio/wav")
+
+
+def create_app(config: Optional[Config] = None) -> web.Application:
+    """Build the aiohttp app; service start/stop tied to the app lifecycle."""
+    global service
+    service = TTSService(config)
+    app = web.Application()
+    app.router.add_get("/v1/stream/tts", websocket_endpoint)
+    if service.config.monitoring.enable_health_endpoint:
+        app.router.add_get("/health", health_check)
+    if service.config.monitoring.enable_metrics_endpoint:
+        app.router.add_get("/metrics", metrics)
+    app.router.add_post("/v1/synthesize", rest_synthesize)
+
+    async def on_startup(app: web.Application) -> None:
+        await service.start()
+        loop = asyncio.get_event_loop()
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                loop.add_signal_handler(
+                    sig, lambda: asyncio.create_task(service.shutdown())
+                )
+            except NotImplementedError:  # pragma: no cover (non-unix)
+                pass
+
+    async def on_cleanup(app: web.Application) -> None:
+        if not service.is_shutting_down:
+            await service.shutdown()
+
+    app.on_startup.append(on_startup)
+    app.on_cleanup.append(on_cleanup)
+    return app
+
+
+def main() -> None:
+    port = int(os.getenv("TTS_PORT", "8002"))
+    instance_id = os.getenv("TTS_INSTANCE_ID", "1")
+    logger.info("starting_tts_server", port=port, instance_id=instance_id)
+    config = load_config()
+    config.server.port = port
+    app = create_app(config)
+    web.run_app(app, host=config.server.host, port=port)
+
+
+if __name__ == "__main__":
+    main()
