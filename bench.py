@@ -1,0 +1,124 @@
+"""Benchmark: audio-sec/sec/chip for the flagship pipeline at batch 16.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline comparator: the reference's aggregate throughput on its headline hardware —
+~60 audio-sec/sec on an RTX 4090 at 30 connections (BASELINE.md; reference
+services/tts/README.md:891-894).  vs_baseline = value / 60.
+
+Workload: 16 concurrent ~10-word utterances (BASELINE.json configs #1/#2), 64-token
+bucket, fixed realistic durations (5 mel frames/token ≈ 53 ms/phoneme) so measured
+compute matches a trained model's workload independent of this checkpoint's duration
+predictor.  Full pipeline per pass: encoder → length regulate → decoder → mel →
+HiFi-GAN vocoder → 24 kHz waveform, bf16 on TPU.
+
+Measurement notes for this environment: the axon TPU backend's `block_until_ready` does
+not synchronize and host readbacks carry ~30 ms of tunnel latency, so the pipeline is
+iterated K times *inside* one jitted fori_loop (iterations data-dependent via the
+carry, so nothing folds away) and a single scalar is read back; the per-call
+dispatch+readback overhead is measured separately and subtracted.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_AUDIO_SEC_PER_SEC = 60.0  # reference RTX 4090 aggregate (README.md:891-894)
+K_INNER = 32  # pipeline passes per timed device call
+
+
+def main() -> None:
+    # Persistent compilation cache: first-ever compile through the tunnel costs
+    # minutes; subsequent bench runs reuse the binary.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    from gonova_tts_tpu.config import ModelConfig
+    from gonova_tts_tpu.models import acoustic, tts, vocoder
+
+    cfg = ModelConfig()
+    on_tpu = jax.default_backend() != "cpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    batch, bucket = 16, 64
+    frames_per_token = 5  # realistic speech pacing at hop 256 / 24 kHz
+    sr = cfg.sample_rate
+    hop = cfg.hop_length
+
+    params = tts.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(4, 48, (batch, bucket)), jnp.int32)
+    mask = jnp.ones((batch, bucket), jnp.float32)
+    speaker = jnp.asarray(rng.standard_normal((batch, cfg.speaker_dim)), jnp.float32)
+    exagg = jnp.full((batch,), 0.5, jnp.float32)
+    durations = jnp.full((batch, bucket), frames_per_token, jnp.int32)
+
+    def one_pass(params, speaker):
+        ac = acoustic.forward(
+            params["acoustic"], tokens, mask, speaker, exagg, cfg,
+            durations=durations, dtype=dtype,
+        )
+        wav = vocoder.forward(params["vocoder"], ac["mel"], cfg, dtype=dtype)
+        return wav
+
+    k = K_INNER if on_tpu else 2
+
+    @jax.jit
+    def bench_step(params, speaker):
+        def body(_, carry):
+            # Data-dependence through the carry keeps every pass live.
+            wav = one_pass(params, speaker + carry * 1e-12)
+            return jnp.mean(jnp.abs(wav)).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    @jax.jit
+    def noop(speaker):
+        return jnp.sum(speaker) * 0.0 + 1.0
+
+    # Warm both graphs (pays compile; cached for later runs).
+    float(bench_step(params, speaker))
+    float(noop(speaker))
+
+    # Dispatch+readback overhead of a timed call through the tunnel.
+    overhead = min(
+        (lambda t0=time.perf_counter(): (float(noop(speaker)), time.perf_counter() - t0)[1])()
+        for _ in range(5)
+    )
+
+    iters = 5 if on_tpu else 2
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(bench_step(params, speaker))
+        times.append(time.perf_counter() - t0)
+
+    wall = max(1e-9, float(np.median(times)) - overhead)
+    audio_sec = k * batch * bucket * frames_per_token * hop / sr
+    value = audio_sec / wall
+
+    print(
+        json.dumps(
+            {
+                "metric": "audio_sec_per_sec_per_chip",
+                "value": round(value, 2),
+                "unit": "audio-seconds generated per wall-second per chip (batch 16, full pipeline, bf16)",
+                "vs_baseline": round(value / BASELINE_AUDIO_SEC_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

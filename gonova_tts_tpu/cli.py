@@ -1,0 +1,135 @@
+"""Command-line interface: serve / synth / bench / voices / info.
+
+The reference is launched as `python server.py` with env vars (services/tts/
+server.py:484-502); this CLI keeps that (`serve` honors TTS_PORT) and adds the offline
+tools the reference README describes but never shipped.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def cmd_serve(args: argparse.Namespace) -> int:
+    import os
+
+    from .service.server import create_app, web
+    from .config import load_config
+
+    config = load_config(args.config)
+    if args.port is not None:
+        config.server.port = args.port
+    elif "TTS_PORT" in os.environ:
+        config.server.port = int(os.environ["TTS_PORT"])
+    app = create_app(config)
+    web.run_app(app, host=config.server.host, port=config.server.port)
+    return 0
+
+
+def cmd_synth(args: argparse.Namespace) -> int:
+    import numpy as np
+
+    from .audio import stitch
+    from .config import load_config
+    from .engine import TTSEngine
+    from .utils import write_wav
+
+    config = load_config(args.config)
+    engine = TTSEngine(config)
+    engine.load(warmup=False)
+    speaker = None
+    if args.voice_wav:
+        speaker = engine.embed_voice_file(args.voice_wav)
+    t0 = time.time()
+    chunks = list(
+        engine.synthesize_stream(args.text, speaker=speaker, exaggeration=args.exaggeration)
+    )
+    wall = time.time() - t0
+    audio = stitch(chunks)
+    write_wav(args.output, audio, engine.sample_rate)
+    secs = len(audio) / engine.sample_rate
+    print(
+        f"wrote {args.output}: {secs:.2f}s audio in {wall:.2f}s "
+        f"({secs / max(wall, 1e-9):.2f}x realtime)",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def cmd_bench(args: argparse.Namespace) -> int:
+    import runpy
+    import os
+
+    sys.argv = ["bench.py"]
+    runpy.run_path(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"),
+        run_name="__main__",
+    )
+    return 0
+
+
+def cmd_voices(args: argparse.Namespace) -> int:
+    from .config import load_config
+    from .service.voice_manager import VoiceManager
+
+    config = load_config(args.config)
+    vm = VoiceManager(cache_dir=config.voice_cloning.cache_dir)
+    print(json.dumps(vm.list_voices(), indent=2))
+    return 0
+
+
+def cmd_info(args: argparse.Namespace) -> int:
+    import jax
+
+    from . import __version__
+    from .models import registry
+
+    info = {
+        "version": __version__,
+        "jax_backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+        "model_families": {
+            name: {"kind": f.kind, "description": f.description}
+            for name, f in registry.available().items()
+        },
+    }
+    print(json.dumps(info, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="gonova-tts", description="TPU-native streaming TTS")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("serve", help="run the WS/REST service")
+    p.add_argument("--config", default=None)
+    p.add_argument("--port", type=int, default=None)
+    p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("synth", help="offline synthesis to a WAV file")
+    p.add_argument("text")
+    p.add_argument("-o", "--output", default="out.wav")
+    p.add_argument("--voice-wav", default=None, help="reference WAV for voice cloning")
+    p.add_argument("--exaggeration", type=float, default=0.5)
+    p.add_argument("--config", default=None)
+    p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser("bench", help="run the headline benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("voices", help="list registered voices")
+    p.add_argument("--config", default=None)
+    p.set_defaults(fn=cmd_voices)
+
+    p = sub.add_parser("info", help="framework/device info")
+    p.set_defaults(fn=cmd_info)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

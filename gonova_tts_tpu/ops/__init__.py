@@ -1,0 +1,10 @@
+"""Pallas TPU kernels (the framework's native compute layer) with pure-JAX oracles.
+
+The reference has no native code of its own (SURVEY.md §2.4 — its GPU work lives in
+the external torch package); here the native layer is Mosaic/Pallas kernels for the
+DSP hot paths, each allclose-tested against the pure-JAX implementation it fuses.
+"""
+
+from .mel_kernel import mel_spectrogram_pallas
+
+__all__ = ["mel_spectrogram_pallas"]

@@ -1,0 +1,117 @@
+"""Device mesh + sharding rules.
+
+The reference has no distributed code at all — scale-out is process-per-GPU behind an
+external LB (SURVEY.md §2.4, reference server.py:485-494).  The TPU-native equivalent:
+a `jax.sharding.Mesh` over ('data', 'model') with named shardings; XLA inserts the
+collectives over ICI.  Serving uses data-parallel replicas (model axis 1); training
+shards batch over 'data' and the wide hidden/channel dims over 'model' (tensor
+parallelism).  Pattern-based rules keyed on parameter paths keep the pytree layout the
+single source of truth.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a 2-D ('data', 'model') mesh. Defaults to all devices on the data axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n_data is None:
+        if n % n_model != 0:
+            raise ValueError(f"{n} devices not divisible by model axis {n_model}")
+        n_data = n // n_model
+    if n_data * n_model > n:
+        raise ValueError(f"mesh {n_data}x{n_model} exceeds {n} devices")
+    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+# Parameter sharding rules: (path regex, PartitionSpec). First match wins.
+# Paths are '/'-joined dict keys + list indices, e.g.
+# "acoustic/encoder/blocks/0/ff1/w" or "vocoder/ups/2/w".
+_PARAM_RULES: Tuple[Tuple[str, P], ...] = (
+    # Embedding table: shard the model dim.
+    (r".*embed/table$", P(None, MODEL_AXIS)),
+    # Attention projections: q/k/v shard heads (out dim); o shards the in dim.
+    (r".*attn/(q|k|v)/w$", P(None, MODEL_AXIS)),
+    (r".*attn/o/w$", P(MODEL_AXIS, None)),
+    (r".*attn/(q|k|v)/b$", P(MODEL_AXIS)),
+    # Conv FFN: expand shards out-channels, contract shards in-channels.
+    (r".*ff1/w$", P(None, None, MODEL_AXIS)),
+    (r".*ff1/b$", P(MODEL_AXIS)),
+    (r".*ff2/w$", P(None, MODEL_AXIS, None)),
+    # Vocoder convs: shard out-channels on wide layers (in-channels stay replicated:
+    # upsample stages halve channels, keeping the contraction local).
+    (r"vocoder/conv_pre/w$", P(None, None, MODEL_AXIS)),
+    (r"vocoder/conv_pre/b$", P(MODEL_AXIS)),
+    # Everything else (norms, biases, small projections, MRF stacks): replicated.
+    (r".*", P()),
+)
+
+
+def param_spec(path: str) -> P:
+    for pattern, spec in _PARAM_RULES:
+        if re.match(pattern, path):
+            return spec
+    return P()
+
+
+def _path_str(key_path) -> str:
+    parts = []
+    for k in key_path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def param_shardings(params: Any, mesh: Mesh) -> Any:
+    """NamedSharding pytree matching `params` via the pattern rules.
+
+    Dims that don't divide evenly by the mesh axis fall back to replicated for that
+    leaf (correctness over cleverness; the production dims are all 128-multiples)."""
+
+    def leaf_sharding(key_path, leaf):
+        spec = param_spec(_path_str(key_path))
+        # Validate divisibility; degrade to replicated if violated.
+        axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        for dim, axis in enumerate(spec):
+            if axis is None:
+                continue
+            if dim >= leaf.ndim or leaf.shape[dim] % axis_sizes[axis] != 0:
+                return NamedSharding(mesh, P())
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, params)
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard the leading (batch) dim over 'data'; everything else replicated."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """Place a params pytree onto the mesh per the rules."""
+    shardings = param_shardings(params, mesh)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)

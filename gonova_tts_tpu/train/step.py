@@ -1,0 +1,216 @@
+"""Sharded train steps: optax optimization under pjit over the ('data','model') mesh.
+
+The full step (acoustic + vocoder + discriminators) compiles to one XLA program per
+mesh; parameter/tensor shardings come from gonova_tts_tpu/parallel/mesh.py and XLA
+inserts the ICI collectives (psum for the data axis grads, all-gather/reduce-scatter
+around the tensor-parallel contractions).  No hand-written collectives — the sharding
+annotations are the parallelism API (scaling-book recipe).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import ModelConfig
+from ..models import acoustic, vocoder
+from ..parallel import mesh as pmesh
+from . import losses
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(lr: float = 2e-4, weight_decay: float = 0.01, warmup: int = 1000) -> optax.GradientTransformation:
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=lr, warmup_steps=warmup, decay_steps=500_000, end_value=lr * 0.05
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(schedule, b1=0.9, b2=0.98, weight_decay=weight_decay),
+    )
+
+
+def init_state(params: Any, optimizer: optax.GradientTransformation) -> TrainState:
+    return TrainState(params=params, opt_state=optimizer.init(params), step=jnp.zeros((), jnp.int32))
+
+
+# ---------------------------------------------------------------- joint TTS step
+
+
+def tts_loss_fn(
+    params: Any,
+    batch: Dict[str, jnp.ndarray],
+    cfg: ModelConfig,
+    dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Joint acoustic + vocoder loss on a supervised batch.
+
+    batch keys: tokens [B,L], token_mask [B,L], speaker [B,S], exaggeration [B],
+    durations [B,L], pitch [B,L], mel [B,T,n_mels], frame_mask [B,T], audio [B,T*hop].
+    """
+    ac = acoustic.forward(
+        params["acoustic"],
+        batch["tokens"],
+        batch["token_mask"],
+        batch["speaker"],
+        batch["exaggeration"],
+        cfg,
+        durations=batch["durations"],
+        dtype=dtype,
+    )
+    l_ac, ac_parts = losses.acoustic_loss(
+        ac, batch["mel"], batch["durations"], batch["pitch"], batch["token_mask"]
+    )
+    # Vocoder trains on ground-truth mel (teacher forcing), per HiFi-GAN.
+    wav_pred = vocoder.forward(params["vocoder"], batch["mel"], cfg, dtype=dtype)
+    l_stft = losses.multi_resolution_stft_loss(wav_pred, batch["audio"])
+    total = l_ac + l_stft
+    metrics = {**{f"ac_{k}": v for k, v in ac_parts.items()}, "stft": l_stft, "total": total}
+    return total, metrics
+
+
+def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation, dtype=jnp.float32):
+    """Plain (unsharded) jitted train step."""
+
+    @jax.jit
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        (loss, metrics), grads = jax.value_and_grad(tts_loss_fn, has_aux=True)(
+            state.params, batch, cfg, dtype
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def make_sharded_train_step(
+    cfg: ModelConfig,
+    optimizer: optax.GradientTransformation,
+    mesh,
+    state: TrainState,
+    batch_example: Dict[str, jnp.ndarray],
+    dtype=jnp.float32,
+):
+    """pjit the full train step over the mesh with explicit in/out shardings.
+
+    Returns (sharded_step, sharded_state) with the state placed on the mesh.
+    """
+    param_sh = pmesh.param_shardings(state.params, mesh)
+    # Optimizer state mirrors param sharding where shapes match; scalars replicated.
+    flat_params = jax.tree_util.tree_leaves(state.params)
+    shape_to_sh = {}
+    for leaf, sh in zip(flat_params, jax.tree_util.tree_leaves(param_sh)):
+        shape_to_sh.setdefault((leaf.shape, leaf.dtype), sh)
+
+    def opt_sharding(leaf):
+        return shape_to_sh.get((getattr(leaf, "shape", ()), getattr(leaf, "dtype", None)),
+                               pmesh.replicated(mesh))
+
+    opt_sh = jax.tree_util.tree_map(opt_sharding, state.opt_state)
+    step_sh = pmesh.replicated(mesh)
+    state_sh = TrainState(params=param_sh, opt_state=opt_sh, step=step_sh)
+    batch_sh = {k: pmesh.batch_sharding(mesh, v.ndim) for k, v in batch_example.items()}
+    metrics_sh = pmesh.replicated(mesh)
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        (loss, metrics), grads = jax.value_and_grad(tts_loss_fn, has_aux=True)(
+            state.params, batch, cfg, dtype
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    sharded = jax.jit(
+        step_fn,
+        in_shardings=(state_sh, batch_sh),
+        out_shardings=(state_sh, metrics_sh),
+    )
+    placed_state = TrainState(
+        params=jax.tree_util.tree_map(jax.device_put, state.params, param_sh),
+        opt_state=jax.tree_util.tree_map(jax.device_put, state.opt_state, opt_sh),
+        step=jax.device_put(state.step, step_sh),
+    )
+    return sharded, placed_state
+
+
+# ---------------------------------------------------------------- GAN steps (vocoder)
+
+
+def make_gan_steps(cfg: ModelConfig, g_opt: optax.GradientTransformation, d_opt: optax.GradientTransformation, dtype=jnp.float32):
+    """HiFi-GAN adversarial training: alternating discriminator/generator jitted steps.
+
+    Params layout: gen = pipeline params (uses 'vocoder'), disc = {'mpd': ..., 'msd': ...}.
+    """
+
+    def d_loss_fn(disc_params, gen_params, mel, audio_real):
+        audio_fake = jax.lax.stop_gradient(
+            vocoder.forward(gen_params["vocoder"], mel, cfg, dtype=dtype)
+        )
+        loss = 0.0
+        for apply_fn, key in ((vocoder.mpd_apply, "mpd"), (vocoder.msd_apply, "msd")):
+            real_outs = apply_fn(disc_params[key], audio_real, dtype=dtype)
+            fake_outs = apply_fn(disc_params[key], audio_fake, dtype=dtype)
+            loss = loss + losses.lsgan_discriminator_loss(real_outs, fake_outs)
+        return loss
+
+    def g_loss_fn(gen_params, disc_params, mel, audio_real):
+        audio_fake = vocoder.forward(gen_params["vocoder"], mel, cfg, dtype=dtype)
+        adv = 0.0
+        fm = 0.0
+        for apply_fn, key in ((vocoder.mpd_apply, "mpd"), (vocoder.msd_apply, "msd")):
+            real_outs = apply_fn(disc_params[key], audio_real, dtype=dtype)
+            fake_outs = apply_fn(disc_params[key], audio_fake, dtype=dtype)
+            adv = adv + losses.lsgan_generator_loss(fake_outs)
+            fm = fm + losses.feature_matching_loss(real_outs, fake_outs)
+        stft = losses.multi_resolution_stft_loss(audio_fake, audio_real)
+        total = adv + 2.0 * fm + 45.0 * stft  # HiFi-GAN weighting (λ_fm=2, λ_mel=45)
+        return total, {"adv": adv, "fm": fm, "stft": stft}
+
+    @jax.jit
+    def d_step(disc_state: TrainState, gen_params, mel, audio_real):
+        loss, grads = jax.value_and_grad(d_loss_fn)(disc_state.params, gen_params, mel, audio_real)
+        updates, opt_state = d_opt.update(grads, disc_state.opt_state, disc_state.params)
+        params = optax.apply_updates(disc_state.params, updates)
+        return TrainState(params, opt_state, disc_state.step + 1), loss
+
+    @jax.jit
+    def g_step(gen_state: TrainState, disc_params, mel, audio_real):
+        (loss, metrics), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            gen_state.params, disc_params, mel, audio_real
+        )
+        updates, opt_state = g_opt.update(grads, gen_state.opt_state, gen_state.params)
+        params = optax.apply_updates(gen_state.params, updates)
+        return TrainState(params, opt_state, gen_state.step + 1), metrics
+
+    return d_step, g_step
+
+
+def synthetic_batch(cfg: ModelConfig, batch: int = 4, tokens: int = 16, seed: int = 0) -> Dict[str, jnp.ndarray]:
+    """Deterministic synthetic supervised batch (for dryruns/tests/benchmarks)."""
+    rng = jax.random.PRNGKey(seed)
+    ks = jax.random.split(rng, 6)
+    l = tokens
+    t = l * cfg.max_frames_per_token
+    hop = 1
+    for r in cfg.upsample_rates:
+        hop *= r
+    dur = jnp.full((batch, l), min(4, cfg.max_frames_per_token), jnp.int32)
+    return {
+        "tokens": jax.random.randint(ks[0], (batch, l), 1, min(64, cfg.vocab_size)),
+        "token_mask": jnp.ones((batch, l), jnp.float32),
+        "speaker": jax.random.normal(ks[1], (batch, cfg.speaker_dim), jnp.float32),
+        "exaggeration": jnp.full((batch,), 0.5, jnp.float32),
+        "durations": dur,
+        "pitch": jax.random.normal(ks[2], (batch, l), jnp.float32),
+        "mel": jax.random.normal(ks[3], (batch, t, cfg.n_mels), jnp.float32),
+        "frame_mask": jnp.ones((batch, t), jnp.float32),
+        "audio": 0.1 * jax.random.normal(ks[4], (batch, t * hop), jnp.float32),
+    }
