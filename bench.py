@@ -45,7 +45,7 @@ def main() -> None:
         pass
 
     from gonova_tts_tpu.config import ModelConfig
-    from gonova_tts_tpu.models import acoustic, tts, vocoder
+    from gonova_tts_tpu.models import acoustic, tts
 
     cfg = ModelConfig()
     on_tpu = jax.default_backend() != "cpu"
@@ -69,7 +69,7 @@ def main() -> None:
             params["acoustic"], tokens, mask, speaker, exagg, cfg,
             durations=durations, dtype=dtype,
         )
-        wav = vocoder.forward(params["vocoder"], ac["mel"], cfg, dtype=dtype)
+        wav = tts.vocode(params, ac["mel"], cfg, dtype=dtype)
         return wav
 
     k = K_INNER if on_tpu else 2

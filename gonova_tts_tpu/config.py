@@ -44,6 +44,14 @@ class ModelConfig(BaseModel):
     speaker_dim: int = 256
     max_frames_per_token: int = 8
 
+    # --- vocoder family selection ---
+    # "vocos": iSTFT-head frame-rate vocoder (TPU flagship — all matmuls >=512 wide)
+    # "hifigan": transposed-conv + MRF generator (HiFi-GAN parity family)
+    vocoder_family: str = "vocos"
+    vocos_dim: int = 512
+    vocos_ff: int = 1536
+    vocos_layers: int = 8
+
     # --- vocoder (HiFi-GAN generator class) ---
     upsample_rates: List[int] = Field(default_factory=lambda: [8, 8, 2, 2])
     upsample_kernels: List[int] = Field(default_factory=lambda: [16, 16, 4, 4])

@@ -10,7 +10,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, Dict
 
-from . import acoustic, speaker, tts, vocoder
+from . import acoustic, speaker, tts, vocoder, vocos
 
 
 @dataclass(frozen=True)
@@ -55,6 +55,15 @@ register(
         description="HiFi-GAN-class generator (mel → 24 kHz waveform)",
         init=vocoder.init,
         forward=vocoder.forward,
+    )
+)
+register(
+    ModelFamily(
+        name="novavocos",
+        kind="vocoder",
+        description="iSTFT-head frame-rate vocoder (Vocos-class, TPU flagship)",
+        init=vocos.init,
+        forward=vocos.forward,
     )
 )
 register(

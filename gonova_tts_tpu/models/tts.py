@@ -13,15 +13,23 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from . import acoustic, speaker, vocoder
+from . import acoustic, speaker, vocoder, vocos
 from .layers import Params
+
+
+def _vocoder_mod(cfg: ModelConfig):
+    if cfg.vocoder_family == "vocos":
+        return vocos
+    if cfg.vocoder_family == "hifigan":
+        return vocoder
+    raise ValueError(f"unknown vocoder_family {cfg.vocoder_family!r}")
 
 
 def init(rng, cfg: ModelConfig) -> Params:
     ka, kv, ks = jax.random.split(rng, 3)
     return {
         "acoustic": acoustic.init(ka, cfg),
-        "vocoder": vocoder.init(kv, cfg),
+        "vocoder": _vocoder_mod(cfg).init(kv, cfg),
         "speaker": speaker.init(ks, cfg),
     }
 
@@ -39,8 +47,9 @@ def synthesize(
     ac = acoustic.forward(
         params["acoustic"], tokens, token_mask, spk_embedding, exaggeration, cfg, dtype=dtype
     )
-    wav = vocoder.forward(params["vocoder"], ac["mel"], cfg, dtype=dtype)  # [B, T*hop]
-    hop = vocoder.upsample_factor(cfg)
+    voc = _vocoder_mod(cfg)
+    wav = voc.forward(params["vocoder"], ac["mel"], cfg, dtype=dtype)  # [B, T*hop]
+    hop = cfg.hop_length
     total_samples = ac["total_frames"] * hop
     sample_mask = (
         jnp.arange(wav.shape[-1])[None, :] < total_samples[:, None]
@@ -65,7 +74,7 @@ def embed_speaker(
 def vocode(
     params: Params, mel: jnp.ndarray, cfg: ModelConfig, dtype=jnp.float32
 ) -> jnp.ndarray:
-    return vocoder.forward(params["vocoder"], mel, cfg, dtype=dtype)
+    return _vocoder_mod(cfg).forward(params["vocoder"], mel, cfg, dtype=dtype)
 
 
 def acoustic_mel(

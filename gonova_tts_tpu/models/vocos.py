@@ -1,0 +1,131 @@
+"""NovaVocos — iSTFT-head vocoder (Vocos-class), the TPU-first flagship.
+
+Why this family exists alongside the HiFi-GAN generator (vocoder.py): HiFi-GAN's
+transposed-conv pyramid shrinks channels as time expands (256 → 16), so on TPU most of
+its convs run at <1/8 MXU lane utilization and the sample-rate MRF stacks are HBM-bound.
+NovaVocos never leaves frame rate: ConvNeXt-style blocks (depthwise k=7 + pointwise
+512→1536→512 MLPs) predict an STFT (log-magnitude + phase) per mel frame, and the
+waveform is produced by an exact inverse-DFT matmul + constant-overlap-add — all
+contractions are ≥512 wide, mapping straight onto the MXU.  Same contract as the
+HiFi-GAN family: mel [B, T, n_mels] → waveform [B, T * hop].
+
+The iSTFT uses the same framing convention as gonova_tts_tpu/audio/stft.py (periodic
+Hann, hop = n_fft / 4), for which the squared-window overlap sum is the constant 1.5
+(COLA), so overlap-add is four shifted adds and one multiply — no normalization pass.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..audio.stft import hann_window, idft_bases
+from . import layers
+from .layers import Params
+
+
+def _block_init(rng, dim: int, ff: int, kernel: int = 7) -> Params:
+    ks = jax.random.split(rng, 3)
+    return {
+        # Depthwise conv: one filter per channel, stored [kernel, dim].
+        "dw": jax.random.normal(ks[0], (kernel, dim), jnp.float32) * (1.0 / np.sqrt(kernel)),
+        "dw_b": jnp.zeros((dim,), jnp.float32),
+        "ln": layers.layernorm_init(dim),
+        "pw1": layers.dense_init(ks[1], dim, ff),
+        "pw2": layers.dense_init(ks[2], ff, dim),
+        "gamma": jnp.full((dim,), 1e-2, jnp.float32),  # layer scale
+    }
+
+
+def _depthwise_conv(w: jnp.ndarray, b: jnp.ndarray, x: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Depthwise conv via feature_group_count (SAME padding). x: [B, T, C]."""
+    k, c = w.shape
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        w.astype(dtype)[:, None, :],  # [k, 1, C] with feature_group_count=C
+        window_strides=(1,),
+        padding="SAME",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=c,
+        preferred_element_type=dtype,
+    )
+    return y + b.astype(dtype)
+
+
+def _block_apply(p: Params, x: jnp.ndarray, dtype) -> jnp.ndarray:
+    h = _depthwise_conv(p["dw"], p["dw_b"], x, dtype)
+    h = layers.layernorm(p["ln"], h)
+    h = layers.dense(p["pw1"], h, dtype)
+    h = jax.nn.gelu(h)
+    h = layers.dense(p["pw2"], h, dtype)
+    return x + h * p["gamma"].astype(h.dtype)
+
+
+def init(rng, cfg: ModelConfig) -> Params:
+    dim, ff, n_layers = cfg.vocos_dim, cfg.vocos_ff, cfg.vocos_layers
+    n_bins = cfg.n_fft // 2 + 1
+    ks = jax.random.split(rng, n_layers + 3)
+    return {
+        "embed": layers.conv1d_init(ks[0], cfg.n_mels, dim, 7),
+        "blocks": [_block_init(ks[1 + i], dim, ff) for i in range(n_layers)],
+        "ln_out": layers.layernorm_init(dim),
+        "head": layers.dense_init(ks[n_layers + 1], dim, 2 * n_bins),
+    }
+
+
+def forward(params: Params, mel: jnp.ndarray, cfg: ModelConfig, dtype=jnp.float32) -> jnp.ndarray:
+    """mel [B, T, n_mels] → waveform [B, T * hop] (hop = n_fft // 4)."""
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    assert n_fft == 4 * hop, "NovaVocos assumes 4x-overlap framing (n_fft == 4*hop)"
+    n_bins = n_fft // 2 + 1
+    b, t, _ = mel.shape
+
+    x = layers.conv1d(params["embed"], mel.astype(dtype), dtype=dtype)
+    for blk in params["blocks"]:
+        x = _block_apply(blk, x, dtype)
+    x = layers.layernorm(params["ln_out"], x)
+    head = layers.dense(params["head"], x, dtype).astype(jnp.float32)  # [B, T, 2*bins]
+
+    log_mag, phase = head[..., :n_bins], head[..., n_bins:]
+    mag = jnp.exp(jnp.clip(log_mag, -14.0, 6.0))
+    real = mag * jnp.cos(phase)
+    imag = mag * jnp.sin(phase)
+    return istft_synthesis(real, imag, n_fft, hop)
+
+
+def istft_synthesis(real: jnp.ndarray, imag: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    """Exact windowed iSTFT for 4x-overlap framing: [B, T, bins]x2 → [B, T*hop].
+
+    Inverse real-DFT as a matmul, synthesis window, 4-shift overlap-add, NOLA
+    normalization (matches audio/stft.py's framing convention; unit-tested against its
+    istft)."""
+    b, t, _ = real.shape
+    icos, isin = idft_bases(n_fft)
+    # Same (R, I) convention as audio/stft.py's stft_ri/istft pair.
+    frames = real @ jnp.asarray(icos) + (-imag) @ jnp.asarray(isin)  # [B, T, n_fft]
+    window = jnp.asarray(hann_window(n_fft))
+    frames = frames * window
+
+    # frames[:, i, :] contributes to samples [i*hop - (n_fft-hop)/2 ... ) in the
+    # stft.py convention (reflect pad (n_fft-hop)/2 trimmed). With n_fft = 4*hop:
+    # output[n] = sum_{k=0..3} frames[n//hop - k + pad_frames, (k*hop + n%hop)] / 1.5
+    segs = frames.reshape(b, t, 4, hop)  # [B, T, k, hop]
+    out = jnp.zeros((b, (t + 3) * hop), jnp.float32)
+    for k in range(4):
+        out = out.at[:, k * hop : (k + t) * hop].add(segs[:, :, k, :].reshape(b, t * hop))
+    # NOLA normalization: interior window-sum is exactly 1.5; edges get the true
+    # profile (host-computed, static for a given T).
+    win_np = np.asarray(hann_window(n_fft), np.float64)
+    wsum = np.zeros(((t + 3) * hop,), np.float64)
+    for k in range(4):
+        tiled = np.tile(win_np[k * hop : (k + 1) * hop] ** 2, t)
+        wsum[k * hop : (k + t) * hop] += tiled
+    out = out / jnp.asarray(np.maximum(wsum, 1e-8), jnp.float32)[None, :]
+    # Trim the (n_fft - hop)/2 = 1.5*hop edge pad on each side to align sample 0 with
+    # frame 0 (matching stft.py's centered framing).
+    lead = (n_fft - hop) // 2
+    return out[:, lead : lead + t * hop]

@@ -58,6 +58,13 @@ _PARAM_RULES: Tuple[Tuple[str, P], ...] = (
     # upsample stages halve channels, keeping the contraction local).
     (r"vocoder/conv_pre/w$", P(None, None, MODEL_AXIS)),
     (r"vocoder/conv_pre/b$", P(MODEL_AXIS)),
+    # NovaVocos (iSTFT vocoder): pointwise MLPs shard like FFNs; the head and iDFT
+    # stay replicated (bins dim is odd, 513).
+    (r"vocoder/embed/w$", P(None, None, MODEL_AXIS)),
+    (r"vocoder/embed/b$", P(MODEL_AXIS)),
+    (r"vocoder/blocks/\d+/pw1/w$", P(None, MODEL_AXIS)),
+    (r"vocoder/blocks/\d+/pw1/b$", P(MODEL_AXIS)),
+    (r"vocoder/blocks/\d+/pw2/w$", P(MODEL_AXIS, None)),
     # Everything else (norms, biases, small projections, MRF stacks): replicated.
     (r".*", P()),
 )

@@ -23,6 +23,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from ..utils import get_logger, read_wav
+from ..utils import native
 from ..utils.wavio import WavError
 
 logger = get_logger("gonova.voices")
@@ -51,9 +52,10 @@ def validate_reference_audio(
         return {"valid": False, "reason": f"Too short (minimum {min_duration:g} seconds)"}
     if duration > max_duration:
         return {"valid": False, "reason": f"Too long (maximum {max_duration:g} seconds)"}
-    if float(np.mean(np.square(audio))) < 0.01:
+    mean_sq, peak = native.audio_stats(np.asarray(audio, np.float32))
+    if mean_sq < 0.01:
         return {"valid": False, "reason": "Audio too quiet"}
-    if float(np.max(np.abs(audio))) > 0.99:
+    if peak > 0.99:
         return {"valid": False, "reason": "Audio clipped (reduce volume)"}
     mag = np.abs(audio)
     noise_floor = float(np.percentile(mag, 10))

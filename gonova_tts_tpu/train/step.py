@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import optax
 
 from ..config import ModelConfig
-from ..models import acoustic, vocoder
+from ..models import acoustic, tts, vocoder
 from ..parallel import mesh as pmesh
 from . import losses
 
@@ -69,7 +69,7 @@ def tts_loss_fn(
         ac, batch["mel"], batch["durations"], batch["pitch"], batch["token_mask"]
     )
     # Vocoder trains on ground-truth mel (teacher forcing), per HiFi-GAN.
-    wav_pred = vocoder.forward(params["vocoder"], batch["mel"], cfg, dtype=dtype)
+    wav_pred = tts.vocode(params, batch["mel"], cfg, dtype=dtype)
     l_stft = losses.multi_resolution_stft_loss(wav_pred, batch["audio"])
     total = l_ac + l_stft
     metrics = {**{f"ac_{k}": v for k, v in ac_parts.items()}, "stft": l_stft, "total": total}
@@ -151,9 +151,7 @@ def make_gan_steps(cfg: ModelConfig, g_opt: optax.GradientTransformation, d_opt:
     """
 
     def d_loss_fn(disc_params, gen_params, mel, audio_real):
-        audio_fake = jax.lax.stop_gradient(
-            vocoder.forward(gen_params["vocoder"], mel, cfg, dtype=dtype)
-        )
+        audio_fake = jax.lax.stop_gradient(tts.vocode(gen_params, mel, cfg, dtype=dtype))
         loss = 0.0
         for apply_fn, key in ((vocoder.mpd_apply, "mpd"), (vocoder.msd_apply, "msd")):
             real_outs = apply_fn(disc_params[key], audio_real, dtype=dtype)
@@ -162,7 +160,7 @@ def make_gan_steps(cfg: ModelConfig, g_opt: optax.GradientTransformation, d_opt:
         return loss
 
     def g_loss_fn(gen_params, disc_params, mel, audio_real):
-        audio_fake = vocoder.forward(gen_params["vocoder"], mel, cfg, dtype=dtype)
+        audio_fake = tts.vocode(gen_params, mel, cfg, dtype=dtype)
         adv = 0.0
         fm = 0.0
         for apply_fn, key in ((vocoder.mpd_apply, "mpd"), (vocoder.msd_apply, "msd")):

@@ -17,6 +17,9 @@ model:
   decoder_layers: 1
   speaker_dim: 32
   upsample_initial_channel: 32
+  vocos_dim: 128
+  vocos_ff: 256
+  vocos_layers: 2
   compute_dtype: float32
 engine:
   warmup_shapes: [[1, 32]]

@@ -23,6 +23,7 @@ def cfg():
         upsample_initial_channel=32,
         vocab_size=64,
         n_mels=80,
+        vocoder_family="hifigan",
     )
 
 

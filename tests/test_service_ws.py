@@ -25,6 +25,9 @@ def service_config(tmp_path) -> Config:
         decoder_layers=1,
         speaker_dim=32,
         upsample_initial_channel=32,
+        vocos_dim=128,
+        vocos_ff=256,
+        vocos_layers=2,
         compute_dtype="float32",
     )
     cfg.engine = EngineConfig(

@@ -1,0 +1,99 @@
+"""NovaVocos (iSTFT-head vocoder) tests: iSTFT exactness, shapes, pipeline/family
+dispatch, bounded receptive field."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gonova_tts_tpu.audio import istft, stft_ri
+from gonova_tts_tpu.config import ModelConfig
+from gonova_tts_tpu.models import tts, vocos
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return ModelConfig(
+        d_model=64,
+        n_heads=2,
+        d_ff=128,
+        encoder_layers=1,
+        decoder_layers=1,
+        speaker_dim=32,
+        vocab_size=64,
+        vocoder_family="vocos",
+        vocos_dim=128,
+        vocos_ff=256,
+        vocos_layers=2,
+    )
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return tts.init(jax.random.PRNGKey(0), cfg)
+
+
+def test_istft_synthesis_reconstructs_signal(rng):
+    """The OLA path must invert the analysis STFT exactly in the interior."""
+    x = jnp.asarray(rng.standard_normal((2, 64 * 256)).astype(np.float32))
+    real, imag = stft_ri(x, 1024, 256, 1024)
+    y = np.asarray(vocos.istft_synthesis(real, imag, 1024, 256))
+    assert y.shape == x.shape
+    np.testing.assert_allclose(y[:, 1024:-1024], np.asarray(x)[:, 1024:-1024], atol=2e-3)
+
+
+def test_istft_synthesis_matches_audio_istft(rng):
+    """Same result as the general DSP istft (modulo its different edge handling)."""
+    x = jnp.asarray(rng.standard_normal((1, 32 * 256)).astype(np.float32))
+    real, imag = stft_ri(x, 1024, 256, 1024)
+    a = np.asarray(vocos.istft_synthesis(real, imag, 1024, 256))
+    b = np.asarray(istft((real, imag), 1024, 256, 1024, length=x.shape[1]))
+    np.testing.assert_allclose(a[:, 1024:-1024], b[:, 1024:-1024], atol=2e-3)
+
+
+def test_vocos_forward_shape(cfg, params):
+    mel = jnp.zeros((2, 40, cfg.n_mels))
+    wav = vocos.forward(params["vocoder"], mel, cfg)
+    assert wav.shape == (2, 40 * 256)
+    assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_vocos_receptive_field_bounded(cfg, params):
+    """2 ConvNeXt blocks (k=7) + embed (k=7) → RF well under 16 frames: a mel change
+    at frame 30 must not affect samples before frame 14."""
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((1, 48, cfg.n_mels)), jnp.float32)
+    w1 = np.asarray(vocos.forward(params["vocoder"], mel, cfg))
+    w2 = np.asarray(vocos.forward(params["vocoder"], mel.at[0, 30].add(10.0), cfg))
+    np.testing.assert_allclose(w1[0, : 14 * 256], w2[0, : 14 * 256], atol=1e-5)
+    assert not np.allclose(w1[0, 30 * 256 : 31 * 256], w2[0, 30 * 256 : 31 * 256], atol=1e-4)
+
+
+def test_pipeline_with_vocos(cfg, params):
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(1, 60, (2, 16)), jnp.int32)
+    mask = jnp.ones((2, 16), jnp.float32)
+    spk = jnp.asarray(rng.standard_normal((2, cfg.speaker_dim)), jnp.float32)
+    out = jax.jit(lambda p, t, m, s, e: tts.synthesize(p, t, m, s, e, cfg))(
+        params, tokens, mask, spk, jnp.full((2,), 0.5, jnp.float32)
+    )
+    assert out["audio"].shape == (2, 16 * cfg.max_frames_per_token * 256)
+    assert np.isfinite(np.asarray(out["audio"])).all()
+
+
+def test_family_dispatch(cfg):
+    hifi_cfg = cfg.model_copy(update={"vocoder_family": "hifigan", "upsample_initial_channel": 32})
+    p = tts.init(jax.random.PRNGKey(1), hifi_cfg)
+    assert "conv_pre" in p["vocoder"]  # HiFi-GAN layout
+    p2 = tts.init(jax.random.PRNGKey(1), cfg)
+    assert "blocks" in p2["vocoder"] and "head" in p2["vocoder"]  # Vocos layout
+    bad = cfg.model_copy(update={"vocoder_family": "nope"})
+    with pytest.raises(ValueError):
+        tts.init(jax.random.PRNGKey(0), bad)
+
+
+def test_vocos_bf16(cfg, params):
+    mel = jnp.asarray(np.random.default_rng(0).standard_normal((1, 24, cfg.n_mels)), jnp.float32)
+    wav = vocos.forward(params["vocoder"], mel, cfg, dtype=jnp.bfloat16)
+    assert wav.dtype == jnp.float32
+    assert np.isfinite(np.asarray(wav)).all()
