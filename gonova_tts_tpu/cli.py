@@ -71,6 +71,24 @@ def cmd_bench(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_train(args: argparse.Namespace) -> int:
+    from .config import load_config
+    from .train.loop import train
+
+    out = train(
+        config=load_config(args.config),
+        manifest=args.manifest,
+        steps=args.steps,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        checkpoint_dir=args.checkpoint_dir,
+        n_data=args.n_data,
+        n_model=args.n_model,
+    )
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_voices(args: argparse.Namespace) -> int:
     from .config import load_config
     from .service.voice_manager import VoiceManager
@@ -119,6 +137,17 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("bench", help="run the headline benchmark")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("train", help="train the pipeline (see train/loop.py)")
+    p.add_argument("--manifest", default=None)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--n-data", type=int, default=None)
+    p.add_argument("--n-model", type=int, default=1)
+    p.add_argument("--config", default=None)
+    p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("voices", help="list registered voices")
     p.add_argument("--config", default=None)

@@ -1,0 +1,194 @@
+"""Training data pipeline: manifest-driven supervised batches with static shapes.
+
+The reference has no training code or data handling (SURVEY.md §1); this module makes
+the in-repo model stack trainable end-to-end:
+
+  manifest line:  <wav_path>|<text>
+  → text frontend (normalize → G2P → token ids, bucket-padded)
+  → DSP (resample to model rate, log-mel, frame-wise F0 targets)
+  → uniform duration targets (total mel frames spread over tokens — a standard
+    aligner-free bootstrap; an external aligner's durations can be supplied per line
+    as a third |-separated field of space-joined ints)
+
+Batches are (token-bucket, frame-cap) static — the same bucketing discipline as the
+serving engine, so train and serve share compile caches.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..audio.mel import mel_spectrogram
+from ..audio.pitch import estimate_f0, f0_to_feature
+from ..audio.resample import resample_np
+from ..config import ModelConfig
+from ..text import pick_bucket, text_to_ids
+from ..utils import read_wav
+
+import jax.numpy as jnp
+
+
+@dataclass
+class Example:
+    tokens: np.ndarray  # [L] int32
+    mel: np.ndarray  # [T, n_mels] f32
+    pitch_frames: np.ndarray  # [T] f32 (log-pitch feature per frame)
+    audio: np.ndarray  # [T * hop] f32
+
+
+def load_manifest(path: str) -> List[Dict[str, str]]:
+    entries = []
+    with open(path) as f:
+        for raw in f:
+            raw = raw.strip()
+            if not raw or raw.startswith("#"):
+                continue
+            parts = raw.split("|")
+            if len(parts) < 2:
+                raise ValueError(f"manifest line needs '<wav>|<text>': {raw!r}")
+            entry = {"wav": parts[0], "text": parts[1]}
+            if len(parts) >= 3 and parts[2].strip():
+                entry["durations"] = parts[2]
+            entries.append(entry)
+    return entries
+
+
+def prepare_example(wav_path: str, text: str, cfg: ModelConfig) -> Example:
+    audio, sr = read_wav(wav_path)
+    if audio.ndim > 1:
+        audio = audio.mean(axis=1)
+    wav = resample_np(np.asarray(audio, np.float32), sr, cfg.sample_rate)
+    wav = wav[: len(wav) - len(wav) % cfg.hop_length]
+    mel = np.asarray(
+        mel_spectrogram(
+            jnp.asarray(wav)[None],
+            sr=cfg.sample_rate,
+            n_fft=cfg.n_fft,
+            hop_length=cfg.hop_length,
+            win_length=cfg.win_length,
+            n_mels=cfg.n_mels,
+            fmin=cfg.fmin,
+            fmax=cfg.fmax,
+        )[0]
+    )
+    f0 = estimate_f0(wav, cfg.sample_rate, cfg.hop_length, cfg.n_fft)
+    tokens = np.asarray(text_to_ids(text), np.int32)
+    return Example(
+        tokens=tokens,
+        mel=mel.astype(np.float32),
+        pitch_frames=f0_to_feature(f0),
+        audio=wav.astype(np.float32),
+    )
+
+
+def _uniform_durations(n_tokens: int, n_frames: int, cap: int) -> np.ndarray:
+    """Spread n_frames over n_tokens as evenly as possible, each in [1, cap]."""
+    base = max(1, min(cap, n_frames // max(n_tokens, 1)))
+    dur = np.full((n_tokens,), base, np.int32)
+    extra = min(n_frames - base * n_tokens, n_tokens * (cap - base))
+    i = 0
+    while extra > 0 and i < n_tokens:
+        if dur[i] < cap:
+            dur[i] += 1
+            extra -= 1
+        i = (i + 1) % n_tokens
+        if i == 0 and all(d >= cap for d in dur):
+            break
+    return dur
+
+
+def make_batch(
+    examples: Sequence[Example],
+    cfg: ModelConfig,
+    token_buckets: Sequence[int] = (32, 64, 128, 192),
+) -> Dict[str, np.ndarray]:
+    """Collate examples into one static-shape supervised batch (train/step.py keys)."""
+    b = len(examples)
+    longest = max(len(e.tokens) for e in examples)
+    bucket = pick_bucket(longest, token_buckets)
+    t_cap = bucket * cfg.max_frames_per_token
+    hop = cfg.hop_length
+    spk_dim = cfg.speaker_dim
+
+    batch = {
+        "tokens": np.zeros((b, bucket), np.int32),
+        "token_mask": np.zeros((b, bucket), np.float32),
+        "speaker": np.zeros((b, spk_dim), np.float32),
+        "exaggeration": np.full((b,), 0.5, np.float32),
+        "durations": np.zeros((b, bucket), np.int32),
+        "pitch": np.zeros((b, bucket), np.float32),
+        "mel": np.zeros((b, t_cap, cfg.n_mels), np.float32),
+        "frame_mask": np.zeros((b, t_cap), np.float32),
+        "audio": np.zeros((b, t_cap * hop), np.float32),
+    }
+    for i, e in enumerate(examples):
+        l = min(len(e.tokens), bucket)
+        t = min(e.mel.shape[0], t_cap)
+        batch["tokens"][i, :l] = e.tokens[:l]
+        batch["token_mask"][i, :l] = 1.0
+        dur = _uniform_durations(l, t, cfg.max_frames_per_token)
+        batch["durations"][i, :l] = dur
+        t_used = int(dur.sum())
+        batch["mel"][i, :t_used] = e.mel[:t_used]
+        batch["frame_mask"][i, :t_used] = 1.0
+        batch["audio"][i, : t_used * hop] = e.audio[: t_used * hop]
+        # Per-token pitch target = mean frame pitch over the token's span.
+        bounds = np.concatenate([[0], np.cumsum(dur)])
+        pf = e.pitch_frames[:t_used]
+        for j in range(l):
+            seg = pf[bounds[j] : bounds[j + 1]]
+            batch["pitch"][i, j] = float(seg.mean()) if len(seg) else 0.0
+    return batch
+
+
+class ManifestDataset:
+    """Iterates manifest examples as bucketed batches; shuffles per epoch."""
+
+    def __init__(
+        self,
+        manifest_path: str,
+        cfg: ModelConfig,
+        batch_size: int = 8,
+        token_buckets: Sequence[int] = (32, 64, 128, 192),
+        seed: int = 0,
+        cache: bool = True,
+    ):
+        self.entries = load_manifest(manifest_path)
+        if not self.entries:
+            raise ValueError(f"empty manifest: {manifest_path}")
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.token_buckets = tuple(token_buckets)
+        self.seed = seed
+        self._cache: Optional[List[Example]] = [] if cache else None
+
+    def _examples(self) -> List[Example]:
+        if self._cache:
+            return self._cache
+        examples = [
+            prepare_example(e["wav"], e["text"], self.cfg) for e in self.entries
+        ]
+        if self._cache is not None:
+            self._cache = examples
+        return examples
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        examples = self._examples()
+        order = np.random.default_rng(self.seed + epoch_idx).permutation(len(examples))
+        # Group by bucket so batches stay shape-uniform.
+        by_bucket: Dict[int, List[Example]] = {}
+        for idx in order:
+            e = examples[idx]
+            b = pick_bucket(len(e.tokens), self.token_buckets)
+            by_bucket.setdefault(b, []).append(e)
+        for bucket_examples in by_bucket.values():
+            for i in range(0, len(bucket_examples), self.batch_size):
+                group = bucket_examples[i : i + self.batch_size]
+                # Pad the final partial batch by repeating (masked identically).
+                while len(group) < self.batch_size:
+                    group.append(group[-1])
+                yield make_batch(group, self.cfg, self.token_buckets)

@@ -1,0 +1,169 @@
+"""Training data pipeline + loop tests: manifest → batches → descending loss →
+checkpoint → engine restore (the full train→serve cycle)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gonova_tts_tpu.audio.pitch import estimate_f0, f0_to_feature
+from gonova_tts_tpu.config import Config, ModelConfig
+from gonova_tts_tpu.train.data import (
+    ManifestDataset,
+    _uniform_durations,
+    load_manifest,
+    make_batch,
+    prepare_example,
+)
+from gonova_tts_tpu.utils import write_wav
+
+
+def tiny_mcfg() -> ModelConfig:
+    return ModelConfig(
+        d_model=64, n_heads=2, d_ff=128, encoder_layers=1, decoder_layers=1,
+        speaker_dim=32, upsample_initial_channel=32, vocos_dim=128, vocos_ff=256,
+        vocos_layers=2, vocab_size=64, compute_dtype="float32",
+    )
+
+
+@pytest.fixture(scope="module")
+def manifest(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("data")
+    rng = np.random.default_rng(0)
+    lines = []
+    texts = ["Hello there world.", "The quick brown fox jumps.", "Testing data pipelines."]
+    for i, text in enumerate(texts):
+        sr = 24000
+        t = np.arange(int(1.2 * sr)) / sr
+        f = 140 + 40 * i
+        audio = (0.4 * np.sin(2 * np.pi * f * t) * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t))).astype(
+            np.float32
+        )
+        path = str(tmp / f"ex{i}.wav")
+        write_wav(path, audio, sr)
+        lines.append(f"{path}|{text}")
+    mpath = str(tmp / "manifest.txt")
+    with open(mpath, "w") as f:
+        f.write("\n".join(lines) + "\n# comment line\n")
+    return mpath
+
+
+# ---------------------------------------------------------------- pitch
+
+
+def test_f0_estimates_tone_frequency():
+    sr = 24000
+    t = np.arange(sr) / sr
+    audio = 0.5 * np.sin(2 * np.pi * 220.0 * t).astype(np.float64)
+    f0 = estimate_f0(audio, sr)
+    voiced = f0[f0 > 0]
+    assert len(voiced) > len(f0) * 0.8
+    assert abs(np.median(voiced) - 220.0) < 5.0
+
+
+def test_f0_silence_unvoiced():
+    f0 = estimate_f0(np.zeros(24000), 24000)
+    assert np.all(f0 == 0.0)
+
+
+def test_f0_feature_mapping():
+    f0 = np.asarray([0.0, 220.0, 440.0], np.float32)
+    feat = f0_to_feature(f0)
+    assert feat[0] == 0.0
+    assert feat[1] == pytest.approx(0.0, abs=1e-6)
+    assert feat[2] == pytest.approx(np.log(2.0), rel=1e-5)
+
+
+# ---------------------------------------------------------------- data
+
+
+def test_load_manifest(manifest):
+    entries = load_manifest(manifest)
+    assert len(entries) == 3
+    assert all("wav" in e and "text" in e for e in entries)
+
+
+def test_uniform_durations():
+    dur = _uniform_durations(5, 23, cap=8)
+    assert dur.sum() == 23
+    assert dur.min() >= 1 and dur.max() <= 8
+    # Over-cap total gets clamped.
+    dur = _uniform_durations(2, 100, cap=8)
+    assert dur.sum() == 16
+
+
+def test_prepare_example(manifest):
+    cfg = tiny_mcfg()
+    e0 = load_manifest(manifest)[0]
+    ex = prepare_example(e0["wav"], e0["text"], cfg)
+    assert ex.mel.shape[1] == cfg.n_mels
+    assert len(ex.audio) == ex.mel.shape[0] * cfg.hop_length
+    assert len(ex.pitch_frames) == ex.mel.shape[0]
+    assert len(ex.tokens) > 4
+
+
+def test_make_batch_static_shapes(manifest):
+    cfg = tiny_mcfg()
+    entries = load_manifest(manifest)
+    examples = [prepare_example(e["wav"], e["text"], cfg) for e in entries]
+    batch = make_batch(examples, cfg, token_buckets=(32, 64))
+    b, bucket = batch["tokens"].shape
+    assert b == 3
+    assert bucket in (32, 64)
+    assert batch["mel"].shape == (3, bucket * cfg.max_frames_per_token, cfg.n_mels)
+    assert batch["audio"].shape[1] == batch["mel"].shape[1] * cfg.hop_length
+    # frame_mask matches durations.
+    np.testing.assert_array_equal(
+        batch["frame_mask"].sum(axis=1), batch["durations"].sum(axis=1)
+    )
+
+
+def test_dataset_epoch_batches(manifest):
+    cfg = tiny_mcfg()
+    ds = ManifestDataset(manifest, cfg, batch_size=2, token_buckets=(32, 64))
+    batches = list(ds.epoch(0))
+    assert len(batches) >= 1
+    for b in batches:
+        assert b["tokens"].shape[0] == 2
+
+
+# ---------------------------------------------------------------- loop
+
+
+def test_training_descends_and_checkpoints(manifest, tmp_path):
+    from gonova_tts_tpu.train.loop import train
+
+    cfg = Config()
+    cfg.model = tiny_mcfg()
+    metrics = train(
+        config=cfg,
+        manifest=manifest,
+        steps=8,
+        batch_size=2,
+        lr=1e-4,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        checkpoint_every=100,
+    )
+    assert np.isfinite(metrics["total"])
+    ckpts = os.listdir(tmp_path / "ckpt")
+    assert any(c.startswith("step_") for c in ckpts)
+
+
+def test_engine_restores_trained_checkpoint(manifest, tmp_path):
+    """Full cycle: train → checkpoint → engine serves from it."""
+    from gonova_tts_tpu.engine import TTSEngine
+    from gonova_tts_tpu.train.loop import train
+
+    cfg = Config()
+    cfg.model = tiny_mcfg()
+    train(config=cfg, steps=2, batch_size=2, lr=1e-4,
+          checkpoint_dir=str(tmp_path / "ckpt"), checkpoint_every=100)
+    step_dir = os.path.join(tmp_path, "ckpt", "step_00000002")
+    cfg2 = Config()
+    cfg2.model = tiny_mcfg()
+    cfg2.model.model_path = step_dir
+    cfg2.engine.warmup_shapes = [[1, 32]]
+    eng = TTSEngine(cfg2)
+    eng.load(warmup=False)
+    out = eng.synthesize_batch(["Restored model check."])[0]
+    assert len(out) > 0 and np.isfinite(out).all()
