@@ -138,6 +138,9 @@ class EngineConfig(BaseModel):
     warmup_shapes: List[List[int]] = Field(
         default_factory=lambda: [[1, 64], [8, 64], [16, 64]]
     )  # (batch, token_bucket) pairs compiled at startup
+    # Device→host audio transfer dtype. "int16" halves the transfer (and is exact
+    # 16-bit PCM, inaudible vs float32); host converts back via the native runtime.
+    transfer_dtype: str = "int16"
     mesh_data_axis: int = 0  # 0 = use all local devices on the data axis
     mesh_model_axis: int = 1
 

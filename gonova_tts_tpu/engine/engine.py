@@ -17,6 +17,7 @@ All device code is shape-static; variable length lives in masks and host-side tr
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
@@ -27,7 +28,8 @@ import numpy as np
 
 from ..audio import mel_spectrogram, resample
 from ..config import Config
-from ..models import tts, vocoder
+from ..utils import native
+from ..models import tts
 from ..text import batch_to_bucket, pick_bucket, segment_text, text_to_ids
 from ..utils import get_logger, read_wav
 
@@ -47,7 +49,6 @@ class TTSEngine:
         self.compute_dtype = (
             jnp.bfloat16 if self.mcfg.compute_dtype == "bfloat16" else jnp.float32
         )
-        self._compiled: Dict[str, object] = {}
         self._lock = threading.Lock()  # device work is serialized per engine
         self.stats = {
             "syntheses": 0,
@@ -64,6 +65,14 @@ class TTSEngine:
     def load(self, warmup: bool = True) -> None:
         """Init or restore params, build jitted entry points, warm-compile hot shapes."""
         t0 = time.time()
+        # Persistent compile cache: service restarts (and this environment's slow
+        # tunnel compiles) reuse binaries instead of recompiling every shape bucket.
+        try:
+            cache_dir = os.path.join(os.getcwd(), ".jax_cache")
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        except Exception:  # noqa: BLE001 — cache is an optimization, never fatal
+            pass
         if self.mcfg.model_path:
             from ..train.checkpoint import restore_params
 
@@ -74,18 +83,32 @@ class TTSEngine:
             logger.info("params_initialized", seed=self.seed)
 
         mcfg, dtype = self.mcfg, self.compute_dtype
+        as_i16 = self.ecfg.transfer_dtype == "int16"
+
+        def pack(wav):
+            # Device-side PCM16 conversion halves the device→host transfer; the host
+            # unpacks via the native runtime (utils/native.py). Exact 16-bit PCM.
+            if as_i16:
+                return jnp.clip(wav * 32767.0, -32767.0, 32767.0).astype(jnp.int16)
+            return wav
 
         def synth(params, tokens, mask, spk, exagg):
-            return tts.synthesize(params, tokens, mask, spk, exagg, mcfg, dtype=dtype)
+            out = tts.synthesize(params, tokens, mask, spk, exagg, mcfg, dtype=dtype)
+            out["audio"] = pack(out["audio"])
+            return out
 
         def acoustic(params, tokens, mask, spk, exagg):
             return tts.acoustic_mel(params, tokens, mask, spk, exagg, mcfg, dtype=dtype)
 
         def vocode(params, mel):
-            return tts.vocode(params, mel, mcfg, dtype=dtype)
+            return pack(tts.vocode(params, mel, mcfg, dtype=dtype))
 
         def embed(params, mel, mask):
             return tts.embed_speaker(params, mel, mask, dtype=dtype)
+
+        self._unpack = (
+            (lambda a: native.i16_to_f32(np.asarray(a))) if as_i16 else (lambda a: np.asarray(a))
+        )
 
         self._synth = jax.jit(synth)
         self._acoustic = jax.jit(acoustic)
@@ -106,7 +129,10 @@ class TTSEngine:
             spk = jnp.zeros((batch, self.mcfg.speaker_dim), jnp.float32)
             exagg = jnp.zeros((batch,), jnp.float32)
             out = self._synth(self.params, tokens, mask, spk, exagg)
-            jax.block_until_ready(out["audio"])
+            # Force a host readback: on some backends (axon tunnel) compilation is
+            # lazy and block_until_ready does not synchronize — a scalar readback is
+            # the only reliable "compile finished" barrier.
+            np.asarray(out["total_samples"])
             self.stats["compiles"] += 1
             logger.info(
                 "warmup_compiled", batch=batch, bucket=bucket, seconds=round(time.time() - t0, 2)
@@ -114,7 +140,7 @@ class TTSEngine:
         # Streaming vocoder window shape (stride + 2*context).
         w = self.ecfg.stream_chunk_frames + 2 * self.ecfg.stream_context_frames
         mel = jnp.zeros((1, w, self.mcfg.n_mels), jnp.float32)
-        jax.block_until_ready(self._vocode(self.params, mel))
+        np.asarray(self._vocode(self.params, mel))  # readback = compile barrier
         self.stats["compiles"] += 1
 
     # ------------------------------------------------------------ voice embedding
@@ -198,7 +224,7 @@ class TTSEngine:
                 jnp.asarray(spk),
                 jnp.asarray(exagg),
             )
-            audio = np.asarray(out["audio"])
+            audio = self._unpack(out["audio"])
             total = np.asarray(out["total_samples"])
 
         results = [audio[i, : int(total[i])].astype(np.float32) for i in range(b)]
@@ -281,7 +307,7 @@ class TTSEngine:
         for k in range(n_windows):
             window = jax.lax.dynamic_slice_in_dim(mel, k * stride, w, axis=1)
             with self._lock:
-                wav = np.asarray(self._vocode(self.params, window))[0]  # [w*hop]
+                wav = self._unpack(self._vocode(self.params, window))[0]  # [w*hop]
             body = wav[ctx * hop : (ctx + stride) * hop]
             chunk = body[: max(0, total_samples - emitted)]
             if len(chunk):
