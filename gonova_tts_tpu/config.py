@@ -134,7 +134,7 @@ class EngineConfig(BaseModel):
     max_batch: int = 16
     batch_window_ms: float = 10.0  # admission window for dynamic batching
     stream_chunk_frames: int = 64  # mel frames emitted per streaming vocoder pass
-    stream_context_frames: int = 16  # context frames on each side of a window (seam quality)
+    stream_context_frames: int = 28  # context frames each side; >= vocos RF (3*(layers+1)) => exact streaming
     warmup_shapes: List[List[int]] = Field(
         default_factory=lambda: [[1, 64], [8, 64], [16, 64]]
     )  # (batch, token_bucket) pairs compiled at startup

@@ -212,7 +212,8 @@ class TTSEngine:
             for i, s in enumerate(speakers):
                 if s is not None:
                     spk[i] = s
-        exagg = np.zeros((batch_bucket,), np.float32)
+        # Default exaggeration matches the streaming path / reference dataclass (0.5).
+        exagg = np.full((batch_bucket,), 0.5, np.float32)
         if exaggerations is not None:
             exagg[:b] = np.asarray(exaggerations, np.float32)
 
@@ -290,25 +291,32 @@ class TTSEngine:
             return
 
         stride = self.ecfg.stream_chunk_frames
-        ctx = self.ecfg.stream_context_frames
+        # Context must not exceed the stride (window starts stay >= 0 after window 0).
+        ctx = min(self.ecfg.stream_context_frames, stride)
         w = stride + 2 * ctx  # static window shape
         hop = self.hop
         total_samples = total_frames * hop
 
-        # Context-padded windows: window k vocodes frames
-        # [k*stride - ctx, k*stride + stride + ctx) (zero context at the edges, matching
-        # the one-shot pass's SAME-padded convs) and emits only the central stride
-        # frames. Seam error decays with ctx; no crossfade needed (emitted spans are
-        # disjoint and context-consistent).
+        # Context-padded windows with exact composition: window 0 starts at frame 0
+        # (no synthetic left context — the one-shot pass never evaluates frames < 0,
+        # and head(zero-mel) != 0, so zero-padded virtual frames would leak bias into
+        # the first samples); window k >= 1 slices REAL left context from the mel.
+        # Each window emits `stride` frames of samples. When ctx covers the vocoder's
+        # receptive field (NovaVocos: ±3*(layers+1) frames) the streamed audio equals
+        # the one-shot pass exactly.
         n_windows = -(-total_frames // stride)
-        # Left pad = ctx zeros; right pad covers the last window + context overrun.
-        mel = jnp.pad(mel, ((0, 0), (ctx, stride + ctx), (0, 0)))
+        # Right pad covers the last window + context overrun (zero-mel frames there
+        # are evaluated identically by the one-shot pass, which also runs on the
+        # zero-padded mel buffer).
+        mel = jnp.pad(mel, ((0, 0), (0, stride + 2 * ctx), (0, 0)))
         emitted = 0
         for k in range(n_windows):
-            window = jax.lax.dynamic_slice_in_dim(mel, k * stride, w, axis=1)
+            start = 0 if k == 0 else k * stride - ctx
+            lead = 0 if k == 0 else ctx
+            window = jax.lax.dynamic_slice_in_dim(mel, start, w, axis=1)
             with self._lock:
                 wav = self._unpack(self._vocode(self.params, window))[0]  # [w*hop]
-            body = wav[ctx * hop : (ctx + stride) * hop]
+            body = wav[lead * hop : (lead + stride) * hop]
             chunk = body[: max(0, total_samples - emitted)]
             if len(chunk):
                 emitted += len(chunk)

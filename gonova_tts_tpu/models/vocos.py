@@ -117,14 +117,14 @@ def istft_synthesis(real: jnp.ndarray, imag: jnp.ndarray, n_fft: int, hop: int) 
     out = jnp.zeros((b, (t + 3) * hop), jnp.float32)
     for k in range(4):
         out = out.at[:, k * hop : (k + t) * hop].add(segs[:, :, k, :].reshape(b, t * hop))
-    # NOLA normalization: interior window-sum is exactly 1.5; edges get the true
-    # profile (host-computed, static for a given T).
-    win_np = np.asarray(hann_window(n_fft), np.float64)
-    wsum = np.zeros(((t + 3) * hop,), np.float64)
-    for k in range(4):
-        tiled = np.tile(win_np[k * hop : (k + 1) * hop] ** 2, t)
-        wsum[k * hop : (k + t) * hop] += tiled
-    out = out / jnp.asarray(np.maximum(wsum, 1e-8), jnp.float32)[None, :]
+    # Constant NOLA normalization: for periodic Hann at 4x overlap the interior
+    # window-sum is exactly 1.5.  Deliberately constant at the clip edges too (no
+    # edge compensation): the first/last ~1.5*hop samples get a natural window
+    # fade-in/out (declick), and — crucially for streaming — the synthesis becomes
+    # exactly composable: a window's interior output is independent of where the
+    # clip boundary lies, so context-padded streaming windows reproduce the
+    # one-shot pass bit-for-bit (tests/test_engine.py streaming-exactness test).
+    out = out / 1.5
     # Trim the (n_fft - hop)/2 = 1.5*hop edge pad on each side to align sample 0 with
     # frame 0 (matching stft.py's centered framing).
     lead = (n_fft - hop) // 2

@@ -91,6 +91,21 @@ def test_streaming_seams_match_whole(engine):
     assert rel_err < 0.15, f"streamed/whole relative L2 error {rel_err:.3f}"
 
 
+def test_streaming_exact_when_context_covers_rf(engine):
+    """NovaVocos has a finite receptive field (embed k7 + L blocks × dw k7 → ±3(L+1)
+    frames). With stream context ≥ RF, streamed audio must be numerically identical
+    to the one-shot pass (int16-quantized transfer ⇒ within 1 LSB)."""
+    text = "A sentence long enough to require several streaming vocoder windows to cover completely."
+    old = engine.ecfg.stream_context_frames
+    engine.ecfg.stream_context_frames = 12  # tiny model: RF = ±9
+    try:
+        streamed = np.concatenate(list(engine.synthesize_stream(text)))
+    finally:
+        engine.ecfg.stream_context_frames = old
+    whole = engine.synthesize_batch([text])[0]
+    np.testing.assert_allclose(streamed, whole, atol=2.5 / 32768)
+
+
 def test_streaming_more_context_is_closer(engine):
     """Design sanity: doubling the context margin must reduce seam error."""
     text = "A sentence long enough to require several streaming vocoder windows to cover completely."
