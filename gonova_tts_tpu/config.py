@@ -141,8 +141,9 @@ class EngineConfig(BaseModel):
     # Device→host audio transfer dtype. "int16" halves the transfer (and is exact
     # 16-bit PCM, inaudible vs float32); host converts back via the native runtime.
     transfer_dtype: str = "int16"
-    mesh_data_axis: int = 0  # 0 = use all local devices on the data axis
-    mesh_model_axis: int = 1
+    # Data-parallel serving: number of local devices to drive from this engine
+    # (1 = single chip; 0 = all local devices). Params replicate, batch shards.
+    data_parallel: int = 1
 
 
 class Config(BaseModel):

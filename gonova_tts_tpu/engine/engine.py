@@ -115,6 +115,19 @@ class TTSEngine:
         self._vocode = jax.jit(vocode)
         self._embed = jax.jit(embed)
 
+        # Data-parallel multi-chip serving (engine/multi.py): replicate params,
+        # shard the batch axis; XLA partitions every compiled graph.
+        self._dp = None
+        n_dp = self.ecfg.data_parallel
+        if n_dp == 0:
+            n_dp = len(jax.devices())
+        if n_dp > 1:
+            from .multi import DataParallel
+
+            self._dp = DataParallel(n_dp)
+            self.params = self._dp.place_params(self.params)
+            logger.info("data_parallel_enabled", devices=self._dp.n)
+
         self.is_loaded = True
         if warmup:
             self.warmup()
@@ -204,6 +217,8 @@ class TTSEngine:
         tokens_np, lengths, bucket = batch_to_bucket(id_lists, self.ecfg.token_buckets)
         batch_bucket = pick_bucket(b, self.ecfg.batch_buckets)
 
+        if self._dp is not None:
+            batch_bucket = max(batch_bucket, self._dp.round_batch(batch_bucket))
         tokens = np.zeros((batch_bucket, bucket), np.int32)
         tokens[:b] = tokens_np
         mask = (np.arange(bucket)[None, :] < np.concatenate([lengths, np.zeros(batch_bucket - b, np.int32)])[:, None]).astype(np.float32)
@@ -217,6 +232,13 @@ class TTSEngine:
         if exaggerations is not None:
             exagg[:b] = np.asarray(exaggerations, np.float32)
 
+        if self._dp is not None:
+            tokens, mask, spk, exagg = (
+                self._dp.place_batch(tokens),
+                self._dp.place_batch(mask),
+                self._dp.place_batch(spk),
+                self._dp.place_batch(exagg),
+            )
         with self._lock:
             out = self._synth(
                 self.params,
