@@ -43,6 +43,11 @@ class ModelConfig(BaseModel):
     conv_kernel: int = 3
     speaker_dim: int = 256
     max_frames_per_token: int = 8
+    # Decoder attention over mel frames: blocked local attention with this window
+    # (each block attends to itself + both neighbors; span = 3*window). Full T×T
+    # attention at the largest frame bucket materializes ~600 MB of logits per layer;
+    # frame dependencies after length regulation are local. None = full attention.
+    decoder_attention_window: Optional[int] = 64
 
     # --- vocoder family selection ---
     # "vocos": iSTFT-head frame-rate vocoder (TPU flagship — all matmuls >=512 wide)
@@ -51,6 +56,10 @@ class ModelConfig(BaseModel):
     vocos_dim: int = 512
     vocos_ff: int = 1536
     vocos_layers: int = 8
+    # Run vocos ConvNeXt blocks through the fused Pallas kernel (TPU only;
+    # ops/convnext_kernel.py). Off by default — enable per deployment after the
+    # kernel-vs-XLA parity check on the target chip.
+    vocos_pallas: bool = False
 
     # --- vocoder (HiFi-GAN generator class) ---
     upsample_rates: List[int] = Field(default_factory=lambda: [8, 8, 2, 2])

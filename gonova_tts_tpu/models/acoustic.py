@@ -133,7 +133,8 @@ def forward(
     reg = length_regulate(enc, dur, token_mask, max_frames)
     dec_in = reg["frames"] + spk[:, None, :] * reg["frame_mask"][..., None]
     dec = layers.transformer_stack(
-        params["decoder"], dec_in, cfg.n_heads, reg["frame_mask"], dtype
+        params["decoder"], dec_in, cfg.n_heads, reg["frame_mask"], dtype,
+        attention_window=cfg.decoder_attention_window,
     )
     mel = layers.dense(params["mel_out"], dec, dtype)  # [B, T, n_mels]
     mel = mel * reg["frame_mask"][..., None]

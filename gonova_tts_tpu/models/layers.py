@@ -159,6 +159,63 @@ def mha(
     return dense(p["o"], out.reshape(b, t, d), dtype)
 
 
+def local_mha(
+    p: Params,
+    x: jnp.ndarray,
+    n_heads: int,
+    window: int,
+    mask: Optional[jnp.ndarray] = None,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Blocked local self-attention: each block of `window` queries attends to its own
+    block and both neighbors (effective span 3*window, centered).
+
+    Why: the acoustic decoder runs over mel frames (T up to 1536); full T×T attention
+    materializes O(T²) logits per head — ~600 MB/layer at the largest bucket — while
+    frame-level dependencies after length regulation are local.  Blocked local
+    attention is O(T · 3w · d), MXU-shaped ([w, 3w] logit tiles), and numerically
+    equals full attention when 3*window ≥ T (pinned by tests).
+
+    x: [B, T, D] with T % window == 0; mask: [B, T] (1 = valid).
+    """
+    b, t, d = x.shape
+    if t % window != 0:
+        raise ValueError(f"T={t} must be a multiple of window={window}")
+    h = n_heads
+    dh = d // h
+    nb = t // window
+
+    q = dense(p["q"], x, dtype).reshape(b, nb, window, h, dh)
+    k = dense(p["k"], x, dtype).reshape(b, nb, window, h, dh)
+    v = dense(p["v"], x, dtype).reshape(b, nb, window, h, dh)
+
+    def with_neighbors(arr):
+        # [B, nb, w, h, dh] → [B, nb, 3w, h, dh]: previous, self, next (zero-edged).
+        prev = jnp.pad(arr, ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))[:, :-1]
+        nxt = jnp.pad(arr, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))[:, 1:]
+        return jnp.concatenate([prev, arr, nxt], axis=2)
+
+    kn = with_neighbors(k)
+    vn = with_neighbors(v)
+    logits = jnp.einsum("bnqhd,bnkhd->bnhqk", q, kn, preferred_element_type=jnp.float32)
+    logits = logits / math.sqrt(dh)
+
+    if mask is None:
+        key_mask = jnp.ones((b, t), dtype=jnp.float32)
+    else:
+        key_mask = mask.astype(jnp.float32)
+    km = key_mask.reshape(b, nb, window)
+    km_prev = jnp.pad(km, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+    km_next = jnp.pad(km, ((0, 0), (0, 1), (0, 0)))[:, 1:]
+    km_full = jnp.concatenate([km_prev, km, km_next], axis=2)  # [B, nb, 3w]
+    bias = jnp.where(km_full[:, :, None, None, :].astype(bool), 0.0, -1e9)
+    logits = logits + bias
+
+    attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
+    out = jnp.einsum("bnhqk,bnkhd->bnqhd", attn, vn, preferred_element_type=dtype)
+    return dense(p["o"], out.reshape(b, t, d), dtype)
+
+
 # ---------------------------------------------------------------- transformer block
 
 
@@ -175,12 +232,19 @@ def transformer_block_init(rng, dim: int, n_heads: int, d_ff: int, conv_kernel: 
 
 
 def transformer_block(
-    p: Params, x: jnp.ndarray, n_heads: int, mask: Optional[jnp.ndarray] = None, dtype=jnp.float32
+    p: Params, x: jnp.ndarray, n_heads: int, mask: Optional[jnp.ndarray] = None, dtype=jnp.float32,
+    attention_window: Optional[int] = None,
 ) -> jnp.ndarray:
     """Pre-LN block; `mask` [B, T] zeroes padded positions between sublayers so padding
-    never contaminates the conv FFN receptive field."""
+    never contaminates the conv FFN receptive field. attention_window selects blocked
+    local attention (see local_mha) instead of full attention."""
     mask_f = None if mask is None else mask[..., None].astype(x.dtype)
-    h = x + mha(p["attn"], layernorm(p["ln1"], x), n_heads, mask, dtype)
+    normed = layernorm(p["ln1"], x)
+    if attention_window is not None and 3 * attention_window < x.shape[1]:
+        attended = local_mha(p["attn"], normed, n_heads, attention_window, mask, dtype)
+    else:
+        attended = mha(p["attn"], normed, n_heads, mask, dtype)
+    h = x + attended
     if mask_f is not None:
         h = h * mask_f
     y = layernorm(p["ln2"], h)
@@ -207,8 +271,9 @@ def transformer_stack_init(
 
 
 def transformer_stack(
-    p: Params, x: jnp.ndarray, n_heads: int, mask: Optional[jnp.ndarray] = None, dtype=jnp.float32
+    p: Params, x: jnp.ndarray, n_heads: int, mask: Optional[jnp.ndarray] = None, dtype=jnp.float32,
+    attention_window: Optional[int] = None,
 ) -> jnp.ndarray:
     for blk in p["blocks"]:
-        x = transformer_block(blk, x, n_heads, mask, dtype)
+        x = transformer_block(blk, x, n_heads, mask, dtype, attention_window)
     return layernorm(p["ln_out"], x)

@@ -85,8 +85,18 @@ def forward(params: Params, mel: jnp.ndarray, cfg: ModelConfig, dtype=jnp.float3
     b, t, _ = mel.shape
 
     x = layers.conv1d(params["embed"], mel.astype(dtype), dtype=dtype)
-    for blk in params["blocks"]:
-        x = _block_apply(blk, x, dtype)
+    if cfg.vocos_pallas:
+        from ..ops.convnext_kernel import convnext_block_pallas
+
+        for blk in params["blocks"]:
+            x = convnext_block_pallas(
+                x, blk["dw"], blk["dw_b"], blk["ln"]["g"], blk["ln"]["b"],
+                blk["pw1"]["w"], blk["pw1"]["b"], blk["pw2"]["w"], blk["pw2"]["b"],
+                blk["gamma"], bf16=(dtype == jnp.bfloat16),
+            )
+    else:
+        for blk in params["blocks"]:
+            x = _block_apply(blk, x, dtype)
     x = layers.layernorm(params["ln_out"], x)
     head = layers.dense(params["head"], x, dtype).astype(jnp.float32)  # [B, T, 2*bins]
 

@@ -5,6 +5,7 @@ the external torch package); here the native layer is Mosaic/Pallas kernels for 
 DSP hot paths, each allclose-tested against the pure-JAX implementation it fuses.
 """
 
+from .convnext_kernel import convnext_block_pallas
 from .mel_kernel import mel_spectrogram_pallas
 
-__all__ = ["mel_spectrogram_pallas"]
+__all__ = ["convnext_block_pallas", "mel_spectrogram_pallas"]

@@ -44,3 +44,83 @@ def test_fused_mel_block_boundary(rng):
 def test_fused_mel_rejects_bad_hop():
     with pytest.raises(ValueError):
         mel_spectrogram_pallas(jnp.zeros((1, 1000)), n_fft=1000, hop_length=300, interpret=True)
+
+
+# ---------------------------------------------------------------- ConvNeXt block
+
+
+def test_fused_convnext_matches_oracle(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from gonova_tts_tpu.config import ModelConfig
+    from gonova_tts_tpu.models import vocos
+    from gonova_tts_tpu.ops import convnext_block_pallas
+
+    cfg = ModelConfig(vocos_dim=128, vocos_ff=256, vocos_layers=1)
+    params = vocos.init(jax.random.PRNGKey(0), cfg)
+    blk = params["blocks"][0]
+    x = jnp.asarray(rng.standard_normal((2, 300, 128)).astype(np.float32))
+    oracle = np.asarray(vocos._block_apply(blk, x, jnp.float32))
+    ours = np.asarray(
+        convnext_block_pallas(
+            x, blk["dw"], blk["dw_b"], blk["ln"]["g"], blk["ln"]["b"],
+            blk["pw1"]["w"], blk["pw1"]["b"], blk["pw2"]["w"], blk["pw2"]["b"],
+            blk["gamma"], interpret=True, bf16=False,
+        )
+    )
+    assert ours.shape == oracle.shape
+    np.testing.assert_allclose(ours, oracle, atol=2e-4, rtol=1e-4)
+
+
+def test_fused_convnext_tile_boundary(rng):
+    """Exactly one tile (256) and just over (257 frames): halo correctness."""
+    import jax
+    import jax.numpy as jnp
+
+    from gonova_tts_tpu.config import ModelConfig
+    from gonova_tts_tpu.models import vocos
+    from gonova_tts_tpu.ops import convnext_block_pallas
+
+    cfg = ModelConfig(vocos_dim=128, vocos_ff=256, vocos_layers=1)
+    params = vocos.init(jax.random.PRNGKey(1), cfg)
+    blk = params["blocks"][0]
+    for t in (256, 257):
+        x = jnp.asarray(rng.standard_normal((1, t, 128)).astype(np.float32))
+        oracle = np.asarray(vocos._block_apply(blk, x, jnp.float32))
+        ours = np.asarray(
+            convnext_block_pallas(
+                x, blk["dw"], blk["dw_b"], blk["ln"]["g"], blk["ln"]["b"],
+                blk["pw1"]["w"], blk["pw1"]["b"], blk["pw2"]["w"], blk["pw2"]["b"],
+                blk["gamma"], interpret=True, bf16=False,
+            )
+        )
+        np.testing.assert_allclose(ours, oracle, atol=2e-4, rtol=1e-4)
+
+
+def test_vocos_forward_with_pallas_flag(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from gonova_tts_tpu.config import ModelConfig
+    from gonova_tts_tpu.models import vocos
+
+    cfg = ModelConfig(vocos_dim=128, vocos_ff=256, vocos_layers=2)
+    params = vocos.init(jax.random.PRNGKey(2), cfg)
+    mel = jnp.asarray(rng.standard_normal((1, 40, cfg.n_mels)).astype(np.float32))
+    plain = np.asarray(vocos.forward(params, mel, cfg))
+    import gonova_tts_tpu.ops.convnext_kernel as ck
+    # Interpret-mode comparison of the full forward with the pallas path.
+    orig = ck.convnext_block_pallas
+    import functools as ft
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        kw["bf16"] = False
+        return orig(*a, **kw)
+    ck.convnext_block_pallas = interp
+    try:
+        cfg2 = cfg.model_copy(update={"vocos_pallas": True})
+        fused = np.asarray(vocos.forward(params, mel, cfg2))
+    finally:
+        ck.convnext_block_pallas = orig
+    np.testing.assert_allclose(fused, plain, atol=5e-4, rtol=1e-3)
