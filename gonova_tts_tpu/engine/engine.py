@@ -114,6 +114,7 @@ class TTSEngine:
         self._acoustic = jax.jit(acoustic)
         self._vocode = jax.jit(vocode)
         self._embed = jax.jit(embed)
+        self._probe = jax.jit(lambda x: x * 2.0 + 1.0)  # health-check op
 
         # Data-parallel multi-chip serving (engine/multi.py): replicate params,
         # shard the batch axis; XLA partitions every compiled graph.
@@ -345,6 +346,31 @@ class TTSEngine:
                 yield chunk.astype(np.float32)
             if emitted >= total_samples:
                 break
+
+    # ------------------------------------------------------------ health
+
+    def health_check(self, deadline_s: float = 5.0) -> dict:
+        """Device liveness probe: run a trivial jitted op end-to-end with a deadline.
+
+        The reference has no health-driven failure detection (SURVEY.md §5.3 — its
+        recovery story is systemd restart); this gives the service a signal to report
+        `degraded` before requests start timing out.
+        """
+        if not self.is_loaded:
+            return {"status": "unloaded"}
+        t0 = time.time()
+        try:
+            with self._lock:
+                probe = jnp.ones((8, 128), jnp.float32)
+                val = float(jnp.sum(self._probe(probe)))
+            latency = time.time() - t0
+            if latency > deadline_s:
+                return {"status": "degraded", "probe_latency_s": round(latency, 3)}
+            if not np.isfinite(val):
+                return {"status": "unhealthy", "reason": "non-finite device output"}
+            return {"status": "ok", "probe_latency_s": round(latency, 3)}
+        except Exception as e:  # noqa: BLE001
+            return {"status": "unhealthy", "reason": str(e)}
 
     # ------------------------------------------------------------ stats / misc
 

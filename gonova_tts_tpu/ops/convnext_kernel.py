@@ -25,6 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_T = 256  # frames per grid step
 HALO = 3  # depthwise kernel 7 → ±3
+READ_HALO = 4  # DMA'd halo per side — padded to keep slice length (TILE_T + 8) 8-aligned (Mosaic tiling)
 
 
 def _block_kernel(
@@ -49,22 +50,23 @@ def _block_kernel(
 
     def body(scratch, sem):
         dma = pltpu.make_async_copy(
-            x_ref.at[b_idx, pl.ds(t_idx * TILE_T, TILE_T + 2 * HALO), :],
+            x_ref.at[b_idx, pl.ds(t_idx * TILE_T, TILE_T + 2 * READ_HALO), :],
             scratch,
             sem,
         )
         dma.start()
         dma.wait()
-        xs = scratch[:]  # [TILE_T+6, C]
-        center = xs[HALO : HALO + TILE_T, :]
+        xs = scratch[:]  # [TILE_T + 2*READ_HALO, C]
+        off = READ_HALO - HALO  # skip the alignment padding
+        center = xs[READ_HALO : READ_HALO + TILE_T, :]
 
         # Depthwise conv k=7: seven shifted VPU multiply-adds.
         acc = dwb_ref[0, :][None, :].astype(jnp.float32)
         acc = jnp.broadcast_to(acc, (TILE_T, c)).astype(jnp.float32)
         for j in range(7):
-            acc = acc + xs[j : j + TILE_T, :].astype(jnp.float32) * dw_ref[j, :][None, :].astype(
-                jnp.float32
-            )
+            acc = acc + xs[off + j : off + j + TILE_T, :].astype(jnp.float32) * dw_ref[j, :][
+                None, :
+            ].astype(jnp.float32)
 
         # LayerNorm over channels (f32).
         mean = jnp.mean(acc, axis=-1, keepdims=True)
@@ -95,7 +97,7 @@ def _block_kernel(
 
     pl.run_scoped(
         body,
-        pltpu.VMEM((TILE_T + 2 * HALO, c), x_ref.dtype),
+        pltpu.VMEM((TILE_T + 2 * READ_HALO, c), x_ref.dtype),
         pltpu.SemaphoreType.DMA(()),
     )
 
@@ -119,7 +121,7 @@ def convnext_block_pallas(
     b, t, c = x.shape
     n_tiles = -(-t // TILE_T)
     t_pad = n_tiles * TILE_T
-    xp = jnp.pad(x, ((0, 0), (HALO, HALO + (t_pad - t)), (0, 0)))
+    xp = jnp.pad(x, ((0, 0), (READ_HALO, READ_HALO + (t_pad - t)), (0, 0)))
 
     out = pl.pallas_call(
         functools.partial(

@@ -85,6 +85,8 @@ class TTSService:
 
         self.max_connections = self.config.server.max_connections
         self.active_connections = 0
+        self.device_health: Dict[str, object] = {"status": "unloaded"}
+        self._watchdog_task: Optional[asyncio.Task] = None
         self.connections: Dict[str, dict] = {}
         self.is_shutting_down = False
         self._workers = []
@@ -103,12 +105,33 @@ class TTSService:
         await self._load_default_voice()
         n = n_workers or self.config.engine.max_batch
         self._workers = [asyncio.create_task(self._tts_worker(i)) for i in range(n)]
+        self._watchdog_task = asyncio.create_task(self._watchdog())
         self.started_at = time.time()
         logger.info("service_started", workers=n)
+
+    async def _watchdog(self, interval_s: float = 30.0) -> None:
+        """Periodic device liveness probe feeding /health (failure detection the
+        reference lacks — SURVEY.md §5.3)."""
+        loop = asyncio.get_event_loop()
+        while not self.is_shutting_down:
+            try:
+                self.device_health = await loop.run_in_executor(
+                    None, self.synthesizer.engine.health_check
+                )
+                if self.device_health.get("status") not in ("ok", "unloaded"):
+                    logger.warning("device_health_degraded", **self.device_health)
+                await asyncio.sleep(interval_s)
+            except asyncio.CancelledError:
+                break
+            except Exception as e:  # noqa: BLE001
+                self.device_health = {"status": "unhealthy", "reason": str(e)}
+                await asyncio.sleep(interval_s)
 
     async def shutdown(self) -> None:
         logger.info("service_shutting_down")
         self.is_shutting_down = True
+        if self._watchdog_task:
+            self._watchdog_task.cancel()
         await self.queue_manager.wait_until_empty(timeout=30.0)
         for w in self._workers:
             w.cancel()
@@ -381,9 +404,11 @@ async def health_check(request: web.Request) -> web.Response:
         "device_count": len(devices),
         "devices": [str(d) for d in devices[:8]],
     }
+    dev_status = service.device_health.get("status", "unloaded")
     return web.json_response(
         {
-            "status": "healthy",
+            "status": "healthy" if dev_status in ("ok", "unloaded") else "degraded",
+            "device_health": service.device_health,
             "device": device_info["backend"],
             "active_connections": service.active_connections,
             "queue_metrics": service.queue_manager.get_metrics(),

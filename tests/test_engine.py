@@ -194,3 +194,14 @@ def test_dynamic_batcher_error_isolation(engine):
         return ok
 
     assert isinstance(asyncio.run(run()), np.ndarray)
+
+
+def test_health_check(engine):
+    h = engine.health_check()
+    assert h["status"] == "ok"
+    assert h["probe_latency_s"] < 5.0
+    # Unloaded engine reports unloaded.
+    from gonova_tts_tpu.engine import TTSEngine
+    import tests  # noqa: F401
+    e2 = TTSEngine(engine.config)
+    assert e2.health_check()["status"] == "unloaded"
