@@ -421,7 +421,24 @@ async def health_check(request: web.Request) -> web.Response:
 
 
 async def metrics(request: web.Request) -> web.Response:
-    return web.json_response(service.queue_manager.get_metrics())
+    """Queue metrics. Default: JSON dict (reference behavior — its /metrics returned
+    the dict despite a 'Prometheus-compatible' docstring, server.py:478-481).
+    `?format=prometheus` returns real Prometheus text exposition (the extension the
+    reference's docstring promised)."""
+    data = service.queue_manager.get_metrics()
+    if request.query.get("format") == "prometheus":
+        lines = []
+        for key, value in data.items():
+            name = f"gonova_tts_{key}"
+            kind = "counter" if key.startswith(("requests_", "chunks_")) else "gauge"
+            lines.append(f"# TYPE {name} {kind}")
+            lines.append(f"{name} {value}")
+        if service.batcher:
+            for key, value in service.batcher.metrics.items():
+                lines.append(f"# TYPE gonova_tts_batcher_{key} counter")
+                lines.append(f"gonova_tts_batcher_{key} {value}")
+        return web.Response(text="\n".join(lines) + "\n", content_type="text/plain")
+    return web.json_response(data)
 
 
 async def rest_synthesize(request: web.Request) -> web.Response:

@@ -304,6 +304,7 @@ def test_rate_limit_rejects_with_1008(client_ctx):
         msg = await asyncio.wait_for(ws.receive(), 30)
         assert msg.type == WSMsgType.CLOSE
         assert msg.data == 1008
+        await ws.close()
         srv.service.rate_limiter._requests.clear()
         return True
 
@@ -319,8 +320,35 @@ def test_max_connections_rejected(client_ctx):
             ws = await client.ws_connect("/v1/stream/tts")
             msg = await asyncio.wait_for(ws.receive(), 30)
             assert msg.type == WSMsgType.CLOSE and msg.data == 1008
+            await ws.close()
         finally:
             srv.service.max_connections = 50
+        return True
+
+    assert loop.run_until_complete(run())
+
+
+def test_metrics_prometheus_format(client_ctx):
+    loop, client, srv = client_ctx
+
+    async def run():
+        resp = await client.get("/metrics", params={"format": "prometheus"})
+        assert resp.status == 200
+        text = await resp.text()
+        assert "# TYPE gonova_tts_requests_received counter" in text
+        assert "gonova_tts_active_connections" in text
+        return True
+
+    assert loop.run_until_complete(run())
+
+
+def test_health_includes_device_health(client_ctx):
+    loop, client, srv = client_ctx
+
+    async def run():
+        resp = await client.get("/health")
+        body = await resp.json()
+        assert "device_health" in body
         return True
 
     assert loop.run_until_complete(run())
