@@ -28,7 +28,6 @@ import asyncio
 import io
 import json
 import os
-import signal
 import time
 import uuid
 from typing import Dict, Optional
@@ -488,21 +487,17 @@ def create_app(config: Optional[Config] = None) -> web.Application:
 
     async def on_startup(app: web.Application) -> None:
         await service.start()
-        loop = asyncio.get_event_loop()
-        for sig in (signal.SIGTERM, signal.SIGINT):
-            try:
-                loop.add_signal_handler(
-                    sig, lambda: asyncio.create_task(service.shutdown())
-                )
-            except NotImplementedError:  # pragma: no cover (non-unix)
-                pass
 
-    async def on_cleanup(app: web.Application) -> None:
+    async def on_shutdown(app: web.Application) -> None:
+        # aiohttp's run_app handles SIGTERM/SIGINT itself and fires on_shutdown
+        # before closing connections — installing our own signal handler here would
+        # shadow aiohttp's and leave the process alive after the service drained
+        # (found driving the real server on TPU).
         if not service.is_shutting_down:
             await service.shutdown()
 
     app.on_startup.append(on_startup)
-    app.on_cleanup.append(on_cleanup)
+    app.on_shutdown.append(on_shutdown)
     return app
 
 
