@@ -145,8 +145,9 @@ class EngineConfig(BaseModel):
     stream_chunk_frames: int = 64  # mel frames emitted per streaming vocoder pass
     stream_context_frames: int = 28  # context frames each side; >= vocos RF (3*(layers+1)) => exact streaming
     warmup_shapes: List[List[int]] = Field(
-        default_factory=lambda: [[1, 64], [8, 64], [16, 64]]
-    )  # (batch, token_bucket) pairs compiled at startup
+        default_factory=lambda: [[1, 32], [4, 32], [1, 64], [4, 64], [8, 64], [16, 64]]
+    )  # (batch, token_bucket) pairs compiled at startup — cover the hot buckets:
+    # a request mix hitting an unwarmed shape pays a full XLA compile mid-request
     # Device→host audio transfer dtype. "int16" halves the transfer (and is exact
     # 16-bit PCM, inaudible vs float32); host converts back via the native runtime.
     transfer_dtype: str = "int16"
