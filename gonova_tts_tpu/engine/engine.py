@@ -32,6 +32,7 @@ from ..utils import native
 from ..models import tts
 from ..text import batch_to_bucket, pick_bucket, segment_text, text_to_ids
 from ..utils import get_logger, read_wav
+from ..utils.prof import timers
 
 logger = get_logger("gonova.engine")
 
@@ -240,7 +241,7 @@ class TTSEngine:
                 self._dp.place_batch(spk),
                 self._dp.place_batch(exagg),
             )
-        with self._lock:
+        with self._lock, timers.track("synth_batch_device"):
             out = self._synth(
                 self.params,
                 jnp.asarray(tokens),
@@ -304,7 +305,7 @@ class TTSEngine:
             spk[0] = speaker
         exagg = np.asarray([exaggeration], np.float32)
 
-        with self._lock:
+        with self._lock, timers.track("acoustic_device"):
             ac = self._acoustic(
                 self.params, jnp.asarray(tokens), jnp.asarray(mask), jnp.asarray(spk), jnp.asarray(exagg)
             )
@@ -337,7 +338,7 @@ class TTSEngine:
             start = 0 if k == 0 else k * stride - ctx
             lead = 0 if k == 0 else ctx
             window = jax.lax.dynamic_slice_in_dim(mel, start, w, axis=1)
-            with self._lock:
+            with self._lock, timers.track("vocode_window_device"):
                 wav = self._unpack(self._vocode(self.params, window))[0]  # [w*hop]
             body = wav[lead * hop : (lead + stride) * hop]
             chunk = body[: max(0, total_samples - emitted)]
@@ -385,6 +386,7 @@ class TTSEngine:
             stats["avg_latency"] = 0.0
             stats["avg_first_chunk"] = 0.0
         stats["compiled_shapes"] = self.stats["compiles"]
+        stats["timers"] = timers.summary()
         return stats
 
     def cleanup(self) -> None:
