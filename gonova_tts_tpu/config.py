@@ -48,6 +48,10 @@ class ModelConfig(BaseModel):
     # attention at the largest frame bucket materializes ~600 MB of logits per layer;
     # frame dependencies after length regulation are local. None = full attention.
     decoder_attention_window: Optional[int] = 64
+    # Only use local attention for frame counts >= this (measured on v5e: local wins
+    # at T=1536 — 5.2 vs 7.0 ms — but loses at T=320 where the neighbor-concat
+    # overhead exceeds the O(T^2) savings).
+    local_attention_min_frames: int = 1024
 
     # --- vocoder family selection ---
     # "vocos": iSTFT-head frame-rate vocoder (TPU flagship — all matmuls >=512 wide)

@@ -132,9 +132,13 @@ def forward(
 
     reg = length_regulate(enc, dur, token_mask, max_frames)
     dec_in = reg["frames"] + spk[:, None, :] * reg["frame_mask"][..., None]
+    use_local = (
+        cfg.decoder_attention_window is not None
+        and max_frames >= cfg.local_attention_min_frames
+    )
     dec = layers.transformer_stack(
         params["decoder"], dec_in, cfg.n_heads, reg["frame_mask"], dtype,
-        attention_window=cfg.decoder_attention_window,
+        attention_window=cfg.decoder_attention_window if use_local else None,
     )
     mel = layers.dense(params["mel_out"], dec, dtype)  # [B, T, n_mels]
     mel = mel * reg["frame_mask"][..., None]
