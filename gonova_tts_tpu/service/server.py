@@ -144,6 +144,17 @@ class TTSService:
 
     async def _load_default_voice(self) -> None:
         path = self.config.voice_cloning.default_voice_path
+        if path and not os.path.exists(path):
+            # Configured path missing → shipped fallback asset (the reference ships
+            # voices/urek.wav as its default; ours lives in assets/ so a fresh
+            # checkout speaks out of the box). Explicit null disables the default.
+            shipped = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+                "assets",
+                "default_voice.wav",
+            )
+            if os.path.exists(shipped):
+                path = shipped
         if path and os.path.exists(path):
             loop = asyncio.get_event_loop()
             try:
