@@ -1,0 +1,138 @@
+"""Service robustness: queue overflow, disconnect mid-synthesis, protocol violations,
+long-form REST — degradation semantics must match the reference's (drop + survive)."""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+from aiohttp import WSMsgType
+from aiohttp.test_utils import TestClient, TestServer
+
+from test_service_ws import _collect_synthesis, service_config
+
+from gonova_tts_tpu.utils import read_wav
+
+
+@pytest.fixture(scope="module")
+def client_ctx(tmp_path_factory):
+    from gonova_tts_tpu.service import server as srv
+
+    tmp_path = tmp_path_factory.mktemp("svc_rb")
+    cfg = service_config(tmp_path)
+    cfg.queues.input_queue_size = 4  # tiny, to exercise overflow
+    loop = asyncio.new_event_loop()
+    app = srv.create_app(cfg)
+    client = TestClient(TestServer(app), loop=loop)
+    loop.run_until_complete(client.start_server())
+    yield loop, client, srv
+    loop.run_until_complete(client.close())
+    loop.close()
+
+
+def test_input_queue_overflow_drops_but_survives(client_ctx):
+    """Flooding beyond the input queue bound must drop (counted) without killing the
+    connection; subsequent synthesis still works (reference: queue_manager.py:157-171)."""
+    loop, client, srv = client_ctx
+
+    async def run():
+        ws = await client.ws_connect("/v1/stream/tts")
+        # Flood: far more requests than queue capacity, faster than workers drain.
+        for i in range(40):
+            await ws.send_json({"type": "synthesize", "text": f"Flood {i}."})
+        # Collect all completions that do arrive (processed requests).
+        completed = 0
+        try:
+            while True:
+                msg = await asyncio.wait_for(ws.receive(), timeout=15)
+                if msg.type == WSMsgType.TEXT:
+                    if json.loads(msg.data).get("type") == "synthesis_complete":
+                        completed += 1
+                elif msg.type != WSMsgType.BINARY:
+                    break
+        except asyncio.TimeoutError:
+            pass
+        metrics = srv.service.queue_manager.get_metrics()
+        # The connection survived; another request completes.
+        await ws.send_json({"type": "synthesize", "text": "Still here."})
+        chunks, _ = await _collect_synthesis(ws)
+        await ws.close()
+        assert len(chunks) == 1
+        assert completed >= 1
+        # Either everything processed quickly, or drops were counted — never hangs.
+        assert metrics["requests_received"] + metrics["requests_dropped"] >= 40
+        return True
+
+    assert loop.run_until_complete(run())
+
+
+def test_disconnect_mid_synthesis_cleans_up(client_ctx):
+    loop, client, srv = client_ctx
+
+    async def run():
+        ws = await client.ws_connect("/v1/stream/tts")
+        long_text = " ".join(f"Sentence number {i}." for i in range(12))
+        await ws.send_json({"type": "synthesize", "text": long_text})
+        # Read one frame then slam the connection shut.
+        msg = await asyncio.wait_for(ws.receive(), timeout=60)
+        await ws.close()
+        await asyncio.sleep(1.0)
+        assert srv.service.active_connections == 0
+        assert srv.service.queue_manager.get_metrics()["output_queues_count"] == 0
+        # Service still serves new connections.
+        ws2 = await client.ws_connect("/v1/stream/tts")
+        await ws2.send_json({"type": "synthesize", "text": "After the crash."})
+        chunks, _ = await _collect_synthesis(ws2)
+        await ws2.close()
+        assert len(chunks) == 1
+        return True
+
+    assert loop.run_until_complete(run())
+
+
+def test_binary_inbound_frame_ignored(client_ctx):
+    loop, client, srv = client_ctx
+
+    async def run():
+        ws = await client.ws_connect("/v1/stream/tts")
+        await ws.send_bytes(b"\x00\x01\x02\x03")  # protocol violation: binary inbound
+        await ws.send_json({"type": "synthesize", "text": "Binary did not kill me."})
+        chunks, _ = await _collect_synthesis(ws)
+        await ws.close()
+        assert len(chunks) == 1
+        return True
+
+    assert loop.run_until_complete(run())
+
+
+def test_rest_long_form(client_ctx):
+    loop, client, srv = client_ctx
+
+    async def run():
+        article = (
+            "The expedition started before dawn, when the valley was wrapped in mist. "
+        ) * 30
+        resp = await client.post("/v1/synthesize", json={"text": article[:2500]})
+        assert resp.status == 200
+        audio, sr = read_wav(await resp.read())
+        assert sr == 24000
+        assert len(audio) > 24000  # at least a second of audio
+        assert np.isfinite(audio).all()
+        return True
+
+    assert loop.run_until_complete(run())
+
+
+def test_synthesize_missing_text_is_noop(client_ctx):
+    loop, client, srv = client_ctx
+
+    async def run():
+        ws = await client.ws_connect("/v1/stream/tts")
+        await ws.send_json({"type": "synthesize"})  # no text → empty final marker only
+        msg = await asyncio.wait_for(ws.receive(), timeout=30)
+        data = json.loads(msg.data)
+        assert data["type"] == "synthesis_complete" and data["chunk_id"] == 0
+        await ws.close()
+        return True
+
+    assert loop.run_until_complete(run())
