@@ -33,11 +33,13 @@ from ..audio.stft import dft_bases, hann_window
 FRAME_BLOCK = 128  # frames per grid step (MXU-aligned)
 
 
+_ROW_PAD = 8  # extra hop-rows per DMA so slice lengths stay sublane-aligned (Mosaic)
+
+
 def _mel_kernel(
-    audio_ref,  # [B, T_padded] in HBM/ANY
-    window_ref,  # [1, n_fft] VMEM
-    cos_ref,  # [n_fft, n_bins] VMEM
-    sin_ref,  # [n_fft, n_bins] VMEM
+    rows_ref,  # [B, n_rows_total, hop] in HBM/ANY (audio as non-overlapping hop rows)
+    wcos_ref,  # [n_fft, n_bins] VMEM — window ⊙ cos basis (host-folded)
+    wsin_ref,  # [n_fft, n_bins] VMEM — window ⊙ sin basis
     fb_ref,  # [n_bins, n_mels] VMEM
     out_ref,  # [1, FRAME_BLOCK, n_mels] VMEM block
     *,
@@ -48,32 +50,38 @@ def _mel_kernel(
     b_idx = pl.program_id(0)
     blk_idx = pl.program_id(1)
     r = n_fft // hop  # frame span in hop-rows
-    n_rows = FRAME_BLOCK + r - 1
-    block_audio = n_rows * hop
+    read_rows = FRAME_BLOCK + _ROW_PAD  # >= FRAME_BLOCK + r - 1, 8-aligned
 
     def body(scratch, sem):
         dma = pltpu.make_async_copy(
-            audio_ref.at[b_idx, pl.ds(blk_idx * FRAME_BLOCK * hop, block_audio)],
+            rows_ref.at[b_idx, pl.ds(blk_idx * FRAME_BLOCK, read_rows), :],
             scratch,
             sem,
         )
         dma.start()
         dma.wait()
-        rows = scratch[:].reshape(n_rows, hop)
-        # Overlapped frame matrix from static row slices: frame i spans rows i..i+r-1.
-        frames = jnp.concatenate(
-            [rows[k : k + FRAME_BLOCK, :] for k in range(r)], axis=1
-        )  # [FRAME_BLOCK, n_fft]
-        frames = frames * window_ref[0, :][None, :]
-        real = jnp.dot(frames, cos_ref[:, :], preferred_element_type=jnp.float32)
-        imag = jnp.dot(frames, sin_ref[:, :], preferred_element_type=jnp.float32)
+        rows = scratch[:]  # [read_rows, hop]
+        # Overlapped framed DFT without materializing the frame matrix (Mosaic cannot
+        # concat differently-offset slices): with the window folded into the bases,
+        #   (frame_i ⊙ w) @ cos  ==  Σ_k rows[i+k] @ wcos[k*hop:(k+1)*hop]
+        # — r row-shifted matmuls accumulated in f32 on the MXU.
+        real = jnp.zeros((FRAME_BLOCK, wcos_ref.shape[1]), jnp.float32)
+        imag = jnp.zeros((FRAME_BLOCK, wcos_ref.shape[1]), jnp.float32)
+        for k in range(r):
+            seg = rows[k : k + FRAME_BLOCK, :]
+            real = real + jnp.dot(
+                seg, wcos_ref[k * hop : (k + 1) * hop, :], preferred_element_type=jnp.float32
+            )
+            imag = imag + jnp.dot(
+                seg, wsin_ref[k * hop : (k + 1) * hop, :], preferred_element_type=jnp.float32
+            )
         mag = jnp.sqrt(jnp.maximum(real * real + imag * imag, 1e-9))
         mel = jnp.dot(mag, fb_ref[:, :], preferred_element_type=jnp.float32)
         out_ref[0, :, :] = jnp.log(jnp.maximum(mel, eps))
 
     pl.run_scoped(
         body,
-        pltpu.VMEM((block_audio,), jnp.float32),
+        pltpu.VMEM((read_rows, hop), jnp.float32),
         pltpu.SemaphoreType.DMA(()),
     )
 
@@ -106,16 +114,22 @@ def mel_spectrogram_pallas(
     xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
 
     n_blocks = -(-n_frames // FRAME_BLOCK)
-    r = n_fft // hop_length
-    # Right-pad so every block (incl. its r-1 row overhang) is in range.
-    target = (n_blocks * FRAME_BLOCK + r - 1) * hop_length
+    # Right-pad so every block (incl. its aligned row overhang) is in range, then lay
+    # the audio out as non-overlapping hop-rows: [B, n_rows_total, hop]. (2-D scratch
+    # DMA — Mosaic rejects 1-D→2-D reshapes of VMEM scratch.)
+    target = (n_blocks * FRAME_BLOCK + _ROW_PAD) * hop_length
     xp = jnp.pad(xp, ((0, 0), (0, max(0, target - xp.shape[1]))))
+    xp = xp[:, : target].reshape(b, target // hop_length, hop_length)
 
-    window = jnp.asarray(hann_window(win_length))
+    import numpy as _np
+
+    window = _np.asarray(hann_window(win_length), _np.float64)
     if win_length < n_fft:
         lp = (n_fft - win_length) // 2
-        window = jnp.pad(window, (lp, n_fft - win_length - lp))
+        window = _np.pad(window, (lp, n_fft - win_length - lp))
     cos_b, sin_b = dft_bases(n_fft)
+    wcos = (window[:, None] * _np.asarray(cos_b, _np.float64)).astype(_np.float32)
+    wsin = (window[:, None] * _np.asarray(sin_b, _np.float64)).astype(_np.float32)
     fb = mel_filterbank(sr, n_fft, n_mels, fmin, fmax)
 
     out = pl.pallas_call(
@@ -123,7 +137,6 @@ def mel_spectrogram_pallas(
         grid=(b, n_blocks),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # audio stays in HBM; kernel DMAs
-            pl.BlockSpec((1, n_fft), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (n_fft, n_fft // 2 + 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM
             ),
@@ -139,6 +152,6 @@ def mel_spectrogram_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((b, n_blocks * FRAME_BLOCK, n_mels), jnp.float32),
         interpret=interpret,
-    )(xp, window[None], jnp.asarray(cos_b), jnp.asarray(sin_b), jnp.asarray(fb))
+    )(xp, jnp.asarray(wcos), jnp.asarray(wsin), jnp.asarray(fb))
     out = out[:, :n_frames, :]
     return out[0] if squeeze else out
