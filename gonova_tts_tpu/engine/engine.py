@@ -174,7 +174,12 @@ class TTSEngine:
         n = min(len(wav), max_samples)
         buf = np.zeros((max_samples,), np.float32)
         buf[:n] = wav[:n]
-        mel = mel_spectrogram(
+        use_pallas = self.ecfg.mel_pallas and jax.default_backend() != "cpu"
+        if use_pallas:
+            from ..ops import mel_spectrogram_pallas as _mel_fn
+        else:
+            _mel_fn = mel_spectrogram
+        mel = _mel_fn(
             jnp.asarray(buf)[None],
             sr=self.sample_rate,
             n_fft=self.mcfg.n_fft,

@@ -70,13 +70,18 @@ def _mel_kernel(
         for k in range(r):
             seg = rows[k : k + FRAME_BLOCK, :]
             real = real + jnp.dot(
-                seg, wcos_ref[k * hop : (k + 1) * hop, :], preferred_element_type=jnp.float32
+                seg, wcos_ref[k * hop : (k + 1) * hop, :],
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
             )
             imag = imag + jnp.dot(
-                seg, wsin_ref[k * hop : (k + 1) * hop, :], preferred_element_type=jnp.float32
+                seg, wsin_ref[k * hop : (k + 1) * hop, :],
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
             )
         mag = jnp.sqrt(jnp.maximum(real * real + imag * imag, 1e-9))
-        mel = jnp.dot(mag, fb_ref[:, :], preferred_element_type=jnp.float32)
+        mel = jnp.dot(
+            mag, fb_ref[:, :],
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        )
         out_ref[0, :, :] = jnp.log(jnp.maximum(mel, eps))
 
     pl.run_scoped(
