@@ -70,11 +70,23 @@ def frame_signal(x: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
 
     Reflect-pads (n_fft - hop) // 2 on each side so n_frames == T // hop_length
     for hop-aligned T.
+
+    When hop divides n_fft (all configs here), frames are built from a hop-row
+    reshape + r statically-shifted slices instead of a gather — TPU gathers are slow
+    (the same insight as the fused mel kernel), and this path also sits under the
+    training losses' multi-resolution STFT.
     """
     pad = (n_fft - hop_length) // 2
     x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
     total = x.shape[-1]
     n_frames = 1 + (total - n_fft) // hop_length
+    if n_fft % hop_length == 0:
+        r = n_fft // hop_length
+        n_rows = n_frames - 1 + r
+        rows = x[..., : n_rows * hop_length].reshape(x.shape[:-1] + (n_rows, hop_length))
+        return jnp.concatenate(
+            [rows[..., k : k + n_frames, :] for k in range(r)], axis=-1
+        )
     starts = jnp.arange(n_frames) * hop_length
     idx = starts[:, None] + jnp.arange(n_fft)[None, :]
     return x[..., idx]
