@@ -30,8 +30,6 @@ def cmd_serve(args: argparse.Namespace) -> int:
 
 
 def cmd_synth(args: argparse.Namespace) -> int:
-    import numpy as np
-
     from .audio import stitch
     from .config import load_config
     from .engine import TTSEngine

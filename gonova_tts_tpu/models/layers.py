@@ -9,7 +9,7 @@ argument so the engine can run bf16 with f32 params.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

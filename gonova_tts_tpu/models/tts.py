@@ -7,7 +7,7 @@ tokens → mel → waveform in one XLA graph (no host round-trip between the sta
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

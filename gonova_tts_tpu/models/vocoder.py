@@ -13,7 +13,7 @@ topology (strided/grouped convs), used by gonova_tts_tpu/train.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

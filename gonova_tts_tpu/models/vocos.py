@@ -16,8 +16,6 @@ Hann, hop = n_fft / 4), for which the squared-window overlap sum is the constant
 
 from __future__ import annotations
 
-from typing import Dict
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -12,8 +12,6 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-import jax
-
 
 def save_params(path: str, params: Any, step: Optional[int] = None) -> str:
     """Save a params pytree; returns the checkpoint directory written."""

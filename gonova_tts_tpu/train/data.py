@@ -16,7 +16,6 @@ serving engine, so train and serve share compile caches.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional, Sequence
 

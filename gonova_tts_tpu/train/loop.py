@@ -11,7 +11,6 @@ import time
 from typing import Optional
 
 import jax
-import numpy as np
 
 from ..config import Config, load_config
 from ..models import tts
