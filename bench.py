@@ -56,7 +56,7 @@ def main() -> None:
     sr = cfg.sample_rate
     hop = cfg.hop_length
 
-    params = tts.init(jax.random.PRNGKey(0), cfg)
+    params = jax.jit(lambda k: tts.init(k, cfg))(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     tokens = jnp.asarray(rng.integers(4, 48, (batch, bucket)), jnp.int32)
     mask = jnp.ones((batch, bucket), jnp.float32)

@@ -80,7 +80,12 @@ class TTSEngine:
             self.params = restore_params(self.mcfg.model_path)
             logger.info("params_restored", path=self.mcfg.model_path)
         else:
-            self.params = tts.init(jax.random.PRNGKey(self.seed), self.mcfg)
+            # One jitted (and persistently cached) init graph: eager init would issue
+            # ~100 separate random-normal dispatches, each paying a device round trip
+            # (minutes through this environment's tunnel).
+            self.params = jax.jit(lambda k: tts.init(k, self.mcfg))(
+                jax.random.PRNGKey(self.seed)
+            )
             logger.info("params_initialized", seed=self.seed)
 
         mcfg, dtype = self.mcfg, self.compute_dtype

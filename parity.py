@@ -28,7 +28,7 @@ def main() -> None:
     from gonova_tts_tpu.text import text_to_ids
 
     cfg = ModelConfig()
-    params = tts.init(jax.random.PRNGKey(0), cfg)
+    params = jax.jit(lambda k: tts.init(k, cfg))(jax.random.PRNGKey(0))
 
     texts = [
         "The weather today looks bright and clear over the hills.",
