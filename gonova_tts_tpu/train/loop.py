@@ -37,7 +37,8 @@ def train(
     """Run `steps` optimization steps; returns final metrics."""
     config = config or load_config()
     mcfg = config.model
-    params = tts.init(jax.random.PRNGKey(seed), mcfg)
+    # One jitted init graph (eager init = one device round trip per tensor).
+    params = jax.jit(lambda k: tts.init(k, mcfg))(jax.random.PRNGKey(seed))
     optimizer = tstep.make_optimizer(lr=lr)
     state = tstep.init_state(params, optimizer)
 
