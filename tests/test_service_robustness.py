@@ -136,3 +136,46 @@ def test_synthesize_missing_text_is_noop(client_ctx):
         return True
 
     assert loop.run_until_complete(run())
+
+
+def test_cancel_mid_synthesis_drops_remaining(client_ctx):
+    """Cancel while a long multi-sentence request is in flight: remaining sentences are
+    dropped (generation counter), the final marker still arrives, and the connection
+    keeps working."""
+    loop, client, srv = client_ctx
+
+    async def run():
+        ws = await client.ws_connect("/v1/stream/tts")
+        long_text = " ".join(f"Sentence number {i} to synthesize." for i in range(10))
+        await ws.send_json({"type": "synthesize", "text": long_text})
+        # Wait for the first audio frame, then cancel.
+        msg = await asyncio.wait_for(ws.receive(), timeout=60)
+        assert msg.type == WSMsgType.BINARY
+        await ws.send_json({"type": "cancel"})
+        # Drain until synthesis_complete; count frames after cancel ack.
+        binary_after_cancel = 0
+        saw_cancelled = False
+        saw_complete = False
+        while not saw_complete:
+            msg = await asyncio.wait_for(ws.receive(), timeout=60)
+            if msg.type == WSMsgType.BINARY:
+                if saw_cancelled:
+                    binary_after_cancel += 1
+            else:
+                data = json.loads(msg.data)
+                if data.get("type") == "cancelled":
+                    saw_cancelled = True
+                elif data.get("type") == "synthesis_complete":
+                    saw_complete = True
+        assert saw_cancelled
+        # Some frames may already be in flight, but most of the 10 sentences
+        # must have been dropped.
+        assert binary_after_cancel < 8
+        # Connection still usable.
+        await ws.send_json({"type": "synthesize", "text": "Post cancel check."})
+        chunks, _ = await _collect_synthesis(ws)
+        await ws.close()
+        assert len(chunks) == 1
+        return True
+
+    assert loop.run_until_complete(run())
