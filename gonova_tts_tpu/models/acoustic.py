@@ -46,6 +46,62 @@ def predictor_apply(p: Params, x: jnp.ndarray, mask: jnp.ndarray, dtype=jnp.floa
     return layers.dense(p["out"], h, dtype)[..., 0] * mask.astype(dtype)
 
 
+def predictors_apply_fused(
+    p_a: Params, p_b: Params, x: jnp.ndarray, mask: jnp.ndarray, dtype=jnp.float32
+):
+    """Run two variance predictors as ONE grouped-conv pass (same math as two
+    `predictor_apply` calls — pinned by tests).
+
+    Why: each predictor is ~8 tiny ops on [B, L, 256]; on TPU this stage is
+    op-count-bound (~40 µs per fused region — PERF.md breakdown), so halving the op
+    count nearly halves its wall time. Weights concat per call (device-side copy,
+    trivial); param layout unchanged.
+    """
+    m = mask[..., None].astype(x.dtype)
+    hidden = p_a["c1"]["w"].shape[-1]
+
+    def grouped_conv(wa, ba, wb, bb, inp):
+        # feature_group_count=2: input [B, L, 2*Cin] (the two groups' inputs stacked),
+        # kernel [k, Cin, 2*H] (out channels split by group).
+        w = jnp.concatenate([wa, wb], axis=-1).astype(dtype)
+        b = jnp.concatenate([ba, bb]).astype(dtype)
+        y = jax.lax.conv_general_dilated(
+            inp.astype(dtype),
+            w,
+            window_strides=(1,),
+            padding="SAME",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=2,
+            preferred_element_type=dtype,
+        )
+        return y + b
+
+    def dual_layernorm(pa_ln, pb_ln, h):
+        # Per-half LN: [B, L, 2, H] normalized over the last axis.
+        bdims = h.shape[:-1]
+        h4 = h.reshape(bdims + (2, hidden)).astype(jnp.float32)
+        mean = jnp.mean(h4, axis=-1, keepdims=True)
+        var = jnp.var(h4, axis=-1, keepdims=True)
+        normed = (h4 - mean) * jax.lax.rsqrt(var + 1e-5)
+        g = jnp.stack([pa_ln["g"], pb_ln["g"]])
+        bb = jnp.stack([pa_ln["b"], pb_ln["b"]])
+        return ((normed * g + bb).reshape(bdims + (2 * hidden,))).astype(dtype)
+
+    x2 = jnp.concatenate([x * m, x * m], axis=-1)
+    h = grouped_conv(p_a["c1"]["w"], p_a["c1"]["b"], p_b["c1"]["w"], p_b["c1"]["b"], x2)
+    h = dual_layernorm(p_a["ln1"], p_b["ln1"], jax.nn.relu(h))
+    h = h * m  # [B, L, 1] broadcasts over both groups' channels
+    h = grouped_conv(p_a["c2"]["w"], p_a["c2"]["b"], p_b["c2"]["w"], p_b["c2"]["b"], h)
+    h = dual_layernorm(p_a["ln2"], p_b["ln2"], jax.nn.relu(h))
+    # Final per-group projection to a scalar: [B, L, 2, H] x [2, H] -> [B, L, 2].
+    h4 = h.reshape(h.shape[:-1] + (2, hidden))
+    w_out = jnp.stack([p_a["out"]["w"][:, 0], p_b["out"]["w"][:, 0]]).astype(dtype)  # [2, H]
+    b_out = jnp.stack([p_a["out"]["b"][0], p_b["out"]["b"][0]]).astype(dtype)  # [2]
+    out = jnp.einsum("blgh,gh->blg", h4, w_out, preferred_element_type=dtype) + b_out
+    mm = mask.astype(dtype)
+    return out[..., 0] * mm, out[..., 1] * mm
+
+
 def init(rng, cfg: ModelConfig) -> Params:
     ks = jax.random.split(rng, 8)
     d = cfg.d_model
@@ -118,8 +174,10 @@ def forward(
 
     enc = layers.transformer_stack(params["encoder"], x, cfg.n_heads, token_mask, dtype)
 
-    # Durations (log-domain predictor).
-    log_dur = predictor_apply(params["dur_pred"], enc, token_mask, dtype)  # [B, L]
+    # Duration + pitch predictors in one grouped pass (see predictors_apply_fused).
+    log_dur, pitch = predictors_apply_fused(
+        params["dur_pred"], params["pitch_pred"], enc, token_mask, dtype
+    )
     if durations is None:
         dur = jnp.round(jnp.exp(log_dur.astype(jnp.float32)) - 1.0)
         dur = jnp.clip(dur, 1.0, float(cfg.max_frames_per_token)).astype(jnp.int32)
@@ -128,7 +186,6 @@ def forward(
         dur = durations.astype(jnp.int32) * token_mask.astype(jnp.int32)
 
     # Pitch with exaggeration-scaled variance (reference knob mapping).
-    pitch = predictor_apply(params["pitch_pred"], enc, token_mask, dtype)  # [B, L]
     denom = jnp.maximum(jnp.sum(mask_f, axis=-1, keepdims=True), 1.0)
     pitch_mean = jnp.sum(pitch * mask_f, axis=-1, keepdims=True) / denom
     scale = (1.0 + exaggeration.astype(dtype))[:, None]

@@ -256,3 +256,16 @@ def test_registry():
     assert registry.get("novatts").kind == "pipeline"
     with pytest.raises(KeyError):
         registry.get("nope")
+
+
+def test_fused_predictors_match_separate(cfg, params):
+    """predictors_apply_fused must equal two predictor_apply calls exactly."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 16, cfg.d_model)), jnp.float32)
+    mask = jnp.asarray([[1] * 16, [1] * 9 + [0] * 7], jnp.float32)
+    p = params["acoustic"]
+    dur_sep = acoustic.predictor_apply(p["dur_pred"], x, mask)
+    pitch_sep = acoustic.predictor_apply(p["pitch_pred"], x, mask)
+    dur_f, pitch_f = acoustic.predictors_apply_fused(p["dur_pred"], p["pitch_pred"], x, mask)
+    np.testing.assert_allclose(np.asarray(dur_f), np.asarray(dur_sep), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pitch_f), np.asarray(pitch_sep), atol=1e-5)
