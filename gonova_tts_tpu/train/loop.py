@@ -33,6 +33,7 @@ def train(
     n_data: Optional[int] = None,
     n_model: int = 1,
     seed: int = 0,
+    ema_decay: float = 0.999,
 ) -> dict:
     """Run `steps` optimization steps; returns final metrics."""
     config = config or load_config()
@@ -73,12 +74,16 @@ def train(
     else:
         step_fn = tstep.make_train_step(mcfg, optimizer)
 
+    ema = tstep.ema_init(jax.device_get(state.params))
+    ema_step = jax.jit(lambda e, p: tstep.ema_update(e, p, ema_decay))
+
     metrics = {}
     t0 = time.time()
     for i, batch in enumerate(batches()):
         if i >= steps:
             break
         state, metrics = step_fn(state, batch)
+        ema = ema_step(ema, state.params)
         if (i + 1) % 50 == 0 or i == 0:
             logger.info(
                 "train_step",
@@ -89,12 +94,12 @@ def train(
                 steps_per_sec=round((i + 1) / (time.time() - t0), 2),
             )
         if checkpoint_dir and (i + 1) % checkpoint_every == 0:
-            path = save_params(checkpoint_dir, jax.device_get(state.params), step=i + 1)
-            logger.info("checkpoint_saved", path=path)
+            path = save_params(checkpoint_dir, jax.device_get(ema), step=i + 1)
+            logger.info("checkpoint_saved", path=path, kind="ema")
 
     if checkpoint_dir:
-        path = save_params(checkpoint_dir, jax.device_get(state.params), step=steps)
-        logger.info("checkpoint_saved", path=path)
+        path = save_params(checkpoint_dir, jax.device_get(ema), step=steps)
+        logger.info("checkpoint_saved", path=path, kind="ema")
     return {k: float(v) for k, v in metrics.items()}
 
 

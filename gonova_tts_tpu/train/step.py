@@ -141,6 +141,21 @@ def make_sharded_train_step(
     return sharded, placed_state
 
 
+# ---------------------------------------------------------------- EMA
+
+
+def ema_init(params: Any) -> Any:
+    """Exponential-moving-average shadow of the params (standard TTS practice:
+    the EMA weights, not the raw ones, are what gets served)."""
+    return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def ema_update(ema: Any, params: Any, decay: float = 0.999) -> Any:
+    return jax.tree_util.tree_map(
+        lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay), ema, params
+    )
+
+
 # ---------------------------------------------------------------- GAN steps (vocoder)
 
 

@@ -185,3 +185,12 @@ def test_checkpoint_roundtrip(cfg, params, tmp_path):
     restored = restore_params(path)
     for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(restored)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_ema_update(cfg, params):
+    ema = tstep.ema_init(params)
+    bumped = jax.tree_util.tree_map(lambda x: x + 1.0, params)
+    ema2 = tstep.ema_update(ema, bumped, decay=0.9)
+    a = jax.tree_util.tree_leaves(params)[0]
+    b = jax.tree_util.tree_leaves(ema2)[0]
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a) * 0.9 + (np.asarray(a) + 1.0) * 0.1, atol=1e-6)
