@@ -119,6 +119,9 @@ class TTSService:
                 )
                 if self.device_health.get("status") not in ("ok", "unloaded"):
                     logger.warning("device_health_degraded", **self.device_health)
+                # Unbounded-growth guard the reference lacks: drop idle rate-limiter
+                # clients each probe cycle.
+                self.rate_limiter.prune()
                 await asyncio.sleep(interval_s)
             except asyncio.CancelledError:
                 break
