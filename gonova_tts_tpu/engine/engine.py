@@ -369,11 +369,14 @@ class TTSEngine:
         """
         if not self.is_loaded:
             return {"status": "unloaded"}
+        # Actively serving (lock held) means the device is alive — don't queue a probe
+        # behind real work and misreport load as ill health.
+        if not self._lock.acquire(blocking=False):
+            return {"status": "ok", "note": "busy serving"}
         t0 = time.time()
         try:
-            with self._lock:
-                probe = jnp.ones((8, 128), jnp.float32)
-                val = float(jnp.sum(self._probe(probe)))
+            probe = jnp.ones((8, 128), jnp.float32)
+            val = float(jnp.sum(self._probe(probe)))
             latency = time.time() - t0
             if latency > deadline_s:
                 return {"status": "degraded", "probe_latency_s": round(latency, 3)}
@@ -382,6 +385,8 @@ class TTSEngine:
             return {"status": "ok", "probe_latency_s": round(latency, 3)}
         except Exception as e:  # noqa: BLE001
             return {"status": "unhealthy", "reason": str(e)}
+        finally:
+            self._lock.release()
 
     # ------------------------------------------------------------ stats / misc
 
