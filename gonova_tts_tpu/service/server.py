@@ -256,7 +256,7 @@ class TTSService:
 
     async def handle_connection(self, ws: web.WebSocketResponse, conn_id: str) -> None:
         output_queue = self.queue_manager.register_connection(conn_id)
-        self.connections[conn_id] = {"connected_at": time.time()}
+        self.connections[conn_id] = {"connected_at": time.time(), "last_activity": time.time()}
         self.active_connections += 1
         self._cancel_generations[conn_id] = 0
         logger.info(
@@ -268,6 +268,7 @@ class TTSService:
         async def receive_requests() -> None:
             try:
                 async for msg in ws:
+                    self.connections[conn_id]["last_activity"] = time.time()
                     if msg.type == WSMsgType.TEXT:
                         try:
                             await self._handle_message(ws, conn_id, json.loads(msg.data))
@@ -283,12 +284,21 @@ class TTSService:
                 pass
 
         async def send_audio() -> None:
+            idle_limit = self.config.server.connection_timeout
             try:
                 while True:
                     try:
                         chunk = await asyncio.wait_for(output_queue.get(), timeout=1.0)
                     except asyncio.TimeoutError:
+                        # Idle-connection timeout (server.connection_timeout — present in
+                        # the reference's config schema but never wired there, §5.6).
+                        idle = time.time() - self.connections[conn_id]["last_activity"]
+                        if idle_limit and idle > idle_limit:
+                            logger.info("connection_idle_timeout", connection_id=conn_id)
+                            await ws.close()
+                            break
                         continue
+                    self.connections[conn_id]["last_activity"] = time.time()
                     try:
                         if not chunk.is_final:
                             await ws.send_bytes(chunk.audio_data)
@@ -341,6 +351,11 @@ class TTSService:
                 generation=self._cancel_generations.get(conn_id, 0),
             )
         elif mtype == "register_voice":
+            if not self.config.voice_cloning.enabled:
+                await ws.send_json(
+                    {"type": "error", "message": "Voice registration failed: voice cloning disabled"}
+                )
+                return
             voice_id = data.get("voice_id")
             reference_audio = data.get("reference_audio")
             if voice_id and reference_audio:

@@ -179,3 +179,59 @@ def test_cancel_mid_synthesis_drops_remaining(client_ctx):
         return True
 
     assert loop.run_until_complete(run())
+
+
+def test_voice_cloning_disabled_config(tmp_path_factory):
+    """voice_cloning.enabled=false must reject registrations (honoring the config key
+    the reference schema defines but never wires)."""
+    from gonova_tts_tpu.service import server as srv
+
+    tmp_path = tmp_path_factory.mktemp("svc_nvc")
+    cfg = service_config(tmp_path)
+    cfg.voice_cloning.enabled = False
+    loop = asyncio.new_event_loop()
+    app = srv.create_app(cfg)
+    client = TestClient(TestServer(app), loop=loop)
+    loop.run_until_complete(client.start_server())
+    try:
+        async def run():
+            ws = await client.ws_connect("/v1/stream/tts")
+            await ws.send_json({"type": "register_voice", "voice_id": "x",
+                                "reference_audio": "aGVsbG8="})
+            msg = json.loads((await asyncio.wait_for(ws.receive(), 30)).data)
+            assert msg["type"] == "error" and "disabled" in msg["message"]
+            # Synthesis still works.
+            await ws.send_json({"type": "synthesize", "text": "Still synthesizing."})
+            chunks, _ = await _collect_synthesis(ws)
+            await ws.close()
+            assert len(chunks) == 1
+            return True
+
+        assert loop.run_until_complete(run())
+    finally:
+        loop.run_until_complete(client.close())
+        loop.close()
+
+
+def test_idle_connection_timeout(tmp_path_factory):
+    """server.connection_timeout closes idle connections."""
+    from gonova_tts_tpu.service import server as srv
+
+    tmp_path = tmp_path_factory.mktemp("svc_idle")
+    cfg = service_config(tmp_path)
+    cfg.server.connection_timeout = 2.0
+    loop = asyncio.new_event_loop()
+    app = srv.create_app(cfg)
+    client = TestClient(TestServer(app), loop=loop)
+    loop.run_until_complete(client.start_server())
+    try:
+        async def run():
+            ws = await client.ws_connect("/v1/stream/tts")
+            msg = await asyncio.wait_for(ws.receive(), timeout=15)
+            assert msg.type in (WSMsgType.CLOSE, WSMsgType.CLOSING, WSMsgType.CLOSED)
+            return True
+
+        assert loop.run_until_complete(run())
+    finally:
+        loop.run_until_complete(client.close())
+        loop.close()
