@@ -35,6 +35,7 @@ class SynthesisRequest:
     exaggeration: float = 0.5
     streaming: bool = True
     generation: int = 0  # cancel support: stale generations are skipped
+    metadata: bool = False  # opt-in synthesis_started frame (README-promised extension)
     cancelled: bool = field(default=False, compare=False)
 
 
@@ -109,6 +110,7 @@ class TTSQueueManager:
         streaming: bool = True,
         timeout: float = 2.0,
         generation: int = 0,
+        metadata: bool = False,
     ) -> bool:
         request = SynthesisRequest(
             connection_id=connection_id,
@@ -119,6 +121,7 @@ class TTSQueueManager:
             exaggeration=exaggeration,
             streaming=streaming,
             generation=generation,
+            metadata=metadata,
         )
         try:
             await asyncio.wait_for(self.input_queue.put(request), timeout=timeout)

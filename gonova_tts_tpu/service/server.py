@@ -212,6 +212,13 @@ class TTSService:
                 try:
                     speaker = await self._resolve_speaker(request.voice_id)
                     sentences = segment_text(request.text)
+                    if request.metadata:
+                        # Opt-in extension (reference README.md:160-173, never shipped
+                        # there): announce synthesis start without breaking byte-parity
+                        # for clients that didn't ask for it.
+                        await self.queue_manager.enqueue_audio_chunk(
+                            request.connection_id, b"", -1, is_final=False
+                        )
                     pending = [
                         asyncio.create_task(
                             self.batcher.submit(s, speaker, request.exaggeration)
@@ -300,7 +307,9 @@ class TTSService:
                         continue
                     self.connections[conn_id]["last_activity"] = time.time()
                     try:
-                        if not chunk.is_final:
+                        if chunk.chunk_id == -1 and not chunk.is_final:
+                            await ws.send_json({"type": "synthesis_started"})
+                        elif not chunk.is_final:
                             await ws.send_bytes(chunk.audio_data)
                         else:
                             await ws.send_json(
@@ -349,6 +358,7 @@ class TTSService:
                 ),
                 streaming=data.get("streaming", True),
                 generation=self._cancel_generations.get(conn_id, 0),
+                metadata=data.get("metadata", False),
             )
         elif mtype == "register_voice":
             if not self.config.voice_cloning.enabled:

@@ -352,3 +352,26 @@ def test_health_includes_device_health(client_ctx):
         return True
 
     assert loop.run_until_complete(run())
+
+
+def test_metadata_optin_synthesis_started(client_ctx):
+    """With "metadata": true, a synthesis_started frame precedes audio (README-promised
+    extension; absent by default for byte-parity)."""
+    loop, client, srv = client_ctx
+
+    async def run():
+        ws = await client.ws_connect("/v1/stream/tts")
+        await ws.send_json({"type": "synthesize", "text": "Announce me.", "metadata": True})
+        first = json.loads((await asyncio.wait_for(ws.receive(), 120)).data)
+        assert first == {"type": "synthesis_started"}
+        chunks, final = await _collect_synthesis(ws)
+        assert len(chunks) == 1
+        # Default: no announcement frame.
+        await ws.send_json({"type": "synthesize", "text": "Silent start."})
+        msg = await asyncio.wait_for(ws.receive(), 120)
+        assert msg.type == WSMsgType.BINARY
+        chunks2, _ = await _collect_synthesis(ws)
+        await ws.close()
+        return True
+
+    assert loop.run_until_complete(run())
