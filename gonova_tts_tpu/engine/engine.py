@@ -223,6 +223,8 @@ class TTSEngine:
         """
         if not self.is_loaded:
             raise RuntimeError("Engine not loaded. Call load() first")
+        if not texts:
+            return []
         t0 = time.time()
         b = len(texts)
         id_lists = [text_to_ids(t) for t in texts]

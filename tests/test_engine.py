@@ -205,3 +205,7 @@ def test_health_check(engine):
     import tests  # noqa: F401
     e2 = TTSEngine(engine.config)
     assert e2.health_check()["status"] == "unloaded"
+
+
+def test_synthesize_batch_empty_list(engine):
+    assert engine.synthesize_batch([]) == []
