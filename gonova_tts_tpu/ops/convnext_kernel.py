@@ -3,15 +3,21 @@
 One vocos block = depthwise conv k=7 → LayerNorm → dense C→F → GELU → dense F→C →
 layer-scale residual.  Unfused, that is ~7 XLA kernels with [B, T, C] and [B, T, F]
 intermediates round-tripping HBM per block (8 blocks per vocoder pass).  This kernel
-keeps one [TILE_T, C] tile resident in VMEM through the whole chain: the depthwise
-conv is 7 shifted VPU multiplies over a halo'd tile, the two MLP matmuls run on the
-MXU with f32 accumulation, and only the block output returns to HBM.
+keeps tiles resident in VMEM through the whole chain: the depthwise conv is 7 shifted
+VPU multiplies over halo'd rows, the two MLP matmuls run on the MXU with f32
+accumulation, and only the block output returns to HBM.
 
-Halo handling: the host pads the time axis by 3 on both sides, so every tile can read
-[t0, t0 + TILE_T + 6) without branching; tiles are disjoint on output.
+v2 notes (after measuring v1 at 2.94 ms vs XLA's 2.63 ms): each grid step now
+processes ROWS_PER_TILE batch rows at once, so the pointwise matmuls see
+ROWS_PER_TILE × TILE_T rows (MXU efficiency grows with row count — XLA's advantage
+was running them over the whole [B*T] extent), and the MLP weights are staged in
+bf16 (halves their VMEM footprint).
+
+Halo handling: the host pads the time axis by READ_HALO on both sides (4, keeping DMA
+slice lengths 8-aligned for Mosaic); tiles are disjoint on output.
 
 allclose-tested against models/vocos._block_apply in tests/test_kernels.py (interpret
-mode on CPU; compiled on TPU).
+mode on CPU; compiled + measured on TPU — PERF.md).
 """
 
 from __future__ import annotations
@@ -25,60 +31,67 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_T = 256  # frames per grid step
 HALO = 3  # depthwise kernel 7 → ±3
-READ_HALO = 4  # DMA'd halo per side — padded to keep slice length (TILE_T + 8) 8-aligned (Mosaic tiling)
+READ_HALO = 4  # DMA'd halo per side — keeps slice length (TILE_T + 8) 8-aligned (Mosaic)
+ROWS_PER_TILE = 2  # batch rows per grid step (bigger pointwise matmuls)
 
 
 def _block_kernel(
-    x_ref,  # [B, T+6, C] in HBM/ANY (host-padded halo)
+    x_ref,  # [B, T_pad + 2*READ_HALO, C] in HBM/ANY (host-padded halo)
     dw_ref,  # [7, C] VMEM
     dwb_ref,  # [1, C] VMEM
     lng_ref,  # [1, C] VMEM
     lnb_ref,  # [1, C] VMEM
-    w1_ref,  # [C, F] VMEM
+    w1_ref,  # [C, F] VMEM (compute dtype)
     b1_ref,  # [1, F] VMEM
-    w2_ref,  # [F, C] VMEM
+    w2_ref,  # [F, C] VMEM (compute dtype)
     b2_ref,  # [1, C] VMEM
     gamma_ref,  # [1, C] VMEM
-    out_ref,  # [1, TILE_T, C] VMEM block
+    out_ref,  # [RB, TILE_T, C] VMEM block
     *,
     eps: float,
     compute_dtype,
 ):
     b_idx = pl.program_id(0)
     t_idx = pl.program_id(1)
-    c = out_ref.shape[-1]
+    rb, _, c = out_ref.shape
+    f = w1_ref.shape[1]
+    read_rows = TILE_T + 2 * READ_HALO
+    off = READ_HALO - HALO
 
     def body(scratch, sem):
         dma = pltpu.make_async_copy(
-            x_ref.at[b_idx, pl.ds(t_idx * TILE_T, TILE_T + 2 * READ_HALO), :],
+            x_ref.at[
+                pl.ds(b_idx * rb, rb), pl.ds(t_idx * TILE_T, read_rows), :
+            ],
             scratch,
             sem,
         )
         dma.start()
         dma.wait()
-        xs = scratch[:]  # [TILE_T + 2*READ_HALO, C]
-        off = READ_HALO - HALO  # skip the alignment padding
-        center = xs[READ_HALO : READ_HALO + TILE_T, :]
+        xs = scratch[:]  # [RB, read_rows, C]
+        center = xs[:, READ_HALO : READ_HALO + TILE_T, :]
 
-        # Depthwise conv k=7: seven shifted VPU multiply-adds.
-        acc = dwb_ref[0, :][None, :].astype(jnp.float32)
-        acc = jnp.broadcast_to(acc, (TILE_T, c)).astype(jnp.float32)
+        # Depthwise conv k=7: seven shifted VPU multiply-adds (per batch row, batched).
+        acc = jnp.broadcast_to(
+            dwb_ref[0, :][None, None, :].astype(jnp.float32), (rb, TILE_T, c)
+        )
         for j in range(7):
-            acc = acc + xs[off + j : off + j + TILE_T, :].astype(jnp.float32) * dw_ref[j, :][
-                None, :
-            ].astype(jnp.float32)
+            acc = acc + xs[:, off + j : off + j + TILE_T, :].astype(jnp.float32) * dw_ref[
+                j, :
+            ][None, None, :].astype(jnp.float32)
 
         # LayerNorm over channels (f32).
         mean = jnp.mean(acc, axis=-1, keepdims=True)
         var = jnp.mean((acc - mean) ** 2, axis=-1, keepdims=True)
         normed = (acc - mean) * jax.lax.rsqrt(var + eps)
-        normed = normed * lng_ref[0, :][None, :] + lnb_ref[0, :][None, :]
+        normed = normed * lng_ref[0, :][None, None, :] + lnb_ref[0, :][None, None, :]
 
-        # Pointwise MLP on the MXU.
+        # Pointwise MLP on the MXU over all RB*TILE_T rows at once.
+        flat = normed.reshape(rb * TILE_T, c)
         h = (
             jnp.dot(
-                normed.astype(compute_dtype),
-                w1_ref[:, :].astype(compute_dtype),
+                flat.astype(compute_dtype),
+                w1_ref[:, :],
                 preferred_element_type=jnp.float32,
             )
             + b1_ref[0, :][None, :]
@@ -87,17 +100,18 @@ def _block_kernel(
         h = (
             jnp.dot(
                 h.astype(compute_dtype),
-                w2_ref[:, :].astype(compute_dtype),
+                w2_ref[:, :],
                 preferred_element_type=jnp.float32,
             )
             + b2_ref[0, :][None, :]
         )
+        h = h.reshape(rb, TILE_T, c)
 
-        out_ref[0, :, :] = center + (h * gamma_ref[0, :][None, :]).astype(center.dtype)
+        out_ref[:, :, :] = center + (h * gamma_ref[0, :][None, None, :]).astype(center.dtype)
 
     pl.run_scoped(
         body,
-        pltpu.VMEM((TILE_T + 2 * READ_HALO, c), x_ref.dtype),
+        pltpu.VMEM((rb, read_rows, c), x_ref.dtype),
         pltpu.SemaphoreType.DMA(()),
     )
 
@@ -119,17 +133,19 @@ def convnext_block_pallas(
     bf16: bool = True,
 ) -> jnp.ndarray:
     b, t, c = x.shape
-    n_tiles = -(-t // TILE_T)
-    t_pad = n_tiles * TILE_T
+    n_t_tiles = -(-t // TILE_T)
+    t_pad = n_t_tiles * TILE_T
+    rb = ROWS_PER_TILE if b % ROWS_PER_TILE == 0 else 1
+    n_b_tiles = b // rb
     xp = jnp.pad(x, ((0, 0), (READ_HALO, READ_HALO + (t_pad - t)), (0, 0)))
 
+    compute_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    w1c = w1.astype(compute_dtype)
+    w2c = w2.astype(compute_dtype)
+
     out = pl.pallas_call(
-        functools.partial(
-            _block_kernel,
-            eps=eps,
-            compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
-        ),
-        grid=(b, n_tiles),
+        functools.partial(_block_kernel, eps=eps, compute_dtype=compute_dtype),
+        grid=(n_b_tiles, n_t_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM; kernel DMAs halo tiles
             pl.BlockSpec((7, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
@@ -143,9 +159,9 @@ def convnext_block_pallas(
             pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, TILE_T, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            (rb, TILE_T, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, t_pad, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_b_tiles * rb, t_pad, c), x.dtype),
         interpret=interpret,
     )(
         xp,
@@ -153,10 +169,10 @@ def convnext_block_pallas(
         dw_b[None],
         ln_g[None],
         ln_b[None],
-        w1,
+        w1c,
         b1[None],
-        w2,
+        w2c,
         b2[None],
         gamma[None],
     )
-    return out[:, :t, :]
+    return out[:b, :t, :]
