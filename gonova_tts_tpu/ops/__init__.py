@@ -6,6 +6,7 @@ DSP hot paths, each allclose-tested against the pure-JAX implementation it fuses
 """
 
 from .convnext_kernel import convnext_block_pallas
+from .vocos_stack_kernel import vocos_stack_pallas
 from .mel_kernel import mel_spectrogram_pallas
 
-__all__ = ["convnext_block_pallas", "mel_spectrogram_pallas"]
+__all__ = ["convnext_block_pallas", "mel_spectrogram_pallas", "vocos_stack_pallas"]

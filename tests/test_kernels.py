@@ -124,3 +124,34 @@ def test_vocos_forward_with_pallas_flag(rng):
     finally:
         ck.convnext_block_pallas = orig
     np.testing.assert_allclose(fused, plain, atol=5e-4, rtol=1e-3)
+
+
+def test_vocos_stack_kernel_matches_sequential_blocks(rng):
+    """Whole-stack fused kernel == sequential _block_apply (batch 2/4/8)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gonova_tts_tpu.config import ModelConfig
+    from gonova_tts_tpu.models import vocos
+    from gonova_tts_tpu.ops.vocos_stack_kernel import vocos_stack_pallas
+
+    cfg = ModelConfig(vocos_dim=128, vocos_ff=256, vocos_layers=3)
+    params = vocos.init(jax.random.PRNGKey(0), cfg)
+    stacked = [
+        jnp.stack([b["dw"] for b in params["blocks"]]),
+        jnp.stack([b["dw_b"] for b in params["blocks"]]),
+        jnp.stack([b["ln"]["g"] for b in params["blocks"]]),
+        jnp.stack([b["ln"]["b"] for b in params["blocks"]]),
+        jnp.stack([b["pw1"]["w"] for b in params["blocks"]]),
+        jnp.stack([b["pw1"]["b"] for b in params["blocks"]]),
+        jnp.stack([b["pw2"]["w"] for b in params["blocks"]]),
+        jnp.stack([b["pw2"]["b"] for b in params["blocks"]]),
+        jnp.stack([b["gamma"] for b in params["blocks"]]),
+    ]
+    for b in (2, 4):
+        x = jnp.asarray(rng.standard_normal((b, 50, 128)).astype(np.float32))
+        y = x
+        for blk in params["blocks"]:
+            y = vocos._block_apply(blk, y, jnp.float32)
+        ours = np.asarray(vocos_stack_pallas(x, *stacked, interpret=True, bf16=False))
+        np.testing.assert_allclose(ours, np.asarray(y), atol=3e-4)
