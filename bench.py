@@ -11,7 +11,8 @@ Workload: 16 concurrent ~10-word utterances (BASELINE.json configs #1/#2), 64-to
 bucket, fixed realistic durations (5 mel frames/token ≈ 53 ms/phoneme) so measured
 compute matches a trained model's workload independent of this checkpoint's duration
 predictor.  Full pipeline per pass: encoder → length regulate → decoder → mel →
-HiFi-GAN vocoder → 24 kHz waveform, bf16 on TPU.
+NovaVocos vocoder (iSTFT head; the flagship/config-default family) → 24 kHz waveform,
+bf16 on TPU.
 
 Measurement notes for this environment: the axon TPU backend's `block_until_ready` does
 not synchronize and host readbacks carry ~30 ms of tunnel latency, so the pipeline is

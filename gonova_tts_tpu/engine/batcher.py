@@ -61,6 +61,12 @@ class DynamicBatcher:
             except asyncio.CancelledError:
                 pass
             self._task = None
+        # Fail any admitted-but-unbatched items so submit() callers never hang on a
+        # mid-flight stop (in-flight batches resolve their own futures above).
+        while not self._queue.empty():
+            item = self._queue.get_nowait()
+            if item.future is not None and not item.future.done():
+                item.future.set_exception(RuntimeError("batcher stopped"))
 
     async def submit(
         self,

@@ -122,17 +122,19 @@ class VoiceManager:
 
     async def get_voice(self, voice_id: str) -> Optional[str]:
         """Resolve a voice id to its stored WAV path (memory → disk → None)."""
-        if voice_id in self.voice_cache:
-            self.stats["cache_hits"] += 1
-            return self.voice_cache[voice_id]
         try:
             safe_id = sanitize_voice_id(voice_id)
         except ValueError:
             self.stats["cache_misses"] += 1
             return None
+        # Cache is keyed by the sanitized id only (registration stores under safe_id);
+        # two raw ids sanitizing to the same file share one entry.
+        if safe_id in self.voice_cache:
+            self.stats["cache_hits"] += 1
+            return self.voice_cache[safe_id]
         voice_path = self.cache_dir / f"{safe_id}.wav"
         if voice_path.exists():
-            self.voice_cache[voice_id] = str(voice_path)
+            self.voice_cache[safe_id] = str(voice_path)
             self.stats["cache_hits"] += 1
             return str(voice_path)
         self.stats["cache_misses"] += 1

@@ -185,6 +185,22 @@ def test_dynamic_batcher_coalesces(engine):
     assert metrics["max_batch_seen"] >= 2
 
 
+def test_dynamic_batcher_stop_flushes_pending(engine):
+    """A mid-flight stop() must not strand submit() callers awaiting forever:
+    admitted-but-unbatched items get their futures failed."""
+
+    async def run():
+        batcher = DynamicBatcher(engine, max_batch=4, window_ms=10_000)
+        # Worker NOT started: submissions sit in the queue.
+        task = asyncio.ensure_future(batcher.submit("Stranded sentence."))
+        await asyncio.sleep(0.05)
+        await batcher.stop()
+        with pytest.raises(RuntimeError, match="batcher stopped"):
+            await asyncio.wait_for(task, timeout=5.0)
+
+    asyncio.run(run())
+
+
 def test_dynamic_batcher_error_isolation(engine):
     async def run():
         batcher = DynamicBatcher(engine, max_batch=4, window_ms=10)

@@ -118,6 +118,26 @@ def test_voice_manager_register_and_lookup(tmp_path):
     assert asyncio.run(run())
 
 
+def test_voice_manager_cache_key_is_sanitized(tmp_path):
+    """Two raw ids sanitizing to the same file must share one cache entry, and
+    list_voices must report is_cached correctly after an aliased lookup."""
+
+    async def run():
+        vm = VoiceManager(cache_dir=str(tmp_path / "voices"))
+        b64 = base64.b64encode(write_wav(None, _tone(), 24000)).decode()
+        await vm.register_voice("alice", b64)
+        vm2 = VoiceManager(cache_dir=str(tmp_path / "voices"))
+        # 'al/ice' sanitizes to 'alice' → same entry, keyed by the safe id.
+        p1 = await vm2.get_voice("al/ice")
+        p2 = await vm2.get_voice("alice")
+        assert p1 == p2
+        assert list(vm2.voice_cache) == ["alice"]
+        assert vm2.list_voices()[0]["is_cached"] is True
+        return True
+
+    assert asyncio.run(run())
+
+
 def test_voice_manager_rejects_bad_payloads(tmp_path):
     async def run():
         vm = VoiceManager(cache_dir=str(tmp_path / "voices"))
