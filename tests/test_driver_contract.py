@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_entry_compiles_and_runs():
     import __graft_entry__ as g
 
@@ -20,6 +21,7 @@ def test_entry_compiles_and_runs():
     assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8(capsys):
     import __graft_entry__ as g
 
@@ -27,6 +29,7 @@ def test_dryrun_multichip_8(capsys):
     assert "dryrun_multichip ok" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_odd_device_count():
     import __graft_entry__ as g
 
@@ -68,6 +71,7 @@ def test_dryrun_multichip_self_bootstraps_without_conftest():
     assert "dryrun_multichip ok" in proc.stdout
 
 
+@pytest.mark.slow
 def test_bench_prints_driver_json(capsys):
     sys.argv = ["bench.py"]
     runpy.run_path("bench.py", run_name="__main__")
@@ -78,6 +82,7 @@ def test_bench_prints_driver_json(capsys):
     assert data["metric"] == "audio_sec_per_sec_per_chip"
 
 
+@pytest.mark.slow
 def test_parity_prints_json(capsys):
     sys.argv = ["parity.py"]
     runpy.run_path("parity.py", run_name="__main__")

@@ -73,6 +73,7 @@ def test_fused_convnext_matches_oracle(rng):
     np.testing.assert_allclose(ours, oracle, atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_convnext_tile_boundary(rng):
     """Exactly one tile (256) and just over (257 frames): halo correctness."""
     import jax
@@ -126,6 +127,7 @@ def test_vocos_forward_with_pallas_flag(rng):
     np.testing.assert_allclose(fused, plain, atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_vocos_stack_kernel_matches_sequential_blocks(rng):
     """Whole-stack fused kernel == sequential _block_apply (batch 2/4/8)."""
     import jax

@@ -15,6 +15,7 @@ def attn_params():
     return layers.mha_init(jax.random.PRNGKey(0), 32)
 
 
+@pytest.mark.slow
 def test_local_equals_full_when_span_covers(attn_params):
     """With 3*window >= T, every query sees every key → identical to full MHA."""
     rng = np.random.default_rng(0)
@@ -54,6 +55,7 @@ def test_local_rejects_nondivisible(attn_params):
         layers.local_mha(attn_params, jnp.zeros((1, 10, 32)), 4, window=4)
 
 
+@pytest.mark.slow
 def test_decoder_uses_local_attention_at_large_buckets():
     cfg = ModelConfig(
         d_model=64, n_heads=2, d_ff=128, encoder_layers=1, decoder_layers=1,

@@ -126,6 +126,7 @@ def test_length_regulate_overflow_clamped():
 # ---------------------------------------------------------------- acoustic model
 
 
+@pytest.mark.slow
 def test_acoustic_shapes(cfg, params):
     tokens, mask, spk, exagg = _inputs(cfg)
     out = acoustic.forward(params["acoustic"], tokens, mask, spk, exagg, cfg)
@@ -157,6 +158,7 @@ def test_acoustic_teacher_durations(cfg, params):
     np.testing.assert_array_equal(np.asarray(out["total_frames"]), expected)
 
 
+@pytest.mark.slow
 def test_exaggeration_changes_output(cfg, params):
     tokens, mask, spk, _ = _inputs(cfg, b=1, l=16)
     out0 = acoustic.forward(params["acoustic"], tokens, mask, spk, jnp.asarray([0.0]), cfg)
@@ -171,6 +173,7 @@ def test_vocoder_upsample_factor(cfg):
     assert vocoder.upsample_factor(cfg) == 256 == cfg.hop_length
 
 
+@pytest.mark.slow
 def test_vocoder_shapes(cfg, params):
     mel = jnp.zeros((2, 32, cfg.n_mels))
     wav = vocoder.forward(params["vocoder"], mel, cfg)
@@ -179,6 +182,7 @@ def test_vocoder_shapes(cfg, params):
     assert np.abs(np.asarray(wav)).max() <= 1.0  # tanh range
 
 
+@pytest.mark.slow
 def test_vocoder_locality(cfg, params):
     """Vocoder is convolutional: a mel change at frame f must not affect samples far
     outside f's receptive field (no global leakage)."""
@@ -193,6 +197,7 @@ def test_vocoder_locality(cfg, params):
     assert not np.allclose(wav1[0, 60 * 256 : 61 * 256], wav2[0, 60 * 256 : 61 * 256], atol=1e-4)
 
 
+@pytest.mark.slow
 def test_discriminators_run(cfg, params):
     wav = jnp.asarray(np.random.default_rng(0).standard_normal((2, 4096)), jnp.float32)
     mpd = vocoder.mpd_init(jax.random.PRNGKey(3))
@@ -207,6 +212,7 @@ def test_discriminators_run(cfg, params):
 # ---------------------------------------------------------------- speaker encoder
 
 
+@pytest.mark.slow
 def test_speaker_embedding_normalized(cfg, params):
     rng = np.random.default_rng(0)
     mel = jnp.asarray(rng.standard_normal((2, 100, cfg.n_mels)), jnp.float32)
@@ -216,6 +222,7 @@ def test_speaker_embedding_normalized(cfg, params):
     np.testing.assert_allclose(np.asarray(jnp.linalg.norm(emb, axis=-1)), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_speaker_mask_invariance(cfg, params):
     rng = np.random.default_rng(0)
     mel = jnp.asarray(rng.standard_normal((1, 100, cfg.n_mels)), jnp.float32)
@@ -243,6 +250,7 @@ def test_pipeline_jit_compiles_and_runs(cfg, params):
     assert np.all(a[1, ts[1] :] == 0.0)
 
 
+@pytest.mark.slow
 def test_pipeline_bf16_runs(cfg, params):
     tokens, mask, spk, exagg = _inputs(cfg)
     out = tts.synthesize(params, tokens, mask, spk, exagg, cfg, dtype=jnp.bfloat16)

@@ -66,6 +66,7 @@ def test_shard_params_places_on_mesh(cfg, params):
     assert ln.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_forward_parity_single_vs_mesh(cfg, params):
     """The sharded forward must produce the same audio as single-device."""
     mesh = make_mesh(n_data=4, n_model=2)
@@ -91,6 +92,7 @@ def test_forward_parity_single_vs_mesh(cfg, params):
     )
 
 
+@pytest.mark.slow
 def test_sharded_train_step_runs_and_descends(cfg, params):
     opt = tstep.make_optimizer(lr=1e-4, warmup=1)
     state = tstep.init_state(params, opt)
@@ -106,6 +108,7 @@ def test_sharded_train_step_runs_and_descends(cfg, params):
     assert int(pstate.step) == 6
 
 
+@pytest.mark.slow
 def test_unsharded_train_step_matches_sharded(cfg, params):
     opt = tstep.make_optimizer(lr=1e-3, warmup=1)
     batch = tstep.synthetic_batch(cfg, batch=8, tokens=16)
@@ -118,6 +121,7 @@ def test_unsharded_train_step_matches_sharded(cfg, params):
     assert abs(float(m1["total"]) - float(m2["total"])) < 1e-4
 
 
+@pytest.mark.slow
 def test_data_only_mesh(cfg, params):
     """Pure-dp mesh (model axis 1) must also work — the serving layout."""
     opt = tstep.make_optimizer(lr=1e-3, warmup=1)
@@ -149,6 +153,7 @@ def test_duration_loss_zero_when_exact():
     assert float(losses.duration_loss(log_dur, dur, mask)) == pytest.approx(0.0, abs=1e-6)
 
 
+@pytest.mark.slow
 def test_mrstft_loss_zero_on_identical(rng):
     x = jnp.asarray(rng.standard_normal((2, 4096)).astype(np.float32))
     assert float(losses.multi_resolution_stft_loss(x, x)) == pytest.approx(0.0, abs=1e-5)
@@ -156,6 +161,7 @@ def test_mrstft_loss_zero_on_identical(rng):
     assert float(losses.multi_resolution_stft_loss(x, y)) > 0.01
 
 
+@pytest.mark.slow
 def test_gan_steps_run(cfg, params):
     g_opt = tstep.make_optimizer(lr=2e-4, warmup=1)
     d_opt = tstep.make_optimizer(lr=2e-4, warmup=1)
@@ -187,6 +193,7 @@ def test_checkpoint_roundtrip(cfg, params, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_ema_update(cfg, params):
     ema = tstep.ema_init(params)
     bumped = jax.tree_util.tree_map(lambda x: x + 1.0, params)

@@ -4,7 +4,10 @@ import json
 import runpy
 import sys
 
+import pytest
 
+
+@pytest.mark.slow
 def test_parity_gate(capsys):
     sys.argv = ["parity.py"]
     runpy.run_path("parity.py", run_name="__main__")

@@ -30,6 +30,7 @@ def client_ctx(tmp_path_factory):
     loop.close()
 
 
+@pytest.mark.slow
 def test_input_queue_overflow_drops_but_survives(client_ctx):
     """Flooding beyond the input queue bound must drop (counted) without killing the
     connection; subsequent synthesis still works (reference: queue_manager.py:157-171)."""

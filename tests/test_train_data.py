@@ -130,6 +130,7 @@ def test_dataset_epoch_batches(manifest):
 # ---------------------------------------------------------------- loop
 
 
+@pytest.mark.slow
 def test_training_descends_and_checkpoints(manifest, tmp_path):
     from gonova_tts_tpu.train.loop import train
 
@@ -149,6 +150,7 @@ def test_training_descends_and_checkpoints(manifest, tmp_path):
     assert any(c.startswith("step_") for c in ckpts)
 
 
+@pytest.mark.slow
 def test_engine_restores_trained_checkpoint(manifest, tmp_path):
     """Full cycle: train → checkpoint → engine serves from it."""
     from gonova_tts_tpu.engine import TTSEngine

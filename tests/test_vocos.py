@@ -51,6 +51,7 @@ def test_istft_synthesis_matches_audio_istft(rng):
     np.testing.assert_allclose(a[:, 1024:-1024], b[:, 1024:-1024], atol=2e-3)
 
 
+@pytest.mark.slow
 def test_vocos_forward_shape(cfg, params):
     mel = jnp.zeros((2, 40, cfg.n_mels))
     wav = vocos.forward(params["vocoder"], mel, cfg)
@@ -58,6 +59,7 @@ def test_vocos_forward_shape(cfg, params):
     assert np.isfinite(np.asarray(wav)).all()
 
 
+@pytest.mark.slow
 def test_vocos_receptive_field_bounded(cfg, params):
     """2 ConvNeXt blocks (k=7) + embed (k=7) → RF well under 16 frames: a mel change
     at frame 30 must not affect samples before frame 14."""
@@ -92,6 +94,7 @@ def test_family_dispatch(cfg):
         tts.init(jax.random.PRNGKey(0), bad)
 
 
+@pytest.mark.slow
 def test_vocos_bf16(cfg, params):
     mel = jnp.asarray(np.random.default_rng(0).standard_normal((1, 24, cfg.n_mels)), jnp.float32)
     wav = vocos.forward(params["vocoder"], mel, cfg, dtype=jnp.bfloat16)
