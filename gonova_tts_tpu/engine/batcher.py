@@ -14,10 +14,11 @@ from __future__ import annotations
 import asyncio
 import time
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 
+from ..text import pick_bucket, text_to_ids
 from ..utils import get_logger
 from .engine import TTSEngine
 
@@ -31,6 +32,7 @@ class _Pending:
     exaggeration: float
     future: asyncio.Future = field(repr=False, default=None)
     enqueued_at: float = 0.0
+    n_tokens: int = 0
 
 
 class DynamicBatcher:
@@ -44,7 +46,12 @@ class DynamicBatcher:
         self._queue: asyncio.Queue = asyncio.Queue()
         self._task: Optional[asyncio.Task] = None
         self._running = False
-        self.metrics = {"batches": 0, "requests": 0, "max_batch_seen": 0}
+        self.metrics = {
+            "batches": 0,
+            "requests": 0,
+            "max_batch_seen": 0,
+            "bucket_splits": 0,  # admission windows split into >1 device pass
+        }
 
     async def start(self) -> None:
         if self._running:
@@ -81,6 +88,7 @@ class DynamicBatcher:
             exaggeration=exaggeration,
             future=asyncio.get_event_loop().create_future(),
             enqueued_at=time.time(),
+            n_tokens=len(text_to_ids(text)),
         )
         await self._queue.put(item)
         return await item.future
@@ -102,23 +110,37 @@ class DynamicBatcher:
                 except (asyncio.TimeoutError, asyncio.CancelledError):
                     break
 
+            # Bucket-aware dispatch: the engine pads every request in a device pass
+            # to the pass's single token bucket, so a 5-token and a 40-token sentence
+            # sharing one pass both pay the 64-bucket. Group by bucket and issue one
+            # pass per group — ≤1 extra pass in the common two-length case, and the
+            # padded-token waste drops to the per-bucket minimum.
+            groups: Dict[int, List[_Pending]] = {}
+            for p in batch:
+                groups.setdefault(
+                    pick_bucket(p.n_tokens, self.engine.ecfg.token_buckets), []
+                ).append(p)
+            if len(groups) > 1:
+                self.metrics["bucket_splits"] += 1
+
             loop = asyncio.get_event_loop()
-            try:
-                results = await loop.run_in_executor(
-                    None,
-                    self.engine.synthesize_batch,
-                    [p.text for p in batch],
-                    [p.speaker for p in batch],
-                    [p.exaggeration for p in batch],
-                )
-                for p, r in zip(batch, results):
-                    if not p.future.done():
-                        p.future.set_result(r)
-            except Exception as e:  # noqa: BLE001 — isolate failures per batch
-                logger.error("batch_failed", error=str(e), batch_size=len(batch))
-                for p in batch:
-                    if not p.future.done():
-                        p.future.set_exception(e)
-            self.metrics["batches"] += 1
+            for group in groups.values():
+                try:
+                    results = await loop.run_in_executor(
+                        None,
+                        self.engine.synthesize_batch,
+                        [p.text for p in group],
+                        [p.speaker for p in group],
+                        [p.exaggeration for p in group],
+                    )
+                    for p, r in zip(group, results):
+                        if not p.future.done():
+                            p.future.set_result(r)
+                except Exception as e:  # noqa: BLE001 — isolate failures per group
+                    logger.error("batch_failed", error=str(e), batch_size=len(group))
+                    for p in group:
+                        if not p.future.done():
+                            p.future.set_exception(e)
+            self.metrics["batches"] += len(groups)
             self.metrics["requests"] += len(batch)
             self.metrics["max_batch_seen"] = max(self.metrics["max_batch_seen"], len(batch))

@@ -59,6 +59,10 @@ class TTSEngine:
             "batches": 0,
             "batched_requests": 0,
             "compiles": 0,
+            # Padding accounting: real tokens vs (batch-bucket × token-bucket) slots
+            # actually paid for on device. padding_efficiency = real / padded.
+            "real_tokens": 0,
+            "padded_tokens": 0,
         }
 
     # ------------------------------------------------------------ loading
@@ -270,6 +274,8 @@ class TTSEngine:
         self.stats["batched_requests"] += b
         self.stats["syntheses"] += b
         self.stats["total_latency"] += dt
+        self.stats["real_tokens"] += int(np.sum(lengths))
+        self.stats["padded_tokens"] += int(batch_bucket * bucket)
         return results
 
     # ------------------------------------------------------------ streaming synthesis
@@ -403,6 +409,11 @@ class TTSEngine:
             stats["avg_latency"] = 0.0
             stats["avg_first_chunk"] = 0.0
         stats["compiled_shapes"] = self.stats["compiles"]
+        stats["padding_efficiency"] = (
+            round(self.stats["real_tokens"] / self.stats["padded_tokens"], 4)
+            if self.stats["padded_tokens"]
+            else 1.0
+        )
         stats["timers"] = timers.summary()
         return stats
 

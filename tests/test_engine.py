@@ -185,6 +185,36 @@ def test_dynamic_batcher_coalesces(engine):
     assert metrics["max_batch_seen"] >= 2
 
 
+def test_dynamic_batcher_splits_far_apart_buckets(engine):
+    """A 5-token and a 150-token sentence admitted in one window must NOT share one
+    device pass padded to the large bucket: they dispatch as two bucket groups."""
+    long_text = "many words " * 30  # > 64 tokens → 128 bucket
+
+    async def run():
+        batcher = DynamicBatcher(engine, max_batch=8, window_ms=80)
+        await batcher.start()
+        before = dict(engine.stats)
+        results = await asyncio.gather(
+            batcher.submit("Hi."), batcher.submit(long_text.strip() + ".")
+        )
+        await batcher.stop()
+        return results, batcher.metrics, before
+
+    results, metrics, before = asyncio.run(run())
+    assert all(isinstance(r, np.ndarray) for r in results)
+    assert metrics["bucket_splits"] >= 1
+    assert metrics["batches"] >= 2
+    # Padding accounting: two separate passes at their own buckets, not 2× the big one.
+    dp = engine.stats["padded_tokens"] - before["padded_tokens"]
+    assert dp < 2 * 128  # one small-bucket pass + one 128-bucket pass
+
+
+def test_padding_efficiency_reported(engine):
+    engine.synthesize_batch(["A short one."])
+    stats = engine.get_stats()
+    assert 0.0 < stats["padding_efficiency"] <= 1.0
+
+
 def test_dynamic_batcher_stop_flushes_pending(engine):
     """A mid-flight stop() must not strand submit() callers awaiting forever:
     admitted-but-unbatched items get their futures failed."""
