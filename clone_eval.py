@@ -26,6 +26,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--voices-dir", default=None, help="dir of reference WAVs (else synthetic)")
     ap.add_argument("--text", default="The quick brown fox jumps over the lazy dog.")
+    ap.add_argument("--checkpoint", default=None, help="orbax checkpoint dir (trained weights)")
     args = ap.parse_args()
 
     from gonova_tts_tpu.config import Config
@@ -34,6 +35,8 @@ def main() -> None:
 
     cfg = Config()
     cfg.engine.warmup_shapes = []
+    if args.checkpoint:
+        cfg.model.model_path = args.checkpoint
     engine = TTSEngine(cfg)
     engine.load(warmup=False)
 

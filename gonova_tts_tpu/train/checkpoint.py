@@ -27,15 +27,69 @@ def save_params(path: str, params: Any, step: Optional[int] = None) -> str:
 
 
 def restore_params(path: str, template: Optional[Any] = None) -> Any:
-    """Restore a params pytree. If `template` is given, restores with its
-    structure/shardings; otherwise restores as saved."""
+    """Restore a params pytree from an orbax dir, a training root (descends to the
+    newest step_NNNNNNNN subdir), or a compact .npz (see save_params_npz)."""
+    path = os.path.abspath(path)
+    if path.endswith(".npz"):
+        return restore_params_npz(path)
+    latest = latest_step_dir(path)
+    if latest is not None:
+        path = latest
+
     import orbax.checkpoint as ocp
 
-    path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     if template is not None:
         return ckptr.restore(path, template)
     return ckptr.restore(path)
+
+
+def save_params_npz(path: str, params: Any, dtype="float16") -> str:
+    """Compact single-file checkpoint: '/'-joined tree paths → (by default) f16
+    arrays, zip-compressed. ~4× smaller than f32 orbax — the repo-committable
+    format for demo checkpoints. Restore upcasts to f32."""
+    import numpy as np
+    import jax
+
+    flat = {}
+    for key_path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        parts = []
+        for k in key_path:
+            if hasattr(k, "key"):
+                parts.append(str(k.key))
+            elif hasattr(k, "idx"):
+                parts.append(str(k.idx))
+            else:
+                parts.append(str(k))
+        flat["/".join(parts)] = np.asarray(leaf).astype(dtype)
+    np.savez_compressed(path, **flat)
+    return path
+
+
+def restore_params_npz(path: str) -> Any:
+    """Rebuild the nested pytree from a save_params_npz file (f32 leaves).
+    All-digit key levels become lists (model blocks are lists of dicts)."""
+    import numpy as np
+
+    with np.load(path) as z:
+        flat = {k: np.asarray(z[k], np.float32) for k in z.files}
+    root: dict = {}
+    for key, leaf in flat.items():
+        node = root
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = leaf
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        out = {k: listify(v) for k, v in node.items()}
+        if out and all(k.isdigit() for k in out):
+            return [out[str(i)] for i in range(len(out))]
+        return out
+
+    return listify(root)
 
 
 def latest_step_dir(root: str) -> Optional[str]:

@@ -37,6 +37,7 @@ class Example:
     mel: np.ndarray  # [T, n_mels] f32
     pitch_frames: np.ndarray  # [T] f32 (log-pitch feature per frame)
     audio: np.ndarray  # [T * hop] f32
+    speaker: Optional[np.ndarray] = None  # [speaker_dim] f32 (None → zeros)
 
 
 def load_manifest(path: str) -> List[Dict[str, str]]:
@@ -56,7 +57,13 @@ def load_manifest(path: str) -> List[Dict[str, str]]:
     return entries
 
 
-def prepare_example(wav_path: str, text: str, cfg: ModelConfig) -> Example:
+def prepare_example(
+    wav_path: str, text: str, cfg: ModelConfig, speaker_fn=None
+) -> Example:
+    """speaker_fn: optional (audio[T] f32, sr) -> embedding[speaker_dim]; for
+    voice-cloning training this is the (frozen) speaker encoder applied to the
+    utterance's own audio — the same conditioning path the serving engine uses
+    (engine.embed_voice)."""
     audio, sr = read_wav(wav_path)
     if audio.ndim > 1:
         audio = audio.mean(axis=1)
@@ -76,12 +83,40 @@ def prepare_example(wav_path: str, text: str, cfg: ModelConfig) -> Example:
     )
     f0 = estimate_f0(wav, cfg.sample_rate, cfg.hop_length, cfg.n_fft)
     tokens = np.asarray(text_to_ids(text), np.int32)
+    speaker = None
+    if speaker_fn is not None:
+        speaker = np.asarray(speaker_fn(wav, cfg.sample_rate), np.float32)
     return Example(
         tokens=tokens,
         mel=mel.astype(np.float32),
         pitch_frames=f0_to_feature(f0),
         audio=wav.astype(np.float32),
+        speaker=speaker,
     )
+
+
+_SILENCE_MEL_CACHE: Dict[tuple, np.ndarray] = {}
+
+
+def silence_mel(cfg: ModelConfig) -> np.ndarray:
+    """The log-mel vector of digital silence [n_mels].
+
+    Batch mel padding uses this (not 0.0): zero log-mel reads as moderate energy to
+    the vocoder, so zero-padding would teach it to synthesize noise after utterance
+    end. Padding with the true silence encoding makes 'silence mel → silent audio'
+    a consistent, learnable mapping on the padded region too."""
+    key = (cfg.sample_rate, cfg.n_fft, cfg.hop_length, cfg.win_length, cfg.n_mels,
+           cfg.fmin, cfg.fmax)
+    if key not in _SILENCE_MEL_CACHE:
+        zeros = jnp.zeros((1, cfg.n_fft * 4), jnp.float32)
+        m = np.asarray(
+            mel_spectrogram(
+                zeros, sr=cfg.sample_rate, n_fft=cfg.n_fft, hop_length=cfg.hop_length,
+                win_length=cfg.win_length, n_mels=cfg.n_mels, fmin=cfg.fmin, fmax=cfg.fmax,
+            )[0]
+        )
+        _SILENCE_MEL_CACHE[key] = m[m.shape[0] // 2].astype(np.float32)
+    return _SILENCE_MEL_CACHE[key]
 
 
 def _uniform_durations(n_tokens: int, n_frames: int, cap: int) -> np.ndarray:
@@ -120,7 +155,7 @@ def make_batch(
         "exaggeration": np.full((b,), 0.5, np.float32),
         "durations": np.zeros((b, bucket), np.int32),
         "pitch": np.zeros((b, bucket), np.float32),
-        "mel": np.zeros((b, t_cap, cfg.n_mels), np.float32),
+        "mel": np.tile(silence_mel(cfg), (b, t_cap, 1)),
         "frame_mask": np.zeros((b, t_cap), np.float32),
         "audio": np.zeros((b, t_cap * hop), np.float32),
     }
@@ -129,6 +164,8 @@ def make_batch(
         t = min(e.mel.shape[0], t_cap)
         batch["tokens"][i, :l] = e.tokens[:l]
         batch["token_mask"][i, :l] = 1.0
+        if e.speaker is not None:
+            batch["speaker"][i] = e.speaker[:spk_dim]
         dur = _uniform_durations(l, t, cfg.max_frames_per_token)
         batch["durations"][i, :l] = dur
         t_used = int(dur.sum())
@@ -155,6 +192,7 @@ class ManifestDataset:
         token_buckets: Sequence[int] = (32, 64, 128, 192),
         seed: int = 0,
         cache: bool = True,
+        speaker_fn=None,
     ):
         self.entries = load_manifest(manifest_path)
         if not self.entries:
@@ -163,13 +201,15 @@ class ManifestDataset:
         self.batch_size = batch_size
         self.token_buckets = tuple(token_buckets)
         self.seed = seed
+        self.speaker_fn = speaker_fn
         self._cache: Optional[List[Example]] = [] if cache else None
 
     def _examples(self) -> List[Example]:
         if self._cache:
             return self._cache
         examples = [
-            prepare_example(e["wav"], e["text"], self.cfg) for e in self.entries
+            prepare_example(e["wav"], e["text"], self.cfg, speaker_fn=self.speaker_fn)
+            for e in self.entries
         ]
         if self._cache is not None:
             self._cache = examples

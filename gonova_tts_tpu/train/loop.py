@@ -11,6 +11,7 @@ import time
 from typing import Optional
 
 import jax
+import numpy as np
 
 from ..config import Config, load_config
 from ..models import tts
@@ -22,33 +23,102 @@ from .checkpoint import save_params
 logger = get_logger("gonova.train")
 
 
+def make_speaker_fn(params, mcfg):
+    """(audio[T] f32 @ model rate, sr) → speaker embedding, using the (frozen)
+    speaker encoder — the same static-10s-buffer + masked-mean convention as
+    engine.embed_voice, so train-time conditioning matches serve-time cloning."""
+    import jax.numpy as jnp
+
+    from ..audio.mel import mel_spectrogram
+    from ..audio.resample import resample_np
+
+    max_samples = int(10.0 * mcfg.sample_rate)
+    max_samples -= max_samples % mcfg.hop_length
+
+    @jax.jit
+    def _embed(buf, valid):
+        mel = mel_spectrogram(
+            buf[None], sr=mcfg.sample_rate, n_fft=mcfg.n_fft,
+            hop_length=mcfg.hop_length, win_length=mcfg.win_length,
+            n_mels=mcfg.n_mels, fmin=mcfg.fmin, fmax=mcfg.fmax,
+        )
+        mask = (jnp.arange(mel.shape[1])[None] < valid).astype(jnp.float32)
+        return tts.embed_speaker(params, mel, mask)[0]
+
+    def speaker_fn(wav: np.ndarray, sr: int) -> np.ndarray:
+        if sr != mcfg.sample_rate:
+            wav = resample_np(np.asarray(wav, np.float32), sr, mcfg.sample_rate)
+        n = min(len(wav), max_samples)
+        buf = np.zeros((max_samples,), np.float32)
+        buf[:n] = wav[:n]
+        return np.asarray(_embed(buf, n // mcfg.hop_length))
+
+    return speaker_fn
+
+
 def train(
     config: Optional[Config] = None,
     manifest: Optional[str] = None,
     steps: int = 1000,
     batch_size: int = 8,
     lr: float = 2e-4,
+    warmup: int = 1000,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 500,
     n_data: Optional[int] = None,
     n_model: int = 1,
     seed: int = 0,
     ema_decay: float = 0.999,
+    speaker_conditioning: bool = True,
+    resident: bool = False,
+    chunk: int = 50,
+    history_path: Optional[str] = None,
 ) -> dict:
-    """Run `steps` optimization steps; returns final metrics."""
+    """Run `steps` optimization steps; returns final metrics.
+
+    `resident=True` stacks the whole (small) dataset on device and runs `chunk`
+    steps per jitted fori_loop call (see step.make_resident_train_chunk) — the
+    right mode for overfit runs and this environment's tunneled TPU.
+    `history_path` appends one JSON line of mean metrics per logging interval."""
     config = config or load_config()
     mcfg = config.model
+    try:  # persistent compile cache — tunnel compiles cost minutes, reruns seconds
+        import os as _os
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__)))), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     # One jitted init graph (eager init = one device round trip per tensor).
     params = jax.jit(lambda k: tts.init(k, mcfg))(jax.random.PRNGKey(seed))
-    optimizer = tstep.make_optimizer(lr=lr)
+    optimizer = tstep.make_optimizer(lr=lr, warmup=warmup)
     state = tstep.init_state(params, optimizer)
 
     if manifest:
         from .data import ManifestDataset
 
+        speaker_fn = make_speaker_fn(params, mcfg) if speaker_conditioning else None
+        # Resident mode stacks all batches into one [N, ...] array, so every batch
+        # must share one bucket shape: collapse the ladder to the smallest rung
+        # that fits the corpus' longest sentence.
+        if resident:
+            from ..text import pick_bucket, text_to_ids
+            from .data import load_manifest
+
+            longest = max(
+                len(text_to_ids(e["text"])) for e in load_manifest(manifest)
+            )
+            buckets = (pick_bucket(longest, config.engine.token_buckets),)
+        else:
+            buckets = tuple(config.engine.token_buckets)
         dataset = ManifestDataset(
             manifest, mcfg, batch_size=batch_size,
-            token_buckets=tuple(config.engine.token_buckets), seed=seed,
+            token_buckets=buckets, seed=seed,
+            speaker_fn=speaker_fn,
         )
 
         def batches():
@@ -63,44 +133,107 @@ def train(
             while True:
                 yield synthetic
 
-    use_mesh = (n_data or 0) > 1 or n_model > 1
-    example = next(iter(batches()))
-    if use_mesh:
-        mesh = make_mesh(n_data=n_data, n_model=n_model)
-        step_fn, state = tstep.make_sharded_train_step(
-            mcfg, optimizer, mesh, state, example
+    history = None
+    if history_path:
+        import os as _os
+
+        _os.makedirs(_os.path.dirname(_os.path.abspath(history_path)), exist_ok=True)
+        history = open(history_path, "a")
+
+    def log_point(step_no, metrics, t0):
+        vals = {k: round(float(v), 5) for k, v in metrics.items()}
+        logger.info(
+            "train_step", step=step_no, total=vals["total"], mel=vals["ac_mel"],
+            stft=vals["stft"], steps_per_sec=round(step_no / (time.time() - t0), 2),
         )
-        logger.info("train_sharded", mesh=str(mesh.devices.shape))
+        if history:
+            import json
+
+            history.write(json.dumps({"step": step_no, **vals}) + "\n")
+            history.flush()
+
+    if resident:
+        if not manifest:
+            raise ValueError("resident mode needs a manifest corpus")
+        # Device-resident corpus: one epoch's batches, fixed grouping, cycled.
+        # Data prep (per-utterance mel/F0/speaker-embed) runs pinned to the host CPU
+        # device: utterance lengths vary, and on the tunneled TPU every new shape
+        # would be a minutes-long compile. Params for the speaker encoder are
+        # re-initialized under the same ctx (threefry init is bit-identical across
+        # backends) so nothing crosses the tunnel during prep.
+        import contextlib
+
+        prep_ctx = contextlib.nullcontext()
+        if jax.default_backend() != "cpu":
+            try:
+                cpu_dev = jax.devices("cpu")[0]
+                prep_ctx = jax.default_device(cpu_dev)
+            except RuntimeError:
+                pass
+        with prep_ctx:
+            if speaker_conditioning and jax.default_backend() != "cpu":
+                params_prep = jax.jit(lambda k: tts.init(k, mcfg))(
+                    jax.random.PRNGKey(seed)
+                )
+                dataset.speaker_fn = make_speaker_fn(params_prep, mcfg)
+            epoch_batches = [
+                {k: np.asarray(v) for k, v in b.items()} for b in dataset.epoch(0)
+            ]
+        logger.info(
+            "resident_corpus",
+            batches=len(epoch_batches),
+            bucket=int(epoch_batches[0]["tokens"].shape[1]),
+        )
+        run_chunk, _ = tstep.make_resident_train_chunk(
+            mcfg, optimizer, epoch_batches, chunk=chunk, ema_decay=ema_decay
+        )
+        ema = tstep.ema_init(state.params)
+        t0 = time.time()
+        done = 0
+        metrics = {}
+        while done < steps:
+            state, ema, metrics = run_chunk(state, ema, done)
+            done += chunk
+            log_point(done, {k: v for k, v in metrics.items()}, t0)
+            if checkpoint_dir and done % checkpoint_every < chunk and done < steps:
+                path = save_params(checkpoint_dir, jax.device_get(ema), step=done)
+                logger.info("checkpoint_saved", path=path, kind="ema")
     else:
-        step_fn = tstep.make_train_step(mcfg, optimizer)
-
-    ema = tstep.ema_init(jax.device_get(state.params))
-    ema_step = jax.jit(lambda e, p: tstep.ema_update(e, p, ema_decay))
-
-    metrics = {}
-    t0 = time.time()
-    for i, batch in enumerate(batches()):
-        if i >= steps:
-            break
-        state, metrics = step_fn(state, batch)
-        ema = ema_step(ema, state.params)
-        if (i + 1) % 50 == 0 or i == 0:
-            logger.info(
-                "train_step",
-                step=i + 1,
-                total=round(float(metrics["total"]), 4),
-                mel=round(float(metrics["ac_mel"]), 4),
-                stft=round(float(metrics["stft"]), 4),
-                steps_per_sec=round((i + 1) / (time.time() - t0), 2),
+        use_mesh = (n_data or 0) > 1 or n_model > 1
+        example = next(iter(batches()))
+        if use_mesh:
+            mesh = make_mesh(n_data=n_data, n_model=n_model)
+            step_fn, state = tstep.make_sharded_train_step(
+                mcfg, optimizer, mesh, state, example
             )
-        if checkpoint_dir and (i + 1) % checkpoint_every == 0:
-            path = save_params(checkpoint_dir, jax.device_get(ema), step=i + 1)
-            logger.info("checkpoint_saved", path=path, kind="ema")
+            logger.info("train_sharded", mesh=str(mesh.devices.shape))
+        else:
+            step_fn = tstep.make_train_step(mcfg, optimizer)
 
+        ema = tstep.ema_init(jax.device_get(state.params))
+        ema_step = jax.jit(lambda e, p: tstep.ema_update(e, p, ema_decay))
+
+        metrics = {}
+        t0 = time.time()
+        for i, batch in enumerate(batches()):
+            if i >= steps:
+                break
+            state, metrics = step_fn(state, batch)
+            ema = ema_step(ema, state.params)
+            if (i + 1) % 50 == 0 or i == 0:
+                log_point(i + 1, metrics, t0)
+            if checkpoint_dir and (i + 1) % checkpoint_every == 0:
+                path = save_params(checkpoint_dir, jax.device_get(ema), step=i + 1)
+                logger.info("checkpoint_saved", path=path, kind="ema")
+
+    if history:
+        history.close()
     if checkpoint_dir:
         path = save_params(checkpoint_dir, jax.device_get(ema), step=steps)
         logger.info("checkpoint_saved", path=path, kind="ema")
     return {k: float(v) for k, v in metrics.items()}
+
+
 
 
 def main() -> None:
@@ -111,10 +244,16 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--warmup", type=int, default=1000)
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--n-data", type=int, default=None)
     ap.add_argument("--n-model", type=int, default=1)
     ap.add_argument("--config", default=None)
+    ap.add_argument("--resident", action="store_true",
+                    help="device-resident corpus + fori_loop chunks (small corpora)")
+    ap.add_argument("--chunk", type=int, default=50)
+    ap.add_argument("--no-speaker-conditioning", action="store_true")
+    ap.add_argument("--history", default=None, help="append per-interval metrics JSONL here")
     args = ap.parse_args()
     config = load_config(args.config)
     out = train(
@@ -123,9 +262,14 @@ def main() -> None:
         steps=args.steps,
         batch_size=args.batch_size,
         lr=args.lr,
+        warmup=args.warmup,
         checkpoint_dir=args.checkpoint_dir,
         n_data=args.n_data,
         n_model=args.n_model,
+        resident=args.resident,
+        chunk=args.chunk,
+        speaker_conditioning=not args.no_speaker_conditioning,
+        history_path=args.history,
     )
     print(out)
 

@@ -141,6 +141,62 @@ def make_sharded_train_step(
     return sharded, placed_state
 
 
+# ------------------------------------------------------- device-resident trainer
+
+
+def make_resident_train_chunk(
+    cfg: ModelConfig,
+    optimizer: optax.GradientTransformation,
+    batches,
+    chunk: int = 50,
+    ema_decay: float = 0.999,
+    dtype=jnp.float32,
+):
+    """K optimization steps per device call over a device-resident corpus.
+
+    For small corpora the per-step host↔device round trip dominates wall time on
+    this environment's tunneled TPU (each dispatch/readback costs ~30 ms, batch
+    upload ~0.3 s at the tunnel's ~15 MB/s). The fix is TPU-native: stack the whole
+    corpus on device once ([N, ...] leading batch axis) and run `chunk` steps inside
+    one jitted `lax.fori_loop`, cycling batches with a modular index. One upload, one
+    dispatch and one scalar readback per K steps.
+
+    Returns (run_chunk, stacked) where
+      run_chunk(state, ema, start_step) -> (state, ema, mean_metrics_over_chunk).
+    All batches must share one (bucket, frame-cap) shape.
+    """
+    stacked = {k: jnp.stack([jnp.asarray(b[k]) for b in batches]) for k in batches[0]}
+    n = len(batches)
+
+    def one_step(state: TrainState, ema, batch):
+        (loss, metrics), grads = jax.value_and_grad(tts_loss_fn, has_aux=True)(
+            state.params, batch, cfg, dtype
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = ema_update(ema, params, ema_decay)
+        return TrainState(params, opt_state, state.step + 1), ema, metrics
+
+    @jax.jit
+    def run_chunk(state: TrainState, ema, start: jnp.ndarray):
+        def body(i, carry):
+            state, ema, acc = carry
+            batch = jax.tree_util.tree_map(
+                lambda x: x[(start + i) % n], stacked
+            )
+            state, ema, metrics = one_step(state, ema, batch)
+            acc = jax.tree_util.tree_map(lambda a, m: a + m, acc, metrics)
+            return state, ema, acc
+
+        batch0 = jax.tree_util.tree_map(lambda x: x[start % n], stacked)
+        _, _, m0 = jax.eval_shape(one_step, state, ema, batch0)
+        acc0 = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), m0)
+        state, ema, acc = jax.lax.fori_loop(0, chunk, body, (state, ema, acc0))
+        return state, ema, jax.tree_util.tree_map(lambda a: a / chunk, acc)
+
+    return run_chunk, stacked
+
+
 # ---------------------------------------------------------------- EMA
 
 

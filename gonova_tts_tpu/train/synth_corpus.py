@@ -1,0 +1,237 @@
+"""Deterministic formant-synthesized training corpus.
+
+The reference ships pretrained weights (services/tts/core/synthesizer.py:185) so it
+never needs training data; this rebuild owns its model and must demonstrate end-to-end
+learning.  No speech data exists in this environment, so this module generates a fully
+deterministic corpus whose text→audio mapping is *learnable by construction*:
+
+  * every phoneme token renders to exactly `FRAMES_PER_TOKEN` mel frames of audio
+    (so the aligner-free uniform-duration bootstrap in train/data.py is exact);
+  * vowels/sonorants are harmonic formant stacks (per-vowel F1/F2 from a standard
+    ARPAbet table), fricatives are fixed band-passed noise, stops are bursts,
+    boundaries/punctuation are silence;
+  * speakers differ by base F0, formant scale, and spectral tilt — giving the
+    speaker encoder a real signal and `clone_eval.py` a margin to measure;
+  * a shared sentence-level F0 declination gives the pitch predictor a target.
+
+Everything is seeded; regenerating the corpus is byte-identical.
+
+CLI:  python -m gonova_tts_tpu.train.synth_corpus --out-dir corpus/
+writes WAVs, a `manifest.txt` (wav|text lines) and per-speaker reference clips.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import ModelConfig
+from ..text import text_to_ids
+from ..text.symbols import SYMBOLS
+from ..utils import write_wav
+
+FRAMES_PER_TOKEN = 4  # 4 * hop(256) = 1024 samples ≈ 42.7 ms per phoneme @ 24 kHz
+
+# Vowel formant targets (F1, F2) in Hz — classic Peterson/Barney-style values.
+_VOWEL_FORMANTS: Dict[str, Tuple[float, float]] = {
+    "AA": (730, 1090), "AE": (660, 1720), "AH": (640, 1190), "AO": (570, 840),
+    "AW": (700, 1200), "AY": (660, 1400), "EH": (530, 1840), "ER": (490, 1350),
+    "EY": (480, 1900), "IH": (390, 1990), "IY": (270, 2290), "OW": (450, 900),
+    "OY": (500, 1100), "UH": (440, 1020), "UW": (300, 870),
+}
+# Sonorant consonants rendered vowel-like.
+_SONORANT_FORMANTS: Dict[str, Tuple[float, float]] = {
+    "L": (360, 1300), "R": (420, 1300), "W": (300, 610), "Y": (300, 2200),
+    "M": (250, 1000), "N": (280, 1700), "NG": (280, 2300),
+}
+# Fricatives/affricates: (noise center Hz, bandwidth Hz, amplitude, voiced?).
+_NOISE_RECIPES: Dict[str, Tuple[float, float, float, bool]] = {
+    "S": (6000, 2200, 0.24, False), "SH": (3500, 1600, 0.26, False),
+    "F": (5500, 3200, 0.14, False), "TH": (5800, 3200, 0.12, False),
+    "HH": (1500, 2200, 0.12, False), "CH": (3200, 1800, 0.24, False),
+    "Z": (6000, 2200, 0.18, True), "ZH": (3500, 1600, 0.18, True),
+    "V": (5500, 3200, 0.12, True), "DH": (5800, 3200, 0.12, True),
+    "JH": (3200, 1800, 0.18, True),
+}
+# Stops: (burst center Hz, amplitude, voiced?). Burst in the first quarter, rest quiet.
+_STOP_RECIPES: Dict[str, Tuple[float, float, bool]] = {
+    "P": (900, 0.22, False), "T": (4200, 0.24, False), "K": (2400, 0.24, False),
+    "B": (600, 0.2, True), "D": (3000, 0.2, True), "G": (1700, 0.2, True),
+}
+
+
+@dataclass(frozen=True)
+class Speaker:
+    name: str
+    f0: float  # base fundamental, Hz
+    formant_scale: float  # vocal-tract length proxy
+    tilt: float  # spectral tilt: harmonic amplitude ∝ (f0/f)^tilt
+
+
+DEFAULT_SPEAKERS: Tuple[Speaker, ...] = (
+    Speaker("spk_low", 110.0, 0.95, 0.55),
+    Speaker("spk_mid", 150.0, 1.00, 0.70),
+    Speaker("spk_high", 205.0, 1.08, 0.85),
+    Speaker("spk_top", 260.0, 1.16, 1.00),
+)
+
+DEFAULT_SENTENCES: Tuple[str, ...] = (
+    "The quick brown fox jumps over the lazy dog.",
+    "She sells sea shells by the sea shore.",
+    "A big black bug bit a big black bear.",
+    "How much wood would a woodchuck chuck?",
+    "Pack my box with five dozen liquor jugs.",
+    "The rain in Spain stays mainly in the plain.",
+    "We promptly judged antique ivory buckles.",
+    "Bright vixens jump while the dozy fowl quack.",
+    "Good morning, this is a synthetic voice test.",
+    "Every token maps to one fixed sound.",
+    "Numbers like 42 and 7 are spelled out.",
+    "Stop! Who goes there, asked the guard?",
+)
+
+
+def _band_noise(n: int, sr: int, center: float, bw: float, seed: int) -> np.ndarray:
+    """Deterministic band-passed white noise via frequency-domain shaping."""
+    rng = np.random.default_rng(seed)
+    noise = rng.standard_normal(n).astype(np.float64)
+    spec = np.fft.rfft(noise)
+    freqs = np.fft.rfftfreq(n, 1.0 / sr)
+    shape = np.exp(-0.5 * ((freqs - center) / (bw / 2.354)) ** 2)  # FWHM = bw
+    out = np.fft.irfft(spec * shape, n)
+    rms = np.sqrt((out**2).mean()) + 1e-9
+    return (out / rms).astype(np.float32)
+
+
+def _harmonic_stack(
+    n: int, sr: int, f0: float, formants: Sequence[Tuple[float, float]],
+    tilt: float, phase_seed: int,
+) -> np.ndarray:
+    """Sum of harmonics of f0, amplitude-shaped by Gaussian formant envelopes + tilt."""
+    t = np.arange(n, dtype=np.float64) / sr
+    rng = np.random.default_rng(phase_seed)
+    wav = np.zeros(n, np.float64)
+    k = 1
+    while k * f0 < min(sr / 2 - 200.0, 5000.0):
+        f = k * f0
+        amp = (f0 / f) ** tilt * (
+            sum(np.exp(-0.5 * ((f - f1) / (f1 * 0.18)) ** 2) for f1, _ in formants)
+            + 0.35 * sum(np.exp(-0.5 * ((f - f2) / (f2 * 0.14)) ** 2) for _, f2 in formants)
+        )
+        wav += amp * np.sin(2 * np.pi * f * t + rng.uniform(0, 2 * np.pi))
+        k += 1
+    rms = np.sqrt((wav**2).mean()) + 1e-9
+    return (wav / rms).astype(np.float32)
+
+
+def _fade(seg: np.ndarray, sr: int, ms: float = 2.0) -> np.ndarray:
+    k = max(1, int(sr * ms / 1000.0))
+    env = np.ones(len(seg), np.float32)
+    ramp = np.linspace(0.0, 1.0, k, dtype=np.float32)
+    env[:k] = ramp
+    env[-k:] = ramp[::-1]
+    return seg * env
+
+
+def token_segment(
+    symbol: str, speaker: Speaker, f0: float, n: int, sr: int
+) -> np.ndarray:
+    """Render one token's fixed-length audio segment. Deterministic per
+    (symbol, speaker, quantized f0)."""
+    # zlib.crc32 (not hash(): string hashing is per-process randomized) keeps the
+    # corpus byte-identical across runs.
+    seed = zlib.crc32(f"{symbol}|{speaker.name}".encode())
+    if symbol in _VOWEL_FORMANTS or symbol in _SONORANT_FORMANTS:
+        f1, f2 = (_VOWEL_FORMANTS.get(symbol) or _SONORANT_FORMANTS[symbol])
+        fs = speaker.formant_scale
+        seg = 0.30 * _harmonic_stack(
+            n, sr, f0, [(f1 * fs, f2 * fs)], speaker.tilt, seed
+        )
+        if symbol in ("M", "N", "NG"):
+            seg *= 0.6  # nasal murmur is quieter
+        return _fade(seg, sr)
+    if symbol in _NOISE_RECIPES:
+        center, bw, amp, voiced = _NOISE_RECIPES[symbol]
+        seg = amp * _band_noise(n, sr, center * speaker.formant_scale, bw, seed)
+        if voiced:
+            seg = 0.6 * seg + 0.12 * _harmonic_stack(
+                n, sr, f0, [(500.0 * speaker.formant_scale, 1200.0)], speaker.tilt, seed
+            )
+        return _fade(seg, sr)
+    if symbol in _STOP_RECIPES:
+        center, amp, voiced = _STOP_RECIPES[symbol]
+        seg = np.zeros(n, np.float32)
+        burst = amp * _band_noise(n // 4, sr, center * speaker.formant_scale, 1500.0, seed)
+        seg[: n // 4] = burst
+        if voiced:
+            seg += 0.1 * _harmonic_stack(
+                n, sr, f0, [(350.0 * speaker.formant_scale, 900.0)], speaker.tilt, seed
+            )
+        return _fade(seg, sr)
+    # PAD/BOS/EOS/<sp>/punctuation → near-silence (tiny dither keeps DSP happy).
+    rng = np.random.default_rng(seed)
+    return (1e-4 * rng.standard_normal(n)).astype(np.float32)
+
+
+def synthesize_utterance(
+    text: str, speaker: Speaker, cfg: ModelConfig
+) -> Tuple[np.ndarray, List[int]]:
+    """Text → (waveform, token ids); exactly FRAMES_PER_TOKEN frames per token."""
+    ids = text_to_ids(text)
+    n_seg = FRAMES_PER_TOKEN * cfg.hop_length
+    segs = []
+    n_tok = len(ids)
+    for pos, tok in enumerate(ids):
+        # Sentence-level declination: ~ +6% at start → -8% at end.
+        frac = pos / max(n_tok - 1, 1)
+        f0 = speaker.f0 * (1.06 - 0.14 * frac)
+        segs.append(token_segment(SYMBOLS[tok], speaker, f0, n_seg, cfg.sample_rate))
+    return np.concatenate(segs), ids
+
+
+def generate_corpus(
+    out_dir: str,
+    cfg: Optional[ModelConfig] = None,
+    sentences: Sequence[str] = DEFAULT_SENTENCES,
+    speakers: Sequence[Speaker] = DEFAULT_SPEAKERS,
+) -> str:
+    """Write WAVs + manifest + per-speaker reference clips; returns manifest path."""
+    cfg = cfg or ModelConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    lines = []
+    for spk in speakers:
+        for i, text in enumerate(sentences):
+            wav, _ = synthesize_utterance(text, spk, cfg)
+            path = os.path.join(out_dir, f"{spk.name}_{i:02d}.wav")
+            write_wav(path, wav, cfg.sample_rate)
+            lines.append(f"{path}|{text}")
+        # Reference clip for cloning eval: two sentences concatenated (>3 s).
+        ref = np.concatenate(
+            [
+                synthesize_utterance(sentences[j % len(sentences)], spk, cfg)[0]
+                for j in (0, 4)
+            ]
+        )
+        write_wav(os.path.join(out_dir, f"ref_{spk.name}.wav"), ref, cfg.sample_rate)
+    manifest = os.path.join(out_dir, "manifest.txt")
+    with open(manifest, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return manifest
+
+
+def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description="generate the deterministic formant corpus")
+    ap.add_argument("--out-dir", default="corpus")
+    args = ap.parse_args()
+    manifest = generate_corpus(args.out_dir)
+    print(manifest)
+
+
+if __name__ == "__main__":
+    main()

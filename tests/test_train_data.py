@@ -169,3 +169,80 @@ def test_engine_restores_trained_checkpoint(manifest, tmp_path):
     eng.load(warmup=False)
     out = eng.synthesize_batch(["Restored model check."])[0]
     assert len(out) > 0 and np.isfinite(out).all()
+
+
+def test_checkpoint_npz_roundtrip(tmp_path):
+    """Compact .npz checkpoint: save f16, restore f32, same tree incl. list levels."""
+    import jax
+
+    from gonova_tts_tpu.models import tts
+    from gonova_tts_tpu.train.checkpoint import restore_params, save_params_npz
+
+    cfg = tiny_mcfg()
+    params = jax.jit(lambda k: tts.init(k, cfg))(jax.random.PRNGKey(0))
+    path = save_params_npz(str(tmp_path / "demo.npz"), params)
+    restored = restore_params(path)
+    pl = jax.tree_util.tree_leaves_with_path(params)
+    rl = jax.tree_util.tree_leaves_with_path(restored)
+    assert len(pl) == len(rl)
+    for (kp, a), (kr, b) in zip(pl, rl):
+        assert kp == kr
+        assert b.dtype == np.float32
+        np.testing.assert_allclose(np.asarray(a), b, atol=2e-3, rtol=2e-3)
+
+
+def test_restore_params_resolves_training_root(tmp_path):
+    """restore_params('<root>') descends to the newest step_NNNNNNNN dir."""
+    import jax
+
+    from gonova_tts_tpu.models import tts
+    from gonova_tts_tpu.train.checkpoint import restore_params, save_params
+
+    cfg = tiny_mcfg()
+    params = jax.jit(lambda k: tts.init(k, cfg))(jax.random.PRNGKey(1))
+    save_params(str(tmp_path / "r"), params, step=7)
+    restored = restore_params(str(tmp_path / "r"))
+    a = jax.tree_util.tree_leaves(params)[0]
+    b = jax.tree_util.tree_leaves(restored)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_synth_corpus_deterministic_and_aligned(tmp_path):
+    """Formant corpus: byte-identical regeneration; exactly 4 frames per token."""
+    import hashlib
+
+    from gonova_tts_tpu.text import text_to_ids
+    from gonova_tts_tpu.train import synth_corpus
+
+    cfg = ModelConfig()
+    sents = ("A dog.", "Go now!")
+    m1 = synth_corpus.generate_corpus(
+        str(tmp_path / "c1"), cfg, sentences=sents,
+        speakers=synth_corpus.DEFAULT_SPEAKERS[:1])
+    m2 = synth_corpus.generate_corpus(
+        str(tmp_path / "c2"), cfg, sentences=sents,
+        speakers=synth_corpus.DEFAULT_SPEAKERS[:1])
+    h = lambda p: hashlib.md5(open(p, "rb").read()).hexdigest()
+    assert h(str(tmp_path / "c1/spk_low_00.wav")) == h(str(tmp_path / "c2/spk_low_00.wav"))
+    wav, ids = synth_corpus.synthesize_utterance(sents[0], synth_corpus.DEFAULT_SPEAKERS[0], cfg)
+    assert len(wav) == len(ids) * synth_corpus.FRAMES_PER_TOKEN * cfg.hop_length
+    assert ids == text_to_ids(sents[0])
+
+
+def test_make_batch_speaker_and_silence_padding(manifest):
+    """Speaker embeddings flow into batches; mel padding is the silence encoding."""
+    from gonova_tts_tpu.train.data import silence_mel
+
+    cfg = tiny_mcfg()
+    fake_emb = np.arange(cfg.speaker_dim, dtype=np.float32)
+    ds = ManifestDataset(manifest, cfg, batch_size=2,
+                         speaker_fn=lambda wav, sr: fake_emb)
+    batch = next(iter(ds.epoch(0)))
+    assert np.allclose(batch["speaker"][0], fake_emb)
+    sil = silence_mel(cfg)
+    assert sil.shape == (cfg.n_mels,)
+    # Padded frames (mask 0) carry the silence vector, not zeros.
+    i, t = 0, int(batch["frame_mask"][0].sum())
+    if t < batch["mel"].shape[1]:
+        np.testing.assert_allclose(batch["mel"][i, -1], sil, atol=1e-6)
+        assert not np.allclose(sil, 0.0)

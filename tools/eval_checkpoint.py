@@ -1,0 +1,147 @@
+"""Grade a trained checkpoint end-to-end (TRAIN_EVAL.md evidence).
+
+Measures, through the real engine (the serving compute path, not a test harness):
+  1. held-in mel reconstruction: synthesize corpus sentences with each speaker's
+     reference embedding and compare the output's mel to the corpus ground truth
+     (mel L1 / MSE / MCD over the overlapping frames);
+  2. streaming exactness on the trained weights: streamed chunks concatenated must
+     equal the batch path within one int16 LSB (the round-1 invariant, re-proven
+     on trained weights per VERDICT.md);
+  3. voice-clone margin: same-voice vs cross-voice speaker-encoder cosine
+     similarity of synthesized outputs (clone_eval.py's metric, inline).
+
+Usage:
+  python tools/eval_checkpoint.py --checkpoint /root/ckpts/demo --corpus /root/corpus
+
+Prints one JSON object; exits nonzero if the clone margin is not positive.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--corpus", required=True, help="synth_corpus output dir")
+    ap.add_argument("--sentences", type=int, default=3, help="held-in sentences to grade")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from gonova_tts_tpu.audio.mel import mel_spectrogram
+    from gonova_tts_tpu.config import Config
+    from gonova_tts_tpu.engine import TTSEngine
+    from gonova_tts_tpu.train.synth_corpus import DEFAULT_SENTENCES, DEFAULT_SPEAKERS
+    from gonova_tts_tpu.utils import read_wav
+
+    import jax.numpy as jnp
+
+    cfg = Config()
+    cfg.model.model_path = args.checkpoint
+    cfg.engine.warmup_shapes = []
+    engine = TTSEngine(cfg)
+    engine.load(warmup=False)
+    mcfg = cfg.model
+
+    def mel_of(wav: np.ndarray) -> np.ndarray:
+        return np.asarray(
+            mel_spectrogram(
+                jnp.asarray(wav, jnp.float32)[None], sr=mcfg.sample_rate,
+                n_fft=mcfg.n_fft, hop_length=mcfg.hop_length,
+                win_length=mcfg.win_length, n_mels=mcfg.n_mels,
+                fmin=mcfg.fmin, fmax=mcfg.fmax,
+            )[0]
+        )
+
+    # Reference embeddings from the per-speaker reference clips.
+    ref_embs = {}
+    for spk in DEFAULT_SPEAKERS:
+        path = os.path.join(args.corpus, f"ref_{spk.name}.wav")
+        audio, sr = read_wav(path)
+        ref_embs[spk.name] = engine.embed_voice(np.asarray(audio, np.float32), sr)
+
+    # 1. Held-in mel reconstruction per speaker.
+    recon = []
+    for spk in DEFAULT_SPEAKERS:
+        for i in range(args.sentences):
+            text = DEFAULT_SENTENCES[i]
+            gt, sr = read_wav(os.path.join(args.corpus, f"{spk.name}_{i:02d}.wav"))
+            out = engine.synthesize_batch([text], speakers=[ref_embs[spk.name]])[0]
+            m_gt, m_out = mel_of(np.asarray(gt, np.float32)), mel_of(out)
+            t = min(len(m_gt), len(m_out))
+            d = m_out[:t] - m_gt[:t]
+            recon.append(
+                {
+                    "mel_l1": float(np.abs(d).mean()),
+                    "mel_mse": float((d**2).mean()),
+                    # MCD over log-mel (dB-scaled L2 per frame, standard 10/ln10·√2)
+                    "mcd_db": float(
+                        (10.0 / np.log(10.0))
+                        * np.sqrt(2.0 * (d**2).sum(-1)).mean()
+                    ),
+                    "len_ratio": float(len(m_out) / max(len(m_gt), 1)),
+                }
+            )
+    mel_l1 = float(np.mean([r["mel_l1"] for r in recon]))
+    mel_mse = float(np.mean([r["mel_mse"] for r in recon]))
+    mcd = float(np.mean([r["mcd_db"] for r in recon]))
+    len_ratio = float(np.mean([r["len_ratio"] for r in recon]))
+
+    # 2. Streaming exactness on trained weights.
+    spk0 = DEFAULT_SPEAKERS[0]
+    text0 = DEFAULT_SENTENCES[0]
+    batch_out = engine.synthesize_batch([text0], speakers=[ref_embs[spk0.name]])[0]
+    stream_out = np.concatenate(
+        list(engine.synthesize_stream(text0, speaker=ref_embs[spk0.name]))
+    )
+    t = min(len(batch_out), len(stream_out))
+    stream_exact_lsb = float(
+        np.max(np.abs(batch_out[:t] - stream_out[:t])) * 32767.0
+    )
+    stream_len_match = abs(len(batch_out) - len(stream_out)) <= mcfg.hop_length
+
+    # 3. Clone margin on synthesized audio.
+    same, cross = [], []
+    for spk in DEFAULT_SPEAKERS:
+        out = engine.synthesize_batch(
+            [DEFAULT_SENTENCES[1]], speakers=[ref_embs[spk.name]]
+        )[0]
+        emb = engine.embed_voice(out, engine.sample_rate)
+        for other, ref in ref_embs.items():
+            sim = float(np.dot(emb, ref))
+            (same if other == spk.name else cross).append(sim)
+    margin = float(np.mean(same) - np.mean(cross))
+
+    result = {
+        "checkpoint": args.checkpoint,
+        "backend": __import__("jax").default_backend(),
+        "held_in_mel_l1": round(mel_l1, 4),
+        "held_in_mel_mse": round(mel_mse, 4),
+        "held_in_mcd_db": round(mcd, 3),
+        "duration_len_ratio": round(len_ratio, 4),
+        "stream_vs_batch_max_lsb": round(stream_exact_lsb, 3),
+        "stream_len_match": bool(stream_len_match),
+        "clone_same_voice_mean": round(float(np.mean(same)), 4),
+        "clone_cross_voice_mean": round(float(np.mean(cross)), 4),
+        "clone_margin": round(margin, 4),
+    }
+    print(json.dumps(result))
+    sys.exit(0 if margin > 0 else 1)
+
+
+if __name__ == "__main__":
+    main()
