@@ -9,8 +9,9 @@ the stressless ARPAbet set from symbols.py.  Deterministic, dependency-free, uni
 
 from __future__ import annotations
 
+import os
 import re
-from typing import List
+from typing import Dict, List
 
 # Frequent irregular words (top-of-Zipf words whose LTS rules would mangle).
 LEXICON = {
@@ -193,6 +194,83 @@ LEXICON = {
     "service": ["S", "ER", "V", "IH", "S"],
 }
 
+
+def _load_vendored_lexicon() -> Dict[str, List[str]]:
+    """Merge data/lexicon.tsv (≈2.5k common words, stressless ARPAbet) under the
+    handwritten entries above (handwritten wins on conflict — those are pinned by
+    tests). Measured by tools/g2p_eval.py."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "lexicon.tsv")
+    out: Dict[str, List[str]] = {}
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                word, _, prons = line.partition("\t")
+                out[word.strip().lower()] = prons.split()
+    except OSError:
+        pass
+    return out
+
+
+VENDORED_LEXICON = _load_vendored_lexicon()
+LEXICON = {**VENDORED_LEXICON, **LEXICON}
+
+# Unstressed-suffix rules applied at the END of a word before the main scan
+# (the stem is recursed). English suffixes reduce to schwa — the main scan's
+# short-vowel defaults get them wrong ("-al" → AE L instead of AH L).
+_SUFFIX_RULES = [
+    ("ssion", ["SH", "AH", "N"]),
+    ("stion", ["S", "CH", "AH", "N"]),
+    ("tion", ["SH", "AH", "N"]),
+    ("sion", ["ZH", "AH", "N"]),
+    ("cial", ["SH", "AH", "L"]),
+    ("tial", ["SH", "AH", "L"]),
+    ("cious", ["SH", "AH", "S"]),
+    ("tious", ["SH", "AH", "S"]),
+    ("ment", ["M", "AH", "N", "T"]),
+    ("ness", ["N", "AH", "S"]),
+    ("less", ["L", "AH", "S"]),
+    ("ture", ["CH", "ER"]),
+    ("sure", ["ZH", "ER"]),
+    ("ible", ["AH", "B", "AH", "L"]),
+    ("able", ["AH", "B", "AH", "L"]),
+    ("ical", ["IH", "K", "AH", "L"]),
+    ("ity", ["AH", "T", "IY"]),
+    ("ify", ["AH", "F", "AY"]),
+    ("ize", ["AY", "Z"]),
+    ("ise", ["AY", "Z"]),
+    ("ous", ["AH", "S"]),
+    ("ful", ["F", "AH", "L"]),
+    ("age", ["IH", "JH"]),
+    ("ive", ["IH", "V"]),
+    ("ate", ["EY", "T"]),
+    ("ary", ["EH", "R", "IY"]),
+    ("ory", ["AO", "R", "IY"]),
+    ("ance", ["AH", "N", "S"]),
+    ("ence", ["AH", "N", "S"]),
+    ("ant", ["AH", "N", "T"]),
+    ("ent", ["AH", "N", "T"]),
+    ("ian", ["IY", "AH", "N"]),
+    ("ower", ["AW", "ER"]),
+    ("are", ["EH", "R"]),
+    ("et", ["AH", "T"]),
+    ("ar", ["ER"]),
+    ("or", ["ER"]),
+    ("al", ["AH", "L"]),
+    ("le", ["AH", "L"]),
+    ("el", ["AH", "L"]),
+    ("il", ["AH", "L"]),
+    ("en", ["AH", "N"]),
+    ("on", ["AH", "N"]),
+    ("om", ["AH", "M"]),
+    ("ly", ["L", "IY"]),
+    ("y", ["IY"]),
+]
+_SUFFIX_MIN_STEM = 3  # don't strip suffixes off tiny words ("ten", "any", "on")
+
+
 # Ordered letter-to-sound rules: (pattern at position, phonemes, chars consumed).
 # Longest-match-first within each leading letter.
 _DIGRAPH_RULES = [
@@ -203,11 +281,22 @@ _DIGRAPH_RULES = [
     ("ough", ["AO"], 4),  # rough approximation; lexicon covers common irregulars
     ("augh", ["AO"], 4),
     ("eigh", ["EY"], 4),
+    ("ction", ["K", "SH", "AH", "N"], 5),
     ("tion", ["SH", "AH", "N"], 4),
     ("sion", ["ZH", "AH", "N"], 4),
     ("ture", ["CH", "ER"], 4),
     ("ing", ["IH", "NG"], 3),
+    ("ook", ["UH", "K"], 3),
+    ("all", ["AO", "L"], 3),
+    ("ild", ["AY", "L", "D"], 3),
+    ("ind", ["AY", "N", "D"], 3),
+    ("old", ["OW", "L", "D"], 3),
+    ("ost", ["OW", "S", "T"], 3),
+    ("alk", ["AO", "K"], 3),
+    ("ead", ["EH", "D"], 3),  # head/bread/dead family ("read" comes via lexicon)
+    ("eath", ["EH", "TH"], 4),
     ("ck", ["K"], 2),
+    ("nk", ["NG", "K"], 2),
     ("ch", ["CH"], 2),
     ("sh", ["SH"], 2),
     ("th", ["TH"], 2),
@@ -217,8 +306,6 @@ _DIGRAPH_RULES = [
     ("qu", ["K", "W"], 2),
     ("wr", ["R"], 2),
     ("kn", ["N"], 2),
-    ("gn", ["N"], 2),
-    ("mb", ["M"], 2),  # only correct word-finally; acceptable approximation
     ("ee", ["IY"], 2),
     ("ea", ["IY"], 2),
     ("oo", ["UW"], 2),
@@ -252,10 +339,50 @@ _SINGLE_CONSONANTS = {
 _VOWEL_CHARS = set("aeiouy")
 
 
-def _word_to_phonemes_lts(word: str) -> List[str]:
+def _word_to_phonemes_lts(word: str, _depth: int = 0) -> List[str]:
     """Letter-to-sound fallback for out-of-lexicon words."""
     phonemes: List[str] = []
     w = word
+    # Collapse doubled consonants early ("business" → "busines"); 'cc' stays for
+    # the K-S softening below ("accept").
+    w = re.sub(r"([bdfghjklmnprstvz])\1", r"\1", w)
+
+    # Unstressed-suffix layer: peel one suffix, recurse on the stem.
+    if _depth < 4:
+        for suf, phs in _SUFFIX_RULES:
+            if w.endswith(suf):
+                stem = w[: -len(suf)]
+                if len(stem) >= _SUFFIX_MIN_STEM and any(
+                    c in _VOWEL_CHARS for c in stem
+                ):
+                    return _word_to_phonemes_lts(stem, _depth + 1) + list(phs)
+                break
+
+    # Prefix 'ex-': voiced before a vowel ("exist" IH G Z), else IH K S.
+    if w.startswith("ex") and len(w) > 3:
+        rest = w[2:]
+        if rest[0] in _VOWEL_CHARS:
+            return ["IH", "G", "Z"] + _word_to_phonemes_lts(rest, _depth + 1)
+        return ["IH", "K", "S"] + _word_to_phonemes_lts(rest, _depth + 1)
+
+    # Unstressed prefixes: leading 'a'+consonant → AH ("alone", "apart");
+    # be-/de-/re- before a consonant reduce to IH ("believe", "deliver", "request").
+    if len(w) >= 4 and w[0] == "a" and w[1] not in _VOWEL_CHARS and w[1] != w[0]:
+        return ["AH"] + _word_to_phonemes_lts(w[1:], _depth + 1)
+    if (
+        len(w) >= 5
+        and w[:2] in ("be", "de", "re")
+        and w[2] not in _VOWEL_CHARS
+        and _depth < 4
+    ):
+        return [w[0].upper(), "IH"] + _word_to_phonemes_lts(w[2:], _depth + 1)
+
+    # Position-sensitive clusters: word-final 'gn'→N ("sign"), 'mb'→M ("climb");
+    # both keep the stop mid-word ("signature", "chamber").
+    if w.endswith("gn"):
+        return _word_to_phonemes_lts(w[:-2], _depth + 1) + ["N"]
+    if w.endswith("mb"):
+        return _word_to_phonemes_lts(w[:-2], _depth + 1) + ["M"]
     # Final-silent-e heuristic: mark the vowel before C+e as long, drop the e.
     silent_e = (
         len(w) >= 3
@@ -292,9 +419,11 @@ def _word_to_phonemes_lts(word: str) -> List[str]:
             phonemes.append("JH" if nxt in "eiy" else "G")
         elif ch == "s":
             prev = w[i - 1] if i > 0 else ""
+            nxt = w[i + 1] if i + 1 < len(w) else ""
             is_final = i == len(w) - 1
             voiced = prev in _VOWEL_CHARS or prev in "bdglmnrvw"
-            phonemes.append("Z" if (is_final and voiced) else "S")
+            intervocalic = prev in _VOWEL_CHARS and nxt in _VOWEL_CHARS
+            phonemes.append("Z" if ((is_final and voiced) or intervocalic) else "S")
         elif ch == "x":
             phonemes.extend(["K", "S"])
         elif ch == "y" and i == 0:
@@ -302,8 +431,12 @@ def _word_to_phonemes_lts(word: str) -> List[str]:
         elif ch in _VOWEL_CHARS:
             if i == long_vowel_pos:
                 phonemes.append(_LONG_VOWELS[ch])
-            elif ch == "y" and i == len(w) - 1:
+            elif i == len(w) - 1 and ch == "y":
                 phonemes.append("IY")
+            elif i == len(w) - 1 and ch == "o":
+                phonemes.append("OW")  # word-final open 'o': go, tomato, undergo
+            elif i == len(w) - 1 and ch == "a":
+                phonemes.append("AH")  # word-final 'a' reduces: drama, data, extra
             else:
                 phonemes.append(_SHORT_VOWELS[ch])
         elif ch in _SINGLE_CONSONANTS:
@@ -319,8 +452,46 @@ def _word_to_phonemes_lts(word: str) -> List[str]:
 _RE_TOKEN = re.compile(r"[a-zA-Z']+|[.,?!;:\-\"]")
 
 
-def word_to_phonemes(word: str) -> List[str]:
+# Homographs: LEXICON holds the more frequent reading; the alternate fires on
+# minimal POS-ish context cues (neighboring-word sets). Deliberately small — a
+# learned tagger is out of scope; these cover the classic TTS offenders.
+# {word: (alt_pron, prev_words_triggering_alt, next_words_triggering_alt)}
+HOMOGRAPHS: Dict[str, tuple] = {
+    # verb "read" defaults to present R IY D; past after perfect/past auxiliaries.
+    "read": (["R", "EH", "D"],
+             {"have", "has", "had", "been", "was", "were", "already"}, set()),
+    # "lead" defaults to the verb L IY D; the metal before metal-ish nouns.
+    "lead": (["L", "EH", "D"], set(),
+             {"pipe", "pipes", "paint", "poisoning", "pencil", "shield", "acid"}),
+    # "live" defaults to the verb L IH V; adjective/adverb L AY V in broadcast senses.
+    "live": (["L", "AY", "V"],
+             {"a", "the", "watch", "watching", "went", "broadcast", "is", "goes"},
+             {"music", "show", "shows", "stream", "broadcast", "performance",
+              "audience", "wire", "concert", "coverage", "television", "tv"}),
+    # noun/adj "close" K L OW S is the LEXICON default; verb before determiners.
+    "close": (["K", "L", "OW", "Z"], {"to", "will", "would", "please", "they"},
+              {"the", "your", "it", "them", "down", "up", "this", "that"}),
+    # verb "use" Y UW Z is the LEXICON default; noun after determiners/possessives.
+    "use": (["Y", "UW", "S"],
+            {"the", "a", "no", "of", "in", "its", "their", "his", "her", "whose"},
+            set()),
+    # "wind" defaults to the noun W IH N D; verb before up/down/around.
+    "wind": (["W", "AY", "N", "D"], set(), {"up", "down", "around", "through"}),
+    # "tear" defaults to T EH R (rip); the eye-water noun near crying context.
+    "tear": (["T", "IH", "R"], {"a", "single", "every"}, {"fell", "rolled", "drop"}),
+    # "bow" defaults to B OW (ribbon/violin); the bend/greeting before down/to.
+    "bow": (["B", "AW"], set(), {"down", "to", "before", "out"}),
+}
+
+
+def word_to_phonemes(word: str, prev: str = "", nxt: str = "") -> List[str]:
+    """`prev`/`nxt` are the neighboring lowercase words (homograph disambiguation)."""
     lower = word.lower()
+    h = HOMOGRAPHS.get(lower)
+    if h is not None:
+        alt, prev_set, next_set = h
+        if prev in prev_set or nxt in next_set:
+            return list(alt)
     if lower in LEXICON:
         return list(LEXICON[lower])
     return _word_to_phonemes_lts(lower.replace("'", ""))
@@ -328,13 +499,17 @@ def word_to_phonemes(word: str) -> List[str]:
 
 def text_to_phonemes(text: str) -> List[str]:
     """Normalized text → flat phoneme/punctuation symbol sequence with word separators."""
+    toks = _RE_TOKEN.findall(text)
+    words_lower = [t.lower() if (t[0].isalpha() or t[0] == "'") else "" for t in toks]
     out: List[str] = []
     prev_was_word = False
-    for tok in _RE_TOKEN.findall(text):
-        if tok[0].isalpha() or tok[0] == "'":
+    for i, tok in enumerate(toks):
+        if words_lower[i]:
             if prev_was_word:
                 out.append("<sp>")
-            out.extend(word_to_phonemes(tok))
+            prev_w = words_lower[i - 1] if i > 0 else ""
+            next_w = words_lower[i + 1] if i + 1 < len(toks) else ""
+            out.extend(word_to_phonemes(tok, prev=prev_w, nxt=next_w))
             prev_was_word = True
         else:
             out.append(tok)

@@ -231,3 +231,58 @@ def test_symbol_table_stable():
     # The id layout is a serving contract (checkpoints depend on it).
     assert SYMBOLS[0] == "<pad>"
     assert n_symbols() < 256  # fits the padded embedding table
+
+
+# ---------------------------------------------------------------- G2P accuracy
+
+
+def test_vendored_lexicon_loads_and_is_valid():
+    from gonova_tts_tpu.text.g2p import LEXICON, VENDORED_LEXICON
+    from gonova_tts_tpu.text.symbols import PHONEMES
+
+    assert len(VENDORED_LEXICON) > 2000
+    valid = set(PHONEMES)
+    for word, prons in VENDORED_LEXICON.items():
+        assert prons and all(p in valid for p in prons), (word, prons)
+    # Handwritten entries win on conflict.
+    assert LEXICON["read"] == ["R", "IY", "D"]
+
+
+def test_homograph_contextual_alternates():
+    from gonova_tts_tpu.text.g2p import word_to_phonemes
+
+    assert word_to_phonemes("read", prev="have") == ["R", "EH", "D"]
+    assert word_to_phonemes("read", prev="to") == ["R", "IY", "D"]
+    assert word_to_phonemes("live", nxt="music") == ["L", "AY", "V"]
+    assert word_to_phonemes("live", prev="they", nxt="in") == ["L", "IH", "V"]
+    assert word_to_phonemes("lead", nxt="pipe") == ["L", "EH", "D"]
+    assert word_to_phonemes("wind", nxt="up") == ["W", "AY", "N", "D"]
+
+
+def test_homographs_resolve_in_sentence_context():
+    from gonova_tts_tpu.text.g2p import text_to_phonemes
+
+    out = text_to_phonemes("have read")
+    assert out[-3:] == ["R", "EH", "D"]
+    out2 = text_to_phonemes("live music")
+    assert out2[:3] == ["L", "AY", "V"]
+
+
+def test_g2p_eval_gate_passes():
+    """The harness gate: full-pipeline exact-match ≥90% + all homograph cases."""
+    import json
+    import subprocess
+    import sys
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "g2p_eval.py")],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    data = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert data["full_pipeline"]["exact_match"] >= 0.9
+    # LTS rules on held-out words: pin the floor so regressions surface.
+    assert data["lts_held_out"]["exact_match"] >= 0.40
+    assert data["lts_held_out"]["per"] <= 0.20

@@ -1,0 +1,104 @@
+"""G2P accuracy harness (VERDICT.md round-1 item 7).
+
+Grades the text frontend's pronunciation quality against the vendored gold lexicon
+(gonova_tts_tpu/text/data/lexicon.tsv, ~2.5k stressless-ARPAbet entries):
+
+  1. full-pipeline accuracy: word_to_phonemes over all gold words (lexicon hit or
+     LTS) — exact match + phoneme error rate (Levenshtein / ref length);
+  2. LTS-only held-out accuracy: a deterministic 10% split of the gold words graded
+     through the letter-to-sound rules alone (lexicon bypassed) — the honest measure
+     of what happens on unseen words;
+  3. homograph spot-checks (contextual alternates).
+
+Usage: python tools/g2p_eval.py   → one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import zlib
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gonova_tts_tpu.text.g2p import (  # noqa: E402
+    VENDORED_LEXICON,
+    _word_to_phonemes_lts,
+    word_to_phonemes,
+)
+
+
+def edit_distance(a, b) -> int:
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(
+                prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1])
+            )
+        prev = cur
+    return prev[n]
+
+
+def grade(pairs) -> dict:
+    exact = 0
+    errs = 0
+    ref_len = 0
+    for pred, ref in pairs:
+        exact += pred == ref
+        errs += edit_distance(pred, ref)
+        ref_len += len(ref)
+    n = max(len(pairs), 1)
+    return {
+        "n": len(pairs),
+        "exact_match": round(exact / n, 4),
+        "per": round(errs / max(ref_len, 1), 4),
+    }
+
+
+def main() -> None:
+    gold = dict(VENDORED_LEXICON)
+
+    # 1. Full pipeline over all gold words.
+    full = grade([(word_to_phonemes(w), ref) for w, ref in gold.items()])
+
+    # 2. LTS-only on the deterministic 10% held-out split (crc32 buckets — the
+    # split never moves when the lexicon grows).
+    held_out = {w: r for w, r in gold.items() if zlib.crc32(w.encode()) % 10 == 0}
+    lts = grade(
+        [(_word_to_phonemes_lts(w.replace("'", "")), ref) for w, ref in held_out.items()]
+    )
+
+    # 3. Homograph spot checks.
+    homo_cases = [
+        ("read", "have", "", ["R", "EH", "D"]),
+        ("read", "to", "", ["R", "IY", "D"]),
+        ("live", "", "music", ["L", "AY", "V"]),
+        ("live", "they", "in", ["L", "IH", "V"]),
+        ("lead", "", "pipe", ["L", "EH", "D"]),
+        ("lead", "will", "", ["L", "IY", "D"]),
+        ("wind", "", "up", ["W", "AY", "N", "D"]),
+        ("wind", "the", "", ["W", "IH", "N", "D"]),
+    ]
+    homo_ok = sum(
+        word_to_phonemes(w, prev=p, nxt=n) == ref for w, p, n, ref in homo_cases
+    )
+
+    print(
+        json.dumps(
+            {
+                "gold_words": len(gold),
+                "full_pipeline": full,
+                "lts_held_out": lts,
+                "homographs_ok": f"{homo_ok}/{len(homo_cases)}",
+            }
+        )
+    )
+    # The gate: full pipeline ≥90% exact (VERDICT item 7) and homographs all pass.
+    sys.exit(0 if full["exact_match"] >= 0.9 and homo_ok == len(homo_cases) else 1)
+
+
+if __name__ == "__main__":
+    main()
