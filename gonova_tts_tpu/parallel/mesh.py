@@ -65,6 +65,10 @@ _PARAM_RULES: Tuple[Tuple[str, P], ...] = (
     (r"vocoder/blocks/\d+/pw1/w$", P(None, MODEL_AXIS)),
     (r"vocoder/blocks/\d+/pw1/b$", P(MODEL_AXIS)),
     (r"vocoder/blocks/\d+/pw2/w$", P(MODEL_AXIS, None)),
+    # Discriminators (training only): conv stacks shard out-channels like the
+    # vocoder rules; conv_post (1 out-channel) falls through to replicated.
+    (r"(mpd|msd)/subs/\d+/convs/\d+/w$", P(None, None, MODEL_AXIS)),
+    (r"(mpd|msd)/subs/\d+/convs/\d+/b$", P(MODEL_AXIS)),
     # Everything else (norms, biases, small projections, MRF stacks): replicated.
     (r".*", P()),
 )

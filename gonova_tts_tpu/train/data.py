@@ -3,12 +3,16 @@
 The reference has no training code or data handling (SURVEY.md §1); this module makes
 the in-repo model stack trainable end-to-end:
 
-  manifest line:  <wav_path>|<text>
+  manifest line:  <wav_path>|<text>[|<durations>][|ref=<ref_wav_path>]
   → text frontend (normalize → G2P → token ids, bucket-padded)
   → DSP (resample to model rate, log-mel, frame-wise F0 targets)
   → uniform duration targets (total mel frames spread over tokens — a standard
     aligner-free bootstrap; an external aligner's durations can be supplied per line
     as a third |-separated field of space-joined ints)
+  → speaker conditioning (optional speaker_fn): embeds `ref=` reference audio when
+    given, else the utterance's own audio. Cloning training wants `ref=` — the model
+    must key on the *speaker's* fixed reference embedding (what serving provides),
+    not a per-utterance embedding it can abuse as an utterance id.
 
 Batches are (token-bucket, frame-cap) static — the same bucketing discipline as the
 serving engine, so train and serve share compile caches.
@@ -38,6 +42,8 @@ class Example:
     pitch_frames: np.ndarray  # [T] f32 (log-pitch feature per frame)
     audio: np.ndarray  # [T * hop] f32
     speaker: Optional[np.ndarray] = None  # [speaker_dim] f32 (None → zeros)
+    ref_mel: Optional[np.ndarray] = None  # [T_ref, n_mels] reference-clip mel
+    ref_frames: int = 0  # valid frames in ref_mel
 
 
 def load_manifest(path: str) -> List[Dict[str, str]]:
@@ -51,19 +57,35 @@ def load_manifest(path: str) -> List[Dict[str, str]]:
             if len(parts) < 2:
                 raise ValueError(f"manifest line needs '<wav>|<text>': {raw!r}")
             entry = {"wav": parts[0], "text": parts[1]}
-            if len(parts) >= 3 and parts[2].strip():
-                entry["durations"] = parts[2]
+            for extra in parts[2:]:
+                extra = extra.strip()
+                if not extra:
+                    continue
+                if extra.startswith("ref="):
+                    entry["ref"] = extra[4:]
+                else:
+                    entry["durations"] = extra
             entries.append(entry)
     return entries
 
 
 def prepare_example(
-    wav_path: str, text: str, cfg: ModelConfig, speaker_fn=None
+    wav_path: str,
+    text: str,
+    cfg: ModelConfig,
+    speaker_fn=None,
+    ref_path=None,
+    ref_mel: bool = False,
 ) -> Example:
-    """speaker_fn: optional (audio[T] f32, sr) -> embedding[speaker_dim]; for
-    voice-cloning training this is the (frozen) speaker encoder applied to the
-    utterance's own audio — the same conditioning path the serving engine uses
-    (engine.embed_voice)."""
+    """Speaker conditioning, two modes:
+
+    * ref_mel=True (cloning training, preferred): store the `ref_path` clip's mel
+      features; the train step embeds them IN-GRAPH so the speaker encoder is
+      trained jointly and learns to separate voices. (A frozen random encoder maps
+      all voices to nearly one point — measured cross-speaker cosine 0.99 — so the
+      model amplifies noise instead of identity and cloning never generalizes.)
+    * speaker_fn (fixed external embedder): precomputed embedding, no encoder grads.
+    """
     audio, sr = read_wav(wav_path)
     if audio.ndim > 1:
         audio = audio.mean(axis=1)
@@ -84,15 +106,56 @@ def prepare_example(
     f0 = estimate_f0(wav, cfg.sample_rate, cfg.hop_length, cfg.n_fft)
     tokens = np.asarray(text_to_ids(text), np.int32)
     speaker = None
-    if speaker_fn is not None:
-        speaker = np.asarray(speaker_fn(wav, cfg.sample_rate), np.float32)
+    rmel, rframes = None, 0
+    if ref_mel:
+        if ref_path:
+            ref_audio, ref_sr = read_wav(ref_path)
+        else:
+            ref_audio, ref_sr = wav, cfg.sample_rate
+        rmel, rframes = ref_mel_features(np.asarray(ref_audio, np.float32), ref_sr, cfg)
+    elif speaker_fn is not None:
+        if ref_path:
+            ref_audio, ref_sr = read_wav(ref_path)
+            if ref_audio.ndim > 1:
+                ref_audio = ref_audio.mean(axis=1)
+            speaker = np.asarray(
+                speaker_fn(np.asarray(ref_audio, np.float32), ref_sr), np.float32
+            )
+        else:
+            speaker = np.asarray(speaker_fn(wav, cfg.sample_rate), np.float32)
     return Example(
         tokens=tokens,
         mel=mel.astype(np.float32),
         pitch_frames=f0_to_feature(f0),
         audio=wav.astype(np.float32),
         speaker=speaker,
+        ref_mel=rmel,
+        ref_frames=rframes,
     )
+
+
+def ref_mel_features(audio: np.ndarray, sr: int, cfg: ModelConfig):
+    """Reference-clip log-mel at the engine's static 10 s analysis length.
+
+    Returns (mel [T_ref, n_mels], n_valid_frames). Mirrors engine.embed_voice's
+    buffer/mask convention exactly so the speaker encoder sees identical inputs in
+    training (in-graph, gradients flowing) and serving (cloning a registered voice)."""
+    if audio.ndim > 1:
+        audio = audio.mean(axis=1)
+    wav = resample_np(np.asarray(audio, np.float32), sr, cfg.sample_rate)
+    max_samples = int(10.0 * cfg.sample_rate)
+    max_samples -= max_samples % cfg.hop_length
+    n = min(len(wav), max_samples)
+    buf = np.zeros((max_samples,), np.float32)
+    buf[:n] = wav[:n]
+    mel = np.asarray(
+        mel_spectrogram(
+            jnp.asarray(buf)[None], sr=cfg.sample_rate, n_fft=cfg.n_fft,
+            hop_length=cfg.hop_length, win_length=cfg.win_length,
+            n_mels=cfg.n_mels, fmin=cfg.fmin, fmax=cfg.fmax,
+        )[0]
+    ).astype(np.float32)
+    return mel, n // cfg.hop_length
 
 
 _SILENCE_MEL_CACHE: Dict[tuple, np.ndarray] = {}
@@ -159,6 +222,11 @@ def make_batch(
         "frame_mask": np.zeros((b, t_cap), np.float32),
         "audio": np.zeros((b, t_cap * hop), np.float32),
     }
+    if examples[0].ref_mel is not None:
+        t_ref = examples[0].ref_mel.shape[0]
+        batch["ref_mel"] = np.tile(silence_mel(cfg), (b, t_ref, 1))
+        batch["ref_mask"] = np.zeros((b, t_ref), np.float32)
+
     for i, e in enumerate(examples):
         l = min(len(e.tokens), bucket)
         t = min(e.mel.shape[0], t_cap)
@@ -166,6 +234,9 @@ def make_batch(
         batch["token_mask"][i, :l] = 1.0
         if e.speaker is not None:
             batch["speaker"][i] = e.speaker[:spk_dim]
+        if e.ref_mel is not None:
+            batch["ref_mel"][i] = e.ref_mel
+            batch["ref_mask"][i, : e.ref_frames] = 1.0
         dur = _uniform_durations(l, t, cfg.max_frames_per_token)
         batch["durations"][i, :l] = dur
         t_used = int(dur.sum())
@@ -193,6 +264,7 @@ class ManifestDataset:
         seed: int = 0,
         cache: bool = True,
         speaker_fn=None,
+        ref_mel: bool = False,
     ):
         self.entries = load_manifest(manifest_path)
         if not self.entries:
@@ -202,13 +274,18 @@ class ManifestDataset:
         self.token_buckets = tuple(token_buckets)
         self.seed = seed
         self.speaker_fn = speaker_fn
+        self.ref_mel = ref_mel
         self._cache: Optional[List[Example]] = [] if cache else None
 
     def _examples(self) -> List[Example]:
         if self._cache:
             return self._cache
         examples = [
-            prepare_example(e["wav"], e["text"], self.cfg, speaker_fn=self.speaker_fn)
+            prepare_example(
+                e["wav"], e["text"], self.cfg,
+                speaker_fn=self.speaker_fn, ref_path=e.get("ref"),
+                ref_mel=self.ref_mel,
+            )
             for e in self.entries
         ]
         if self._cache is not None:

@@ -100,8 +100,6 @@ def train(
 
     if manifest:
         from .data import ManifestDataset
-
-        speaker_fn = make_speaker_fn(params, mcfg) if speaker_conditioning else None
         # Resident mode stacks all batches into one [N, ...] array, so every batch
         # must share one bucket shape: collapse the ladder to the smallest rung
         # that fits the corpus' longest sentence.
@@ -118,7 +116,7 @@ def train(
         dataset = ManifestDataset(
             manifest, mcfg, batch_size=batch_size,
             token_buckets=buckets, seed=seed,
-            speaker_fn=speaker_fn,
+            ref_mel=speaker_conditioning,
         )
 
         def batches():
@@ -156,11 +154,9 @@ def train(
         if not manifest:
             raise ValueError("resident mode needs a manifest corpus")
         # Device-resident corpus: one epoch's batches, fixed grouping, cycled.
-        # Data prep (per-utterance mel/F0/speaker-embed) runs pinned to the host CPU
-        # device: utterance lengths vary, and on the tunneled TPU every new shape
-        # would be a minutes-long compile. Params for the speaker encoder are
-        # re-initialized under the same ctx (threefry init is bit-identical across
-        # backends) so nothing crosses the tunnel during prep.
+        # Data prep (per-utterance mel/F0) runs pinned to the host CPU device:
+        # utterance lengths vary, and on the tunneled TPU every new shape would be
+        # a minutes-long compile.
         import contextlib
 
         prep_ctx = contextlib.nullcontext()
@@ -171,11 +167,6 @@ def train(
             except RuntimeError:
                 pass
         with prep_ctx:
-            if speaker_conditioning and jax.default_backend() != "cpu":
-                params_prep = jax.jit(lambda k: tts.init(k, mcfg))(
-                    jax.random.PRNGKey(seed)
-                )
-                dataset.speaker_fn = make_speaker_fn(params_prep, mcfg)
             epoch_batches = [
                 {k: np.asarray(v) for k, v in b.items()} for b in dataset.epoch(0)
             ]
@@ -246,6 +237,7 @@ def main() -> None:
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--warmup", type=int, default=1000)
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--checkpoint-every", type=int, default=500)
     ap.add_argument("--n-data", type=int, default=None)
     ap.add_argument("--n-model", type=int, default=1)
     ap.add_argument("--config", default=None)
@@ -264,6 +256,7 @@ def main() -> None:
         lr=args.lr,
         warmup=args.warmup,
         checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
         n_data=args.n_data,
         n_model=args.n_model,
         resident=args.resident,

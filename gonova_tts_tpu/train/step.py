@@ -53,13 +53,25 @@ def tts_loss_fn(
     """Joint acoustic + vocoder loss on a supervised batch.
 
     batch keys: tokens [B,L], token_mask [B,L], speaker [B,S], exaggeration [B],
-    durations [B,L], pitch [B,L], mel [B,T,n_mels], frame_mask [B,T], audio [B,T*hop].
+    durations [B,L], pitch [B,L], mel [B,T,n_mels], frame_mask [B,T], audio [B,T*hop];
+    optional ref_mel [B,T_ref,n_mels] + ref_mask [B,T_ref] (cloning training).
+
+    When ref_mel is present the speaker embedding is computed IN-GRAPH from the
+    reference clip, so the speaker encoder trains jointly and learns to separate
+    voices — a frozen random encoder collapses all voices to ~one embedding
+    (measured cross-speaker cosine 0.99) and cloning never generalizes.
     """
+    if "ref_mel" in batch:
+        spk = tts.embed_speaker(
+            params, batch["ref_mel"], batch["ref_mask"], dtype=dtype
+        )
+    else:
+        spk = batch["speaker"]
     ac = acoustic.forward(
         params["acoustic"],
         batch["tokens"],
         batch["token_mask"],
-        batch["speaker"],
+        spk,
         batch["exaggeration"],
         cfg,
         durations=batch["durations"],
@@ -91,6 +103,33 @@ def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation, d
     return train_step
 
 
+def _state_shardings(state: TrainState, mesh) -> TrainState:
+    """Sharding pytree for a TrainState: params via the mesh rules; optimizer
+    state mirrors param sharding where shapes match; scalars replicated."""
+    param_sh = pmesh.param_shardings(state.params, mesh)
+    flat_params = jax.tree_util.tree_leaves(state.params)
+    shape_to_sh = {}
+    for leaf, sh in zip(flat_params, jax.tree_util.tree_leaves(param_sh)):
+        shape_to_sh.setdefault((leaf.shape, leaf.dtype), sh)
+
+    def opt_sharding(leaf):
+        return shape_to_sh.get((getattr(leaf, "shape", ()), getattr(leaf, "dtype", None)),
+                               pmesh.replicated(mesh))
+
+    opt_sh = jax.tree_util.tree_map(opt_sharding, state.opt_state)
+    return TrainState(params=param_sh, opt_state=opt_sh, step=pmesh.replicated(mesh))
+
+
+def _place_state(state: TrainState, state_sh: TrainState) -> TrainState:
+    return TrainState(
+        params=jax.tree_util.tree_map(jax.device_put, state.params, state_sh.params),
+        opt_state=jax.tree_util.tree_map(
+            jax.device_put, state.opt_state, state_sh.opt_state
+        ),
+        step=jax.device_put(state.step, state_sh.step),
+    )
+
+
 def make_sharded_train_step(
     cfg: ModelConfig,
     optimizer: optax.GradientTransformation,
@@ -103,20 +142,7 @@ def make_sharded_train_step(
 
     Returns (sharded_step, sharded_state) with the state placed on the mesh.
     """
-    param_sh = pmesh.param_shardings(state.params, mesh)
-    # Optimizer state mirrors param sharding where shapes match; scalars replicated.
-    flat_params = jax.tree_util.tree_leaves(state.params)
-    shape_to_sh = {}
-    for leaf, sh in zip(flat_params, jax.tree_util.tree_leaves(param_sh)):
-        shape_to_sh.setdefault((leaf.shape, leaf.dtype), sh)
-
-    def opt_sharding(leaf):
-        return shape_to_sh.get((getattr(leaf, "shape", ()), getattr(leaf, "dtype", None)),
-                               pmesh.replicated(mesh))
-
-    opt_sh = jax.tree_util.tree_map(opt_sharding, state.opt_state)
-    step_sh = pmesh.replicated(mesh)
-    state_sh = TrainState(params=param_sh, opt_state=opt_sh, step=step_sh)
+    state_sh = _state_shardings(state, mesh)
     batch_sh = {k: pmesh.batch_sharding(mesh, v.ndim) for k, v in batch_example.items()}
     metrics_sh = pmesh.replicated(mesh)
 
@@ -133,12 +159,64 @@ def make_sharded_train_step(
         in_shardings=(state_sh, batch_sh),
         out_shardings=(state_sh, metrics_sh),
     )
-    placed_state = TrainState(
-        params=jax.tree_util.tree_map(jax.device_put, state.params, param_sh),
-        opt_state=jax.tree_util.tree_map(jax.device_put, state.opt_state, opt_sh),
-        step=jax.device_put(state.step, step_sh),
+    return sharded, _place_state(state, state_sh)
+
+
+def make_sharded_gan_steps(
+    cfg: ModelConfig,
+    g_opt: optax.GradientTransformation,
+    d_opt: optax.GradientTransformation,
+    mesh,
+    gen_state: TrainState,
+    disc_state: TrainState,
+    dtype=jnp.float32,
+):
+    """Sharded HiFi-GAN adversarial steps over the ('data','model') mesh.
+
+    Batch (mel, audio) shards over 'data'; generator params follow the vocoder
+    rules, discriminator conv stacks shard out-channels over 'model'
+    (parallel/mesh.py rules) — XLA inserts the psum/all-gather collectives.
+    Returns (d_step, g_step, placed_gen_state, placed_disc_state)."""
+    d_loss_fn, g_loss_fn = _gan_loss_fns(cfg, dtype)
+
+    gen_sh = _state_shardings(gen_state, mesh)
+    disc_sh = _state_shardings(disc_state, mesh)
+    data3 = pmesh.batch_sharding(mesh, 3)
+    data2 = pmesh.batch_sharding(mesh, 2)
+    rep = pmesh.replicated(mesh)
+
+    def d_step(disc_state: TrainState, gen_params, mel, audio_real):
+        loss, grads = jax.value_and_grad(d_loss_fn)(
+            disc_state.params, gen_params, mel, audio_real
+        )
+        updates, opt_state = d_opt.update(grads, disc_state.opt_state, disc_state.params)
+        params = optax.apply_updates(disc_state.params, updates)
+        return TrainState(params, opt_state, disc_state.step + 1), loss
+
+    def g_step(gen_state: TrainState, disc_params, mel, audio_real):
+        (loss, metrics), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            gen_state.params, disc_params, mel, audio_real
+        )
+        updates, opt_state = g_opt.update(grads, gen_state.opt_state, gen_state.params)
+        params = optax.apply_updates(gen_state.params, updates)
+        return TrainState(params, opt_state, gen_state.step + 1), metrics
+
+    d_sharded = jax.jit(
+        d_step,
+        in_shardings=(disc_sh, gen_sh.params, data3, data2),
+        out_shardings=(disc_sh, rep),
     )
-    return sharded, placed_state
+    g_sharded = jax.jit(
+        g_step,
+        in_shardings=(gen_sh, disc_sh.params, data3, data2),
+        out_shardings=(gen_sh, rep),
+    )
+    return (
+        d_sharded,
+        g_sharded,
+        _place_state(gen_state, gen_sh),
+        _place_state(disc_state, disc_sh),
+    )
 
 
 # ------------------------------------------------------- device-resident trainer
@@ -215,11 +293,8 @@ def ema_update(ema: Any, params: Any, decay: float = 0.999) -> Any:
 # ---------------------------------------------------------------- GAN steps (vocoder)
 
 
-def make_gan_steps(cfg: ModelConfig, g_opt: optax.GradientTransformation, d_opt: optax.GradientTransformation, dtype=jnp.float32):
-    """HiFi-GAN adversarial training: alternating discriminator/generator jitted steps.
-
-    Params layout: gen = pipeline params (uses 'vocoder'), disc = {'mpd': ..., 'msd': ...}.
-    """
+def _gan_loss_fns(cfg: ModelConfig, dtype=jnp.float32):
+    """(d_loss_fn, g_loss_fn) shared by the plain and sharded GAN steps."""
 
     def d_loss_fn(disc_params, gen_params, mel, audio_real):
         audio_fake = jax.lax.stop_gradient(tts.vocode(gen_params, mel, cfg, dtype=dtype))
@@ -242,6 +317,16 @@ def make_gan_steps(cfg: ModelConfig, g_opt: optax.GradientTransformation, d_opt:
         stft = losses.multi_resolution_stft_loss(audio_fake, audio_real)
         total = adv + 2.0 * fm + 45.0 * stft  # HiFi-GAN weighting (λ_fm=2, λ_mel=45)
         return total, {"adv": adv, "fm": fm, "stft": stft}
+
+    return d_loss_fn, g_loss_fn
+
+
+def make_gan_steps(cfg: ModelConfig, g_opt: optax.GradientTransformation, d_opt: optax.GradientTransformation, dtype=jnp.float32):
+    """HiFi-GAN adversarial training: alternating discriminator/generator jitted steps.
+
+    Params layout: gen = pipeline params (uses 'vocoder'), disc = {'mpd': ..., 'msd': ...}.
+    """
+    d_loss_fn, g_loss_fn = _gan_loss_fns(cfg, dtype)
 
     @jax.jit
     def d_step(disc_state: TrainState, gen_params, mel, audio_real):

@@ -204,19 +204,22 @@ def generate_corpus(
     os.makedirs(out_dir, exist_ok=True)
     lines = []
     for spk in speakers:
-        for i, text in enumerate(sentences):
-            wav, _ = synthesize_utterance(text, spk, cfg)
-            path = os.path.join(out_dir, f"{spk.name}_{i:02d}.wav")
-            write_wav(path, wav, cfg.sample_rate)
-            lines.append(f"{path}|{text}")
-        # Reference clip for cloning eval: two sentences concatenated (>3 s).
+        # Reference clip (two concatenated sentences, >3 s): the per-speaker
+        # conditioning audio for BOTH training (`ref=` manifest column) and cloning
+        # eval — the model must key on this fixed embedding, exactly as serving does.
         ref = np.concatenate(
             [
                 synthesize_utterance(sentences[j % len(sentences)], spk, cfg)[0]
                 for j in (0, 4)
             ]
         )
-        write_wav(os.path.join(out_dir, f"ref_{spk.name}.wav"), ref, cfg.sample_rate)
+        ref_path = os.path.join(out_dir, f"ref_{spk.name}.wav")
+        write_wav(ref_path, ref, cfg.sample_rate)
+        for i, text in enumerate(sentences):
+            wav, _ = synthesize_utterance(text, spk, cfg)
+            path = os.path.join(out_dir, f"{spk.name}_{i:02d}.wav")
+            write_wav(path, wav, cfg.sample_rate)
+            lines.append(f"{path}|{text}|ref={ref_path}")
     manifest = os.path.join(out_dir, "manifest.txt")
     with open(manifest, "w") as f:
         f.write("\n".join(lines) + "\n")

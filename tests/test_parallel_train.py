@@ -182,6 +182,53 @@ def test_gan_steps_run(cfg, params):
         assert np.isfinite(float(v))
 
 
+@pytest.mark.slow
+def test_sharded_gan_steps_match_single_device(cfg, params):
+    """dp×tp GAN steps on the 4×2 mesh ≡ single-device steps (one step each)."""
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((4, 16, cfg.n_mels)), jnp.float32)
+    audio = jnp.asarray(0.1 * rng.standard_normal((4, 16 * 256)), jnp.float32)
+    disc_params = {
+        "mpd": vocoder.mpd_init(jax.random.PRNGKey(1)),
+        "msd": vocoder.msd_init(jax.random.PRNGKey(2)),
+    }
+
+    def run_single():
+        g_opt = tstep.make_optimizer(lr=2e-4, warmup=1)
+        d_opt = tstep.make_optimizer(lr=2e-4, warmup=1)
+        d_step, g_step = tstep.make_gan_steps(cfg, g_opt, d_opt)
+        gs, ds = tstep.init_state(params, g_opt), tstep.init_state(disc_params, d_opt)
+        ds, d_loss = d_step(ds, gs.params, mel, audio)
+        gs, g_metrics = g_step(gs, ds.params, mel, audio)
+        return float(d_loss), {k: float(v) for k, v in g_metrics.items()}, gs
+
+    def run_sharded():
+        g_opt = tstep.make_optimizer(lr=2e-4, warmup=1)
+        d_opt = tstep.make_optimizer(lr=2e-4, warmup=1)
+        mesh = make_mesh(n_data=4, n_model=2)
+        gs, ds = tstep.init_state(params, g_opt), tstep.init_state(disc_params, d_opt)
+        d_step, g_step, gs, ds = tstep.make_sharded_gan_steps(
+            cfg, g_opt, d_opt, mesh, gs, ds
+        )
+        # Discriminator conv weights actually sharded over 'model'.
+        w = ds.params["mpd"]["subs"][0]["convs"][1]["w"]
+        assert not w.sharding.is_fully_replicated
+        ds, d_loss = d_step(ds, gs.params, mel, audio)
+        gs, g_metrics = g_step(gs, ds.params, mel, audio)
+        return float(d_loss), {k: float(v) for k, v in g_metrics.items()}, gs
+
+    d1, m1, gs1 = run_single()
+    d2, m2, gs2 = run_sharded()
+    assert d1 == pytest.approx(d2, rel=2e-3)
+    for k in m1:
+        assert m1[k] == pytest.approx(m2[k], rel=2e-3, abs=1e-4), k
+    # Updated generator params agree leaf-by-leaf.
+    for a, b in zip(
+        jax.tree_util.tree_leaves(gs1.params), jax.tree_util.tree_leaves(gs2.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4)
+
+
 # ---------------------------------------------------------------- checkpoint
 
 

@@ -32,6 +32,7 @@ def main() -> None:
     ap.add_argument("--corpus", required=True, help="synth_corpus output dir")
     ap.add_argument("--sentences", type=int, default=3, help="held-in sentences to grade")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--f32", action="store_true", help="serve in float32 (default bf16)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -53,6 +54,8 @@ def main() -> None:
     cfg = Config()
     cfg.model.model_path = args.checkpoint
     cfg.engine.warmup_shapes = []
+    if args.f32:
+        cfg.model.compute_dtype = "float32"
     engine = TTSEngine(cfg)
     engine.load(warmup=False)
     mcfg = cfg.model
@@ -74,15 +77,54 @@ def main() -> None:
         audio, sr = read_wav(path)
         ref_embs[spk.name] = engine.embed_voice(np.asarray(audio, np.float32), sr)
 
-    # 1. Held-in mel reconstruction per speaker.
+    # 1. Held-in mel reconstruction per speaker, decomposed into:
+    #    e2e        — mel(synthesized audio) vs GT mel: acoustic + vocoder + phase;
+    #    acoustic   — predicted mel (pre-vocoder) vs GT mel: the training-loss analog;
+    #    voc_floor  — mel(vocode(GT mel)) vs GT mel: the vocoder-only attainable floor
+    #                 (e2e below/near this floor means the acoustic stage is not the
+    #                 bottleneck).
+    from gonova_tts_tpu.models import tts as tmodel
+    from gonova_tts_tpu.text import text_to_ids
+
+    def acoustic_mel_pred(text: str, emb: np.ndarray) -> np.ndarray:
+        ids = text_to_ids(text)
+        bucket = 64
+        tokens = np.zeros((1, bucket), np.int32)
+        tokens[0, : len(ids)] = ids[:bucket]
+        mask = (np.arange(bucket)[None] < len(ids)).astype(np.float32)
+        out = tmodel.acoustic_mel(
+            engine.params, jnp.asarray(tokens), jnp.asarray(mask),
+            jnp.asarray(emb, jnp.float32)[None],
+            jnp.full((1,), 0.5, jnp.float32), mcfg,
+            dtype=engine.compute_dtype,
+        )
+        t = int(np.asarray(out["total_frames"])[0])
+        return np.asarray(out["mel"], np.float32)[0, :t]
+
+    def vocoder_floor(gt_wav: np.ndarray) -> float:
+        m_gt = mel_of(gt_wav)
+        wav2 = np.asarray(
+            tmodel.vocode(
+                engine.params, jnp.asarray(m_gt, engine.compute_dtype)[None], mcfg,
+                dtype=engine.compute_dtype,
+            ),
+            np.float32,
+        )[0]
+        m2 = mel_of(wav2)
+        t = min(len(m_gt), len(m2))
+        return float(np.abs(m2[:t] - m_gt[:t]).mean())
+
     recon = []
     for spk in DEFAULT_SPEAKERS:
         for i in range(args.sentences):
             text = DEFAULT_SENTENCES[i]
             gt, sr = read_wav(os.path.join(args.corpus, f"{spk.name}_{i:02d}.wav"))
+            gt = np.asarray(gt, np.float32)
             out = engine.synthesize_batch([text], speakers=[ref_embs[spk.name]])[0]
-            m_gt, m_out = mel_of(np.asarray(gt, np.float32)), mel_of(out)
+            m_gt, m_out = mel_of(gt), mel_of(out)
+            m_ac = acoustic_mel_pred(text, ref_embs[spk.name])
             t = min(len(m_gt), len(m_out))
+            ta = min(len(m_gt), len(m_ac))
             d = m_out[:t] - m_gt[:t]
             recon.append(
                 {
@@ -93,12 +135,16 @@ def main() -> None:
                         (10.0 / np.log(10.0))
                         * np.sqrt(2.0 * (d**2).sum(-1)).mean()
                     ),
+                    "acoustic_mel_l1": float(np.abs(m_ac[:ta] - m_gt[:ta]).mean()),
+                    "voc_floor_mel_l1": vocoder_floor(gt),
                     "len_ratio": float(len(m_out) / max(len(m_gt), 1)),
                 }
             )
     mel_l1 = float(np.mean([r["mel_l1"] for r in recon]))
     mel_mse = float(np.mean([r["mel_mse"] for r in recon]))
     mcd = float(np.mean([r["mcd_db"] for r in recon]))
+    ac_l1 = float(np.mean([r["acoustic_mel_l1"] for r in recon]))
+    floor_l1 = float(np.mean([r["voc_floor_mel_l1"] for r in recon]))
     len_ratio = float(np.mean([r["len_ratio"] for r in recon]))
 
     # 2. Streaming exactness on trained weights.
@@ -132,6 +178,8 @@ def main() -> None:
         "held_in_mel_l1": round(mel_l1, 4),
         "held_in_mel_mse": round(mel_mse, 4),
         "held_in_mcd_db": round(mcd, 3),
+        "held_in_acoustic_mel_l1": round(ac_l1, 4),
+        "vocoder_floor_mel_l1": round(floor_l1, 4),
         "duration_len_ratio": round(len_ratio, 4),
         "stream_vs_batch_max_lsb": round(stream_exact_lsb, 3),
         "stream_len_match": bool(stream_len_match),
