@@ -64,6 +64,12 @@ class ModelConfig(BaseModel):
     # ops/convnext_kernel.py). Off by default — enable per deployment after the
     # kernel-vs-XLA parity check on the target chip.
     vocos_pallas: bool = False
+    # Run the acoustic encoder/decoder through the fused whole-stack Pallas kernel
+    # (ops/transformer_stack_kernel.py): all layers in one pallas_call, activations
+    # VMEM-resident, per-layer weights double-buffered. Inference-only (no VJP) —
+    # training must keep this False; the engine flips it on its own ModelConfig copy
+    # when serving on the TPU backend (EngineConfig.acoustic_pallas).
+    acoustic_pallas: bool = False
 
     # --- vocoder (HiFi-GAN generator class) ---
     upsample_rates: List[int] = Field(default_factory=lambda: [8, 8, 2, 2])
@@ -158,6 +164,10 @@ class EngineConfig(BaseModel):
     # Fused Pallas mel-feature kernel for the voice-embedding path (TPU only;
     # measured 4.7x faster than the XLA chain on v5e — PERF.md).
     mel_pallas: bool = True
+    # Fused whole-stack Pallas kernel for the acoustic encoder/decoder (TPU only,
+    # serving path; see ModelConfig.acoustic_pallas). The engine enables the model
+    # flag on its own config copy when this is True and the backend is not CPU.
+    acoustic_pallas: bool = True
     # Data-parallel serving: number of local devices to drive from this engine
     # (1 = single chip; 0 = all local devices). Params replicate, batch shards.
     data_parallel: int = 1

@@ -42,6 +42,15 @@ class TTSEngine:
         self.config = config or Config()
         self.mcfg = self.config.model
         self.ecfg = self.config.engine
+        if (
+            self.ecfg.acoustic_pallas
+            and not self.mcfg.acoustic_pallas
+            and jax.default_backend() not in ("cpu",)
+        ):
+            # Serving path on an accelerator: fuse the acoustic transformer stacks
+            # (inference-only kernel — the trainer keeps the differentiable XLA path
+            # by constructing its own ModelConfig, never through an engine).
+            self.mcfg = self.mcfg.model_copy(update={"acoustic_pallas": True})
         self.seed = seed
         self.params = None
         self.is_loaded = False

@@ -102,6 +102,30 @@ def predictors_apply_fused(
     return out[..., 0] * mm, out[..., 1] * mm
 
 
+def _stack(
+    p: Params,
+    x: jnp.ndarray,
+    mask: jnp.ndarray,
+    cfg: ModelConfig,
+    dtype,
+    window=None,
+) -> jnp.ndarray:
+    """Transformer stack dispatch: fused whole-stack Pallas kernel when
+    cfg.acoustic_pallas (inference-only — no VJP), else the pure-XLA path."""
+    if cfg.acoustic_pallas and dtype in (jnp.float32, jnp.bfloat16):
+        from ..ops.transformer_stack_kernel import (
+            stack_block_params,
+            transformer_stack_pallas,
+        )
+
+        st = stack_block_params(p["blocks"], cfg.n_heads)
+        return transformer_stack_pallas(
+            x, mask, st, p["ln_out"]["g"], p["ln_out"]["b"], cfg.n_heads,
+            window=window, bf16=(dtype == jnp.bfloat16),
+        ).astype(dtype)
+    return layers.transformer_stack(p, x, cfg.n_heads, mask, dtype, attention_window=window)
+
+
 def init(rng, cfg: ModelConfig) -> Params:
     ks = jax.random.split(rng, 8)
     d = cfg.d_model
@@ -172,7 +196,7 @@ def forward(
     spk = layers.dense(params["spk_proj"], speaker.astype(dtype), dtype)  # [B, D]
     x = (x + spk[:, None, :]) * mask_f[..., None]
 
-    enc = layers.transformer_stack(params["encoder"], x, cfg.n_heads, token_mask, dtype)
+    enc = _stack(params["encoder"], x, token_mask, cfg, dtype)
 
     # Duration + pitch predictors in one grouped pass (see predictors_apply_fused).
     log_dur, pitch = predictors_apply_fused(
@@ -199,9 +223,9 @@ def forward(
         cfg.decoder_attention_window is not None
         and max_frames >= cfg.local_attention_min_frames
     )
-    dec = layers.transformer_stack(
-        params["decoder"], dec_in, cfg.n_heads, reg["frame_mask"], dtype,
-        attention_window=cfg.decoder_attention_window if use_local else None,
+    dec = _stack(
+        params["decoder"], dec_in, reg["frame_mask"], cfg, dtype,
+        window=cfg.decoder_attention_window if use_local else None,
     )
     mel = layers.dense(params["mel_out"], dec, dtype)  # [B, T, n_mels]
     mel = mel * reg["frame_mask"][..., None]

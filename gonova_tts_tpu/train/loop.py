@@ -95,7 +95,9 @@ def train(
         pass
     # One jitted init graph (eager init = one device round trip per tensor).
     params = jax.jit(lambda k: tts.init(k, mcfg))(jax.random.PRNGKey(seed))
-    optimizer = tstep.make_optimizer(lr=lr, warmup=warmup)
+    # Cosine decay over the actual run length: short overfit runs otherwise sit at
+    # peak LR for their whole duration and plateau on optimizer noise.
+    optimizer = tstep.make_optimizer(lr=lr, warmup=warmup, decay_steps=max(steps, warmup + 1))
     state = tstep.init_state(params, optimizer)
 
     if manifest:

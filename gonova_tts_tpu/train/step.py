@@ -27,9 +27,15 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_optimizer(lr: float = 2e-4, weight_decay: float = 0.01, warmup: int = 1000) -> optax.GradientTransformation:
+def make_optimizer(
+    lr: float = 2e-4,
+    weight_decay: float = 0.01,
+    warmup: int = 1000,
+    decay_steps: int = 500_000,
+) -> optax.GradientTransformation:
     schedule = optax.warmup_cosine_decay_schedule(
-        init_value=0.0, peak_value=lr, warmup_steps=warmup, decay_steps=500_000, end_value=lr * 0.05
+        init_value=0.0, peak_value=lr, warmup_steps=warmup, decay_steps=decay_steps,
+        end_value=lr * 0.05,
     )
     return optax.chain(
         optax.clip_by_global_norm(1.0),
@@ -83,8 +89,18 @@ def tts_loss_fn(
     # Vocoder trains on ground-truth mel (teacher forcing), per HiFi-GAN.
     wav_pred = tts.vocode(params, batch["mel"], cfg, dtype=dtype)
     l_stft = losses.multi_resolution_stft_loss(wav_pred, batch["audio"])
-    total = l_ac + l_stft
-    metrics = {**{f"ac_{k}": v for k, v in ac_parts.items()}, "stft": l_stft, "total": total}
+    # Mel-reconstruction term (HiFi-GAN λ_mel): the multi-res magnitude loss alone
+    # plateaus ~1.8 on the formant corpus; this term drives the eval's mel-L1 down.
+    l_vmel = losses.mel_reconstruction_loss(
+        wav_pred, batch["mel"], batch["frame_mask"], cfg
+    )
+    total = l_ac + l_stft + 5.0 * l_vmel
+    metrics = {
+        **{f"ac_{k}": v for k, v in ac_parts.items()},
+        "stft": l_stft,
+        "voc_mel": l_vmel,
+        "total": total,
+    }
     return total, metrics
 
 

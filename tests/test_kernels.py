@@ -157,3 +157,80 @@ def test_vocos_stack_kernel_matches_sequential_blocks(rng):
             y = vocos._block_apply(blk, y, jnp.float32)
         ours = np.asarray(vocos_stack_pallas(x, *stacked, interpret=True, bf16=False))
         np.testing.assert_allclose(ours, np.asarray(y), atol=3e-4)
+
+
+# ---------------------------------------------------------------- transformer stack
+
+
+@pytest.fixture(scope="module")
+def tstack():
+    import jax
+
+    from gonova_tts_tpu.models import layers
+
+    D, H, F, L = 64, 4, 128, 2
+    p = layers.transformer_stack_init(jax.random.PRNGKey(0), L, D, H, F, 3)
+    return p, D, H
+
+
+def _tstack_case(p, H, B, T, lengths, window, rng):
+    import jax
+
+    from gonova_tts_tpu.models import layers
+    from gonova_tts_tpu.ops.transformer_stack_kernel import (
+        stack_block_params,
+        transformer_stack_pallas,
+    )
+
+    D = p["blocks"][0]["attn"]["q"]["w"].shape[0]
+    x = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    mask = (jnp.arange(T)[None] < jnp.asarray(lengths)[:, None]).astype(jnp.float32)
+    x = x * mask[..., None]
+    ref = layers.transformer_stack(p, x, H, mask, jnp.float32, attention_window=window)
+    st = stack_block_params(p["blocks"], H)
+    ours = transformer_stack_pallas(
+        x, mask, st, p["ln_out"]["g"], p["ln_out"]["b"], H,
+        window=window, interpret=True, bf16=False,
+    )
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=5e-5, rtol=1e-4)
+
+
+def test_fused_transformer_stack_full_attention(tstack, rng):
+    p, D, H = tstack
+    _tstack_case(p, H, B=4, T=32, lengths=[32, 20, 7, 32], window=None, rng=rng)
+
+
+def test_fused_transformer_stack_local_attention(tstack, rng):
+    p, D, H = tstack
+    _tstack_case(p, H, B=2, T=128, lengths=[128, 77], window=16, rng=rng)
+
+
+def test_fused_transformer_stack_window_ge_t_equals_full(tstack, rng):
+    """When 3*window >= T both paths reduce to full attention (kernel + XLA agree)."""
+    p, D, H = tstack
+    _tstack_case(p, H, B=2, T=32, lengths=[32, 17], window=16, rng=rng)
+
+
+def test_fused_transformer_stack_bf16_close(tstack, rng):
+    """bf16 compute stays within bf16-scale error of the f32 oracle."""
+    import jax
+
+    from gonova_tts_tpu.models import layers
+    from gonova_tts_tpu.ops.transformer_stack_kernel import (
+        stack_block_params,
+        transformer_stack_pallas,
+    )
+
+    p, D, H = tstack
+    B, T = 2, 64
+    x = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    mask = jnp.ones((B, T), jnp.float32)
+    ref = layers.transformer_stack(p, x, H, mask, jnp.float32)
+    st = stack_block_params(p["blocks"], H)
+    ours = transformer_stack_pallas(
+        x, mask, st, p["ln_out"]["g"], p["ln_out"]["b"], H,
+        window=None, interpret=True, bf16=True,
+    ).astype(jnp.float32)
+    err = float(jnp.max(jnp.abs(ours - ref)))
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+    assert err / scale < 0.05, f"bf16 relative error {err / scale}"

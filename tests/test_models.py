@@ -277,3 +277,23 @@ def test_fused_predictors_match_separate(cfg, params):
     dur_f, pitch_f = acoustic.predictors_apply_fused(p["dur_pred"], p["pitch_pred"], x, mask)
     np.testing.assert_allclose(np.asarray(dur_f), np.asarray(dur_sep), atol=1e-5)
     np.testing.assert_allclose(np.asarray(pitch_f), np.asarray(pitch_sep), atol=1e-5)
+
+
+# ---------------------------------------------------------------- fused acoustic path
+
+
+@pytest.mark.slow
+def test_acoustic_pallas_forward_matches_xla(cfg):
+    """acoustic.forward with the fused transformer-stack kernel (interpret mode on
+    CPU) matches the pure-XLA path end-to-end."""
+    fcfg = cfg.model_copy(update={"acoustic_pallas": True})
+    p = acoustic.init(jax.random.PRNGKey(3), cfg)
+    tokens, mask, spk, exagg = _inputs(cfg)
+    ref = acoustic.forward(p, tokens, mask, spk, exagg, cfg, dtype=jnp.float32)
+    ours = acoustic.forward(p, tokens, mask, spk, exagg, fcfg, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(ours["mel"]), np.asarray(ref["mel"]), atol=1e-4, rtol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ours["durations"]), np.asarray(ref["durations"])
+    )
