@@ -144,7 +144,9 @@ def _stack_kernel(
     kv_len = t_len + 2 * w  # zero-padded neighbor halo in local mode
 
     def body(act, qh, khp, vhp, attnh, biasp, wqkv_s, wo_s, w1_s, w2_s, sem_w):
-        mask_f = mask_ref[:].astype(compute_dtype)[..., None]  # [rows, T, 1]
+        # Insert the minor dim while still f32 (Mosaic only supports non-no-op minor
+        # dim insertion for 32-bit types), then cast.
+        mask_f = mask_ref[:][..., None].astype(compute_dtype)  # [rows, T, 1]
         act[:] = x_ref[:].astype(compute_dtype)
         # Key bias over the (padded) key axis: -1e9 at masked/halo positions.
         biasp[:] = jnp.full((rows, kv_len), NEG, jnp.float32)

@@ -4,6 +4,8 @@ from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
     batch_sharding,
+    init_distributed,
+    make_hybrid_mesh,
     make_mesh,
     param_shardings,
     param_spec,
@@ -15,6 +17,8 @@ __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
     "batch_sharding",
+    "init_distributed",
+    "make_hybrid_mesh",
     "make_mesh",
     "param_shardings",
     "param_spec",

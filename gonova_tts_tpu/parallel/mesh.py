@@ -40,6 +40,79 @@ def make_mesh(
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Multi-host bring-up: `jax.distributed.initialize` from explicit args or env.
+
+    The reference's cross-host pattern is env-var-selected independent processes
+    behind an external LB (reference server.py:485-494); the TPU-native equivalent
+    for jobs that must act as ONE system (multi-host training, >1-host serving
+    meshes) is the JAX coordinator.  Environment contract (all optional — absent ⇒
+    single-host no-op, the v5e-1 serving default):
+
+      TTS_COORDINATOR      host:port of process 0 (or JAX's own env autodetection)
+      TTS_NUM_PROCESSES    total host processes
+      TTS_PROCESS_ID       this host's rank
+
+    Returns True iff distributed mode was initialized. Call before any other jax
+    API touches the backend (same rule as jax.distributed itself).
+    """
+    import os
+
+    coordinator_address = coordinator_address or os.environ.get("TTS_COORDINATOR")
+    if coordinator_address is None:
+        return False
+    if num_processes is None and "TTS_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["TTS_NUM_PROCESSES"])
+    if process_id is None and "TTS_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["TTS_PROCESS_ID"])
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def make_hybrid_mesh(
+    n_model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """DCN × ICI mesh for multi-host jobs: ('data', 'model') where 'model' never
+    crosses a host boundary.
+
+    Layout follows the scaling-book recipe: tensor-parallel ('model') collectives
+    are latency-bound, so they ride ICI inside one slice; data-parallel gradient
+    reductions are bandwidth-tolerant, so 'data' spans hosts over DCN (outer) and
+    fills the intra-slice remainder (inner).  Single-host (every device in one
+    process) degrades to `make_mesh` exactly.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    procs = sorted({d.process_index for d in devices})
+    n_hosts = len(procs)
+    if n_hosts == 1:
+        return make_mesh(n_model=n_model, devices=devices)
+    per_host = len(devices) // n_hosts
+    if per_host * n_hosts != len(devices):
+        raise ValueError(f"{len(devices)} devices uneven across {n_hosts} hosts")
+    if per_host % n_model != 0:
+        raise ValueError(
+            f"model axis {n_model} does not divide the {per_host} per-host devices —"
+            " 'model' must stay inside one host's ICI domain"
+        )
+    from jax.experimental import mesh_utils
+
+    grid = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(per_host // n_model, n_model),
+        dcn_mesh_shape=(n_hosts, 1),  # hosts stack on 'data'; 'model' is ICI-only
+        devices=devices,
+    )
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
 # Parameter sharding rules: (path regex, PartitionSpec). First match wins.
 # Paths are '/'-joined dict keys + list indices, e.g.
 # "acoustic/encoder/blocks/0/ff1/w" or "vocoder/ups/2/w".

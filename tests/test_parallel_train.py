@@ -248,3 +248,38 @@ def test_ema_update(cfg, params):
     a = jax.tree_util.tree_leaves(params)[0]
     b = jax.tree_util.tree_leaves(ema2)[0]
     np.testing.assert_allclose(np.asarray(b), np.asarray(a) * 0.9 + (np.asarray(a) + 1.0) * 0.1, atol=1e-6)
+
+
+# ---------------------------------------------------------------- multi-host helpers
+
+
+def test_hybrid_mesh_single_host_degrades_to_flat():
+    """All virtual CPU devices share one process => hybrid == flat ('data','model')."""
+    from gonova_tts_tpu.parallel import make_hybrid_mesh, make_mesh
+
+    m = make_hybrid_mesh(n_model=2)
+    flat = make_mesh(n_model=2)
+    assert m.axis_names == ("data", "model")
+    assert m.devices.shape == flat.devices.shape
+
+
+def test_hybrid_mesh_rejects_model_axis_crossing_hosts():
+    """'model' must stay inside one host's ICI domain."""
+    import pytest as _pytest
+
+    from gonova_tts_tpu.parallel.mesh import make_hybrid_mesh
+
+    class FakeDev:
+        def __init__(self, pid):
+            self.process_index = pid
+
+    devs = [FakeDev(i // 2) for i in range(8)]  # 4 hosts x 2 devices
+    with _pytest.raises(ValueError, match="ICI domain"):
+        make_hybrid_mesh(n_model=4, devices=devs)
+
+
+def test_init_distributed_noop_without_env(monkeypatch):
+    from gonova_tts_tpu.parallel import init_distributed
+
+    monkeypatch.delenv("TTS_COORDINATOR", raising=False)
+    assert init_distributed() is False

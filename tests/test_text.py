@@ -40,6 +40,26 @@ def test_split_requires_uppercase_after_boundary():
     assert out == ["version 2. is out.", "Try it."]
 
 
+def test_split_abbreviation_guard():
+    out = split_into_sentences("Dr. Smith met Mr. Jones in the U.S. Senate. They left.")
+    assert out == ["Dr. Smith met Mr. Jones in the U.S. Senate.", "They left."]
+
+
+def test_split_initials_kept_joined():
+    out = split_into_sentences("J. K. Rowling wrote it. I read it.")
+    assert out == ["J. K. Rowling wrote it.", "I read it."]
+
+
+def test_split_abbrev_guard_off_matches_reference_fallback():
+    out = split_into_sentences("Dr. Smith waved. Bye.", abbrev_guard=False)
+    assert out == ["Dr.", "Smith waved.", "Bye."]
+
+
+def test_split_exclamation_always_splits():
+    out = split_into_sentences("Stop Mr. Jones! Now.")
+    assert out == ["Stop Mr. Jones!", "Now."]
+
+
 def test_split_long_sentence_on_commas():
     long = (
         "This is a very long sentence that keeps going and going, "
