@@ -73,15 +73,33 @@ def cmd_train(args: argparse.Namespace) -> int:
     from .config import load_config
     from .train.loop import train
 
+    manifest = args.manifest
+    resident = args.resident
+    if args.demo_corpus:
+        # One-command training demo: generate the deterministic formant corpus
+        # (train/synth_corpus.py) if absent and train device-resident on it.
+        # Grade the result with tools/eval_checkpoint.py (see TRAIN_EVAL.md).
+        import os
+
+        from .train.synth_corpus import generate_corpus
+
+        manifest = os.path.join(args.demo_corpus, "manifest.txt")
+        if not os.path.exists(manifest):
+            manifest = generate_corpus(args.demo_corpus)
+        resident = True
     out = train(
         config=load_config(args.config),
-        manifest=args.manifest,
+        manifest=manifest,
         steps=args.steps,
         batch_size=args.batch_size,
         lr=args.lr,
+        warmup=args.warmup,
         checkpoint_dir=args.checkpoint_dir,
         n_data=args.n_data,
         n_model=args.n_model,
+        resident=resident,
+        chunk=args.chunk,
+        history_path=args.history,
     )
     print(json.dumps(out))
     return 0
@@ -141,10 +159,18 @@ def main(argv=None) -> int:
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--warmup", type=int, default=1000)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--n-data", type=int, default=None)
     p.add_argument("--n-model", type=int, default=1)
     p.add_argument("--config", default=None)
+    p.add_argument("--resident", action="store_true",
+                   help="device-resident corpus + fori_loop chunks (small corpora)")
+    p.add_argument("--chunk", type=int, default=200)
+    p.add_argument("--history", default=None, help="append per-interval metrics JSONL")
+    p.add_argument("--demo-corpus", default=None, metavar="DIR",
+                   help="generate the deterministic formant corpus here (if absent) "
+                        "and train device-resident on it — the TRAIN_EVAL.md recipe")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("voices", help="list registered voices")

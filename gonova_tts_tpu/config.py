@@ -167,7 +167,12 @@ class EngineConfig(BaseModel):
     # Fused whole-stack Pallas kernel for the acoustic encoder/decoder (TPU only,
     # serving path; see ModelConfig.acoustic_pallas). The engine enables the model
     # flag on its own config copy when this is True and the backend is not CPU.
-    acoustic_pallas: bool = True
+    # Default OFF: measured on v5e-1 the kernel wins the B=1 latency path (1.33x)
+    # but loses batch-16 throughput by 21% — XLA reuses weights across the whole
+    # batch while the batch-tiled kernel grid re-streams 16 MB of weights per tile
+    # (PERF.md "Fused acoustic transformer stack"). Enable for latency-dominated
+    # single-stream deployments.
+    acoustic_pallas: bool = False
     # Data-parallel serving: number of local devices to drive from this engine
     # (1 = single chip; 0 = all local devices). Params replicate, batch shards.
     data_parallel: int = 1

@@ -111,8 +111,10 @@ def _stack(
     window=None,
 ) -> jnp.ndarray:
     """Transformer stack dispatch: fused whole-stack Pallas kernel when
-    cfg.acoustic_pallas (inference-only — no VJP), else the pure-XLA path."""
-    if cfg.acoustic_pallas and dtype in (jnp.float32, jnp.bfloat16):
+    cfg.acoustic_pallas (inference-only — no VJP), else the pure-XLA path.
+    Long-form frame buckets (T > 768) keep XLA: the kernel's per-sequence f32
+    FFN tap accumulator would exceed the 16 MB VMEM budget there."""
+    if cfg.acoustic_pallas and dtype in (jnp.float32, jnp.bfloat16) and x.shape[1] <= 768:
         from ..ops.transformer_stack_kernel import (
             stack_block_params,
             transformer_stack_pallas,

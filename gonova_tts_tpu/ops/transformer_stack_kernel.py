@@ -13,17 +13,31 @@ the current layer computes).
 Per grid step (ROWS batch rows, full sequence):
   act [rows, T, D] resident in VMEM (compute dtype)
   for each layer l:                 (weights DMA'd into slot l%2; slot l+1 prefetched)
-    f32 LN → per-head Q/K/V matmuls (weights pre-split per head so no lane-dim
-    activation slicing) → blocked-local or full attention (f32 logits/softmax)
-    → per-head out-proj accumulated in f32 → residual+mask
+    f32 LN → per-head Q/K/V nt-matmuls → blocked-local or full attention
+    (f32 logits/softmax) → per-head out-proj accumulated in f32 → residual+mask
     → f32 LN → conv-FFN as 3 shifted MXU matmuls per conv (k=3 taps) → residual+mask
   final LN → out
 
-Attention semantics match `layers.mha` / `layers.local_mha` exactly: key-mask bias
--1e9, f32 softmax, blocked-local span = own block + both neighbors (zero-padded edges
+Mosaic layout rules shape the weight layout (learned on-chip, see git history):
+memref/value slices must be 128-lane aligned, so (a) Q/K/V for ALL heads come from
+one [D, 3*H*dh_pad] matmul whose per-head column groups are zero-padded to
+dh_pad = 128 lanes — every per-head slice lands on a 128 boundary, and the zero
+lanes flow through logits/AV/out-proj contributing exactly zero (wo has zero rows
+at the pads); (b) per-head attention outputs concatenate in a [rows, T, H*dh_pad]
+scratch so the out-projection is ONE matmul; (c) key masking is computed from a
+broadcasted iota against per-sequence lengths instead of slicing a bias row at
+64-wide offsets.  Sequences longer than the VMEM budget (T > 768 at F=1024) are
+the caller's problem — `acoustic._stack` falls back to XLA there (the long-form
+buckets are bandwidth-friendly under XLA's local attention already).
+
+Masking note: the kernel assumes prefix masks (mask[i] = arange(T) < length_i) for
+the BLOCKED-LOCAL path — every mask in this framework is a padded prefix mask.  The
+full-attention path supports arbitrary masks (it reads whole mask rows).
+
+Attention semantics match `layers.mha` / `layers.local_mha` exactly: -1e9 key bias,
+f32 softmax, blocked-local span = own block + both neighbors (zero-padded edges
 masked).  The conv-FFN matches `layers.conv1d(SAME, k=3)`: y[t] = x[t-1]·w0 + x[t]·w1
-+ x[t+1]·w2 (sequence edges zero — identical to XLA SAME padding since padded rows are
-masked to zero between sublayers).
++ x[t+1]·w2, sequence edges zero.
 
 allclose-tested against `layers.transformer_stack` in tests/test_kernels.py (interpret
 mode, f32); the engine enables it on the TPU backend for inference only (training keeps
@@ -45,24 +59,39 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e9
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
 def stack_block_params(blocks, n_heads: int):
-    """Stack a `layers.transformer_stack` blocks list into per-layer arrays with
-    per-head weight splits (kernel layout).  Pure jnp — safe to call under jit.
+    """Stack a `layers.transformer_stack` blocks list into per-layer arrays in the
+    kernel layout (see module docstring).  Pure jnp — safe to call under jit.
 
     Returns a dict:
       ln1_g/ln1_b/ln2_g/ln2_b [L, D]
-      wqkv [L, 3, H, D, dh]   bqkv [L, 3, H, dh]
-      wo   [L, H, dh, D]      bo   [L, D]
-      w1   [L, 3, D, F]       b1   [L, F]     (conv tap-major, torch/WIO layout)
-      w2   [L, 3, F, D]       b2   [L, D]
+      wqkv [L, 3, H, dh_pad, D]  (transposed + head-padded)   bqkv [L, 3, H, dh_pad]
+      wo   [L, H, dh_pad, D]     (head-padded)                bo   [L, D]
+      w1   [L, 3, D, F]          b1 [L, F]     (conv tap-major, WIO layout)
+      w2   [L, 3, F, D]          b2 [L, D]
     """
     d = blocks[0]["attn"]["q"]["w"].shape[0]
     dh = d // n_heads
+    dh_pad = _round_up(dh, LANE)
 
-    def per_head_in(w):  # [D, D] -> [H, D, dh]
-        return jnp.transpose(w.reshape(d, n_heads, dh), (1, 0, 2))
+    def head_cols(w):  # [D, D] -> [D, H*dh_pad]: per-head columns padded to 128 lanes
+        ht = w.reshape(d, n_heads, dh)
+        return jnp.pad(ht, ((0, 0), (0, 0), (0, dh_pad - dh))).reshape(d, n_heads * dh_pad)
+
+    def head_bias(b):  # [D] -> [H*dh_pad]
+        return jnp.pad(b.reshape(n_heads, dh), ((0, 0), (0, dh_pad - dh))).reshape(-1)
+
+    def wo_padded(w):  # [D, D] -> [H*dh_pad, D]: zero rows in the head pads
+        return jnp.pad(
+            w.reshape(n_heads, dh, d), ((0, 0), (0, dh_pad - dh), (0, 0))
+        ).reshape(n_heads * dh_pad, d)
 
     def stack(fn):
         return jnp.stack([fn(b) for b in blocks])
@@ -72,17 +101,18 @@ def stack_block_params(blocks, n_heads: int):
         "ln1_b": stack(lambda b: b["ln1"]["b"]),
         "ln2_g": stack(lambda b: b["ln2"]["g"]),
         "ln2_b": stack(lambda b: b["ln2"]["b"]),
+        # One [D, 3*H*dh_pad] matrix: q, then k, then v column groups.
         "wqkv": stack(
-            lambda b: jnp.stack(
-                [per_head_in(b["attn"][k]["w"]) for k in ("q", "k", "v")]
+            lambda b: jnp.concatenate(
+                [head_cols(b["attn"][k]["w"]) for k in ("q", "k", "v")], axis=1
             )
         ),
         "bqkv": stack(
-            lambda b: jnp.stack(
-                [b["attn"][k]["b"].reshape(n_heads, dh) for k in ("q", "k", "v")]
+            lambda b: jnp.concatenate(
+                [head_bias(b["attn"][k]["b"]) for k in ("q", "k", "v")]
             )
         ),
-        "wo": stack(lambda b: b["attn"]["o"]["w"].reshape(n_heads, dh, d)),
+        "wo": stack(lambda b: wo_padded(b["attn"]["o"]["w"])),
         "bo": stack(lambda b: b["attn"]["o"]["b"]),
         "w1": stack(lambda b: b["ff1"]["w"]),
         "b1": stack(lambda b: b["ff1"]["b"]),
@@ -104,8 +134,7 @@ def _ln(x, g, b, eps):
 
 
 def _dot_nt(a, b):
-    """a [M, K] · b [N, K] -> [M, N], f32 accumulation (logits layout: both operands
-    contract their last dim — no explicit transpose)."""
+    """a [M, K] · b [N, K] -> [M, N], f32 accumulation (contract both last dims)."""
     return jax.lax.dot_general(
         a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -114,17 +143,17 @@ def _dot_nt(a, b):
 def _stack_kernel(
     # --- VMEM-blocked tensor inputs
     x_ref,  # [rows, T, D]
-    mask_ref,  # [rows, T]
+    mask_ref,  # [rows, 1, T] f32 (middle singleton keeps the block spec tile-legal)
     # --- small resident params
     ln1g_ref, ln1b_ref, ln2g_ref, ln2b_ref,  # [L, D]
-    bqkv_ref,  # [L, 3, H, dh]
+    bqkv_ref,  # [L, 3*H*dh_pad]
     bo_ref,  # [L, D]
     b1_ref,  # [L, F]
     b2_ref,  # [L, D]
     lnog_ref, lnob_ref,  # [1, D]
     # --- streamed weights (HBM)
-    wqkv_ref,  # [L, 3, H, D, dh]
-    wo_ref,  # [L, H, dh, D]
+    wqkv_ref,  # [L, D, 3*H*dh_pad]
+    wo_ref,  # [L, H*dh_pad, D]
     w1_ref,  # [L, 3, D, F]
     w2_ref,  # [L, 3, F, D]
     # --- output
@@ -138,26 +167,29 @@ def _stack_kernel(
 ):
     rows, t_len, d = out_ref.shape
     dh = d // n_heads
+    dh_pad = wo_ref.shape[-2] // n_heads
+    hp = n_heads * dh_pad
     scale = 1.0 / math.sqrt(dh)
     local = window is not None and 3 * window < t_len
     w = window if local else 0
-    kv_len = t_len + 2 * w  # zero-padded neighbor halo in local mode
+    kv_len = t_len + 2 * w  # zero halo in local mode
 
-    def body(act, qh, khp, vhp, attnh, biasp, wqkv_s, wo_s, w1_s, w2_s, sem_w):
-        # Insert the minor dim while still f32 (Mosaic only supports non-no-op minor
-        # dim insertion for 32-bit types), then cast.
-        mask_f = mask_ref[:][..., None].astype(compute_dtype)  # [rows, T, 1]
+    def body(act, khp, vhp, attnh, wqkv_s, wo_s, w1_s, w2_s, sem_w):
+        mask_all = mask_ref[:].reshape(rows, t_len)  # f32 (one full read, no slicing)
+        # Insert the minor dim while still f32 (Mosaic restricts non-no-op minor-dim
+        # insertion to 32-bit types), then cast.
+        mask_f = mask_all[..., None].astype(compute_dtype)  # [rows, T, 1]
         act[:] = x_ref[:].astype(compute_dtype)
-        # Key bias over the (padded) key axis: -1e9 at masked/halo positions.
-        biasp[:] = jnp.full((rows, kv_len), NEG, jnp.float32)
-        biasp[:, w : w + t_len] = jnp.where(
-            mask_ref[:].astype(jnp.float32) > 0.0, 0.0, NEG
-        )
-        if local:  # zero the halo rows once; layer loop only rewrites the center
-            khp[:, :w, :] = jnp.zeros((rows, w, dh), compute_dtype)
-            khp[:, w + t_len :, :] = jnp.zeros((rows, w, dh), compute_dtype)
-            vhp[:, :w, :] = jnp.zeros((rows, w, dh), compute_dtype)
-            vhp[:, w + t_len :, :] = jnp.zeros((rows, w, dh), compute_dtype)
+        if local:
+            # Prefix-mask lengths per sequence: key validity is 0 <= pos < length.
+            lengths = jnp.sum(mask_all, axis=1)  # [rows] f32
+            khp[:, :w, :] = jnp.zeros((rows, w, hp), compute_dtype)
+            khp[:, w + t_len :, :] = jnp.zeros((rows, w, hp), compute_dtype)
+            vhp[:, :w, :] = jnp.zeros((rows, w, hp), compute_dtype)
+            vhp[:, w + t_len :, :] = jnp.zeros((rows, w, hp), compute_dtype)
+        else:
+            # Arbitrary-mask bias rows, one per sequence.
+            bias_all = jnp.where(mask_all > 0.0, 0.0, NEG)  # [rows, T] f32
 
         def start_w(l, slot):
             pltpu.make_async_copy(wqkv_ref.at[l], wqkv_s.at[slot], sem_w.at[slot, 0]).start()
@@ -182,60 +214,74 @@ def _stack_kernel(
             normed = _ln(xs, ln1g_ref[l], ln1b_ref[l], eps).astype(compute_dtype)
             flat = normed.reshape(rows * t_len, d)
 
-            # ---- attention: per-head Q/K/V (weights pre-split per head: result lane
-            # dim is dh — no half-lane activation slicing), f32 logits/softmax.
-            acc = jnp.broadcast_to(
-                bo_ref[l].astype(jnp.float32)[None, None], (rows, t_len, d)
-            )
-            for h in range(n_heads):
-                q = (
-                    jnp.dot(flat, wqkv_s[slot, 0, h], preferred_element_type=jnp.float32)
-                    + bqkv_ref[l, 0, h]
-                ).astype(compute_dtype)
-                k = (
-                    jnp.dot(flat, wqkv_s[slot, 1, h], preferred_element_type=jnp.float32)
-                    + bqkv_ref[l, 1, h]
-                ).astype(compute_dtype)
-                v = (
-                    jnp.dot(flat, wqkv_s[slot, 2, h], preferred_element_type=jnp.float32)
-                    + bqkv_ref[l, 2, h]
-                ).astype(compute_dtype)
-                qh[:] = q.reshape(rows, t_len, dh)
-                khp[:, w : w + t_len, :] = k.reshape(rows, t_len, dh)
-                vhp[:, w : w + t_len, :] = v.reshape(rows, t_len, dh)
+            # ---- attention: ONE [D, 3*H*dh_pad] matmul produces q/k/v for every
+            # head (per-head columns zero-padded to 128 lanes, so all value/ref
+            # slices below are 128-aligned).  Zero-padded head lanes contribute
+            # q_pad·k_pad = 0 to logits, zero attn output, and map to zero through
+            # the zero rows of wo — exactness is free.
+            qkv = (
+                jnp.dot(flat, wqkv_s[slot], preferred_element_type=jnp.float32)
+                + bqkv_ref[l]
+            ).astype(compute_dtype)  # [rows*T, 3*H*dh_pad]
+            q3 = qkv[:, :hp].reshape(rows, t_len, hp)
+            khp[:, w : w + t_len, :] = qkv[:, hp : 2 * hp].reshape(rows, t_len, hp)
+            vhp[:, w : w + t_len, :] = qkv[:, 2 * hp :].reshape(rows, t_len, hp)
 
+            for h in range(n_heads):
+                hs = h * dh_pad
                 if local:
                     nb = t_len // w
                     for s in range(rows):
-                        def blk(b, _):
-                            qb = qh[s, pl.ds(b * w, w), :]
-                            kb = khp[s, pl.ds(b * w, 3 * w), :]
-                            logits = _dot_nt(qb, kb) * scale
-                            logits = logits + biasp[s, pl.ds(b * w, 3 * w)][None, :]
+                        len_s = lengths[s]
+                        q_sh = q3[s, :, hs : hs + dh_pad]  # value slice, 128-aligned
+
+                        def blk(b, _, s=s, len_s=len_s, q_sh=q_sh, hs=hs):
+                            qb = jax.lax.dynamic_slice(
+                                q_sh, (b * w, 0), (w, dh_pad)
+                            )
+                            kb = khp[s, pl.ds(b * w, 3 * w), hs : hs + dh_pad]
+                            logits = _dot_nt(qb, kb) * scale  # [w, 3w] f32
+                            pos = (
+                                jax.lax.broadcasted_iota(jnp.int32, (1, 3 * w), 1)
+                                + b * w
+                                - w
+                            )
+                            valid = (pos >= 0) & (pos.astype(jnp.float32) < len_s)
+                            logits = logits + jnp.where(valid, 0.0, NEG)
                             p = jax.nn.softmax(logits, axis=-1).astype(compute_dtype)
                             ab = jnp.dot(
-                                p, vhp[s, pl.ds(b * w, 3 * w), :],
+                                p, vhp[s, pl.ds(b * w, 3 * w), hs : hs + dh_pad],
                                 preferred_element_type=jnp.float32,
                             )
-                            attnh[s, pl.ds(b * w, w), :] = ab.astype(compute_dtype)
+                            attnh[s, pl.ds(b * w, w), hs : hs + dh_pad] = ab.astype(
+                                compute_dtype
+                            )
                             return 0
+
                         jax.lax.fori_loop(0, nb, blk, 0)
                 else:
                     for s in range(rows):
-                        logits = _dot_nt(qh[s], khp[s]) * scale
-                        logits = logits + biasp[s][None, :]
+                        q_sh = q3[s, :, hs : hs + dh_pad]
+                        logits = (
+                            _dot_nt(q_sh, khp[s, :, hs : hs + dh_pad]) * scale
+                        )  # [T, T] f32
+                        logits = logits + bias_all[s][None, :]
                         p = jax.nn.softmax(logits, axis=-1).astype(compute_dtype)
                         ab = jnp.dot(
-                            p, vhp[s], preferred_element_type=jnp.float32
+                            p, vhp[s, :, hs : hs + dh_pad],
+                            preferred_element_type=jnp.float32,
                         )
-                        attnh[s, :, :] = ab.astype(compute_dtype)
+                        attnh[s, :, hs : hs + dh_pad] = ab.astype(compute_dtype)
 
-                acc = acc + jnp.dot(
-                    attnh[:].reshape(rows * t_len, dh),
-                    wo_s[slot, h],
+            # One out-projection over the concatenated (padded) heads.
+            acc = (
+                jnp.dot(
+                    attnh[:].reshape(rows * t_len, hp),
+                    wo_s[slot],
                     preferred_element_type=jnp.float32,
-                ).reshape(rows, t_len, d)
-
+                )
+                + bo_ref[l]
+            ).reshape(rows, t_len, d)
             h_res = (xs + acc.astype(compute_dtype)) * mask_f
 
             # ---- conv-FFN: k=3 SAME conv as 3 shifted MXU matmuls per conv.
@@ -270,13 +316,11 @@ def _stack_kernel(
     pl.run_scoped(
         body,
         pltpu.VMEM((rows, t_len, d), compute_dtype),  # act
-        pltpu.VMEM((rows, t_len, dh), compute_dtype),  # qh
-        pltpu.VMEM((rows, kv_len, dh), compute_dtype),  # khp
-        pltpu.VMEM((rows, kv_len, dh), compute_dtype),  # vhp
-        pltpu.VMEM((rows, t_len, dh), compute_dtype),  # attnh
-        pltpu.VMEM((rows, kv_len), jnp.float32),  # biasp
-        pltpu.VMEM((2, 3, n_heads, d, dh), compute_dtype),
-        pltpu.VMEM((2, n_heads, dh, d), compute_dtype),
+        pltpu.VMEM((rows, kv_len, hp), compute_dtype),  # khp
+        pltpu.VMEM((rows, kv_len, hp), compute_dtype),  # vhp
+        pltpu.VMEM((rows, t_len, hp), compute_dtype),  # attnh
+        pltpu.VMEM((2, d, 3 * hp), compute_dtype),  # wqkv slots
+        pltpu.VMEM((2, hp, d), compute_dtype),  # wo slots
         pltpu.VMEM((2, 3, d, f_dim), compute_dtype),
         pltpu.VMEM((2, 3, f_dim, d), compute_dtype),
         pltpu.SemaphoreType.DMA((2, 4)),
@@ -341,7 +385,7 @@ def _transformer_stack_pallas(
         grid=(b // rows,),
         in_specs=[
             pl.BlockSpec((rows, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             *[
                 pl.BlockSpec(s.shape, _zero_map(s.ndim), memory_space=pltpu.VMEM)
                 for s in (
@@ -362,7 +406,7 @@ def _transformer_stack_pallas(
         interpret=interpret,
     )(
         x.astype(cd),
-        mask.astype(jnp.float32),
+        mask.astype(jnp.float32).reshape(b, 1, t),
         stacked["ln1_g"], stacked["ln1_b"], stacked["ln2_g"], stacked["ln2_b"],
         stacked["bqkv"].astype(jnp.float32),
         stacked["bo"].astype(jnp.float32),

@@ -76,7 +76,7 @@ def main() -> None:
     for name, b, t, window in (
         ("encoder_B16_T64", 16, 64, None),
         ("decoder_B16_T512", 16, 512, None),
-        ("decoder_B8_T1536_local64", 8, 1536, 64),
+        ("decoder_B8_T768_local64", 8, 768, 64),
     ):
         x = jax.random.normal(jax.random.PRNGKey(1), (b, t, D), jnp.bfloat16)
         mask = jnp.ones((b, t), jnp.float32)
