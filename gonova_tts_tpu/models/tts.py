@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from . import acoustic, speaker, vocoder, vocos
+from . import acoustic, speaker, vocoder, vocoder_folded, vocos
 from .layers import Params
 
 
@@ -23,6 +23,14 @@ def _vocoder_mod(cfg: ModelConfig):
     if cfg.vocoder_family == "hifigan":
         return vocoder
     raise ValueError(f"unknown vocoder_family {cfg.vocoder_family!r}")
+
+
+def _vocoder_forward(cfg: ModelConfig):
+    """Forward fn for the configured family; hifigan routes through the lane-folded
+    layout (vocoder_folded.py — numerically identical, MXU-shaped) unless disabled."""
+    if cfg.vocoder_family == "hifigan" and cfg.hifigan_folded:
+        return vocoder_folded.forward
+    return _vocoder_mod(cfg).forward
 
 
 def init(rng, cfg: ModelConfig) -> Params:
@@ -47,8 +55,7 @@ def synthesize(
     ac = acoustic.forward(
         params["acoustic"], tokens, token_mask, spk_embedding, exaggeration, cfg, dtype=dtype
     )
-    voc = _vocoder_mod(cfg)
-    wav = voc.forward(params["vocoder"], ac["mel"], cfg, dtype=dtype)  # [B, T*hop]
+    wav = _vocoder_forward(cfg)(params["vocoder"], ac["mel"], cfg, dtype=dtype)  # [B, T*hop]
     hop = cfg.hop_length
     total_samples = ac["total_frames"] * hop
     sample_mask = (
@@ -74,7 +81,7 @@ def embed_speaker(
 def vocode(
     params: Params, mel: jnp.ndarray, cfg: ModelConfig, dtype=jnp.float32
 ) -> jnp.ndarray:
-    return _vocoder_mod(cfg).forward(params["vocoder"], mel, cfg, dtype=dtype)
+    return _vocoder_forward(cfg)(params["vocoder"], mel, cfg, dtype=dtype)
 
 
 def acoustic_mel(

@@ -78,6 +78,15 @@ def main() -> None:
     results["audio_sec_per_sec"] = round(audio_sec / (ms / 1e3), 1)
     print(json.dumps(results), flush=True)
 
+    # 1b. lane-folded generator (models/vocoder_folded.py) — same params, MXU layout
+    from gonova_tts_tpu.models import vocoder_folded
+
+    ms_f = timeit(lambda m: vocoder_folded.forward(params, m, cfg, dtype=jnp.bfloat16), mel)
+    results["folded_pass_ms"] = round(ms_f, 2)
+    results["folded_audio_sec_per_sec"] = round(audio_sec / (ms_f / 1e3), 1)
+    results["folded_speedup"] = round(ms / ms_f, 2)
+    print(json.dumps(results), flush=True)
+
     # 2. per-stage MRF cost (stage input shapes after each transposed conv)
     t_cur, ch = T, cfg.upsample_initial_channel
     for i, rate in enumerate(cfg.upsample_rates):
