@@ -48,13 +48,22 @@ register(
         forward=acoustic.forward,
     )
 )
+def _novagan_forward(params, mel, cfg, dtype=None):
+    """Honors cfg.hifigan_folded (same routing as tts.vocode for this family)."""
+    from . import vocoder_folded
+
+    mod = vocoder_folded if cfg.hifigan_folded else vocoder
+    kw = {} if dtype is None else {"dtype": dtype}
+    return mod.forward(params, mel, cfg, **kw)
+
+
 register(
     ModelFamily(
         name="novagan",
         kind="vocoder",
-        description="HiFi-GAN-class generator (mel → 24 kHz waveform)",
+        description="HiFi-GAN-class generator (mel → 24 kHz waveform; lane-folded by default)",
         init=vocoder.init,
-        forward=vocoder.forward,
+        forward=_novagan_forward,
     )
 )
 register(

@@ -21,8 +21,10 @@ fold f·s) and then run the same folded conv with offsets j - (k-1-p), matching
 `layers.conv1d_transpose` (lax.conv_transpose, no kernel flip). Changing fold factor
 at equal rate is a pure reshape, so stages glue together with no data movement.
 
-Numerically identical to `vocoder.forward` (same sums, reorganized; the extra terms
-are exact zeros) — pinned by tests/test_vocoder_folded.py. Differentiable (plain XLA
+Numerically equivalent to `vocoder.forward`: the same sums reorganized plus
+exact-zero terms — bit-identical in f64; in f32/bf16 the reassociated accumulation
+order can differ at rounding level (amplified through deep MRF stacks on some
+geometries) — pinned by tests/test_vocoder_folded.py. Differentiable (plain XLA
 ops), so the same path serves *and* trains.
 
 Reference analog: none — the reference's vocoder lives inside the external
@@ -107,11 +109,14 @@ def _folded_conv(
 
 
 def _conv_same(p: Params, x: jnp.ndarray, f: int, dilation: int, dtype) -> jnp.ndarray:
-    """SAME conv (odd kernel) on a fold-f tensor; plain conv when f == 1."""
+    """SAME conv on a fold-f tensor; plain conv when f == 1."""
     if f == 1:
         return layers.conv1d(p, x, dilation=dilation, dtype=dtype)
     k = p["w"].shape[0]
-    offsets = [(j - (k - 1) // 2) * dilation for j in range(k)]
+    # XLA SAME pads ((eff_k-1)//2) low, eff_k = (k-1)*d + 1 — derive offsets from
+    # that (for odd k it's the symmetric (k-1)//2*d; for even k the low pad differs).
+    pad_low = ((k - 1) * dilation) // 2
+    offsets = [j * dilation - pad_low for j in range(k)]
     wf, lo = _fold_weight(p["w"], f, f, offsets)
     return _folded_conv(x, wf, p["b"], f, lo, 1, dtype)
 
@@ -152,8 +157,8 @@ def forward(params: Params, mel: jnp.ndarray, cfg: ModelConfig, dtype=jnp.float3
         c_in, c_out = ch // (2**i), ch // (2 ** (i + 1))
         x = layers.leaky_relu(x, LRELU_SLOPE)
         up = params["ups"][i]
-        if f == 1 and (c_out >= MXU_LANES // 2 or (t * rate) % _target_fold(c_out)):
-            # Wide enough (or shapes don't divide): plain transposed conv.
+        if f == 1 and c_out >= MXU_LANES // 2:
+            # Wide enough: plain transposed conv (folding buys nothing at >=64 lanes).
             x = layers.conv1d_transpose(up, x, rate, dtype=dtype)
             f = 1
         else:

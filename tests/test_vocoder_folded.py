@@ -72,6 +72,32 @@ def test_folded_exact_odd_rates():
     np.testing.assert_allclose(np.asarray(fold), np.asarray(ref), rtol=1e-5, atol=2e-5)
 
 
+def test_folded_exact_even_resblock_kernel_with_dilation():
+    # Even resblock kernel + dilation>1: XLA SAME pads ((k-1)*d)//2 low, which is NOT
+    # ((k-1)//2)*d — regression test for the offset-centering bug found in review.
+    cfg = _cfg(
+        upsample_rates=[4, 4],
+        upsample_kernels=[8, 8],
+        upsample_initial_channel=64,
+        resblock_kernels=[4],
+        resblock_dilations=[[3, 1]],
+    )
+    ref, fold = _forward_pair(cfg, t_mel=8)
+    np.testing.assert_allclose(np.asarray(fold), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_registry_novagan_routes_folded():
+    from gonova_tts_tpu.models import registry
+
+    cfg = _cfg(upsample_initial_channel=32)
+    fam = registry.get("novagan")
+    params = fam.init(jax.random.PRNGKey(0), cfg)
+    mel = jnp.asarray(np.random.default_rng(3).standard_normal((1, 8, cfg.n_mels)), jnp.float32)
+    via_registry = fam.forward(params, mel, cfg, dtype=jnp.float32)
+    via_tts = vocoder_folded.forward(params, mel, cfg, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(via_registry), np.asarray(via_tts), rtol=0, atol=0)
+
+
 def test_folded_jits_and_is_differentiable():
     cfg = _cfg(upsample_initial_channel=32)
     params = vocoder.init(jax.random.PRNGKey(0), cfg)
