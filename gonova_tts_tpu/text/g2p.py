@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 # Frequent irregular words (top-of-Zipf words whose LTS rules would mangle).
 LEXICON = {
@@ -494,7 +494,24 @@ def word_to_phonemes(word: str, prev: str = "", nxt: str = "") -> List[str]:
             return list(alt)
     if lower in LEXICON:
         return list(LEXICON[lower])
+    # Out-of-lexicon: the trained neural G2P (text/neural_g2p.py) outperforms the
+    # LTS rules on the held-out split (tools/train_g2p.py numbers); used when its
+    # vendored weights are present, with the rules as the always-available fallback.
+    neural = _neural_fallback(lower)
+    if neural is not None:
+        return neural
     return _word_to_phonemes_lts(lower.replace("'", ""))
+
+
+def _neural_fallback(lower: str) -> Optional[List[str]]:
+    try:
+        from . import neural_g2p
+
+        if not neural_g2p.available():
+            return None
+        return neural_g2p.predict_word(lower)
+    except Exception:  # never let the neural path break text processing
+        return None
 
 
 def text_to_phonemes(text: str) -> List[str]:

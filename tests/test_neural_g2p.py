@@ -1,0 +1,86 @@
+"""Neural G2P (text/neural_g2p.py): vocab codecs, JAX-vs-numpy inference equality,
+weights IO, and the g2p.word_to_phonemes fallback wiring."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gonova_tts_tpu.text import neural_g2p as ng
+
+
+def test_encode_word_roundtrip_and_limits():
+    assert ng.encode_word("hello") is not None
+    assert ng.encode_word("o'clock") is not None
+    assert ng.encode_word("") is None
+    assert ng.encode_word("x" * (ng.MAX_CHARS + 1)) is None
+    assert ng.encode_word("héllo") is None  # unencodable char
+
+
+def test_encode_phonemes_roundtrip():
+    phons = ["HH", "AH", "L", "OW"]
+    ids = ng.encode_phonemes(phons)
+    assert ids is not None
+    assert ng.decode_ids(ids) == phons
+
+
+def test_numpy_inference_matches_jax_greedy():
+    params = ng.init(jax.random.PRNGKey(3))
+    for word in ("hello", "synthesis", "folded"):
+        chars = ng.encode_word(word)
+        jax_ids = np.asarray(ng.greedy_decode(params, jnp.asarray(chars[None])))[0]
+        np_ids = ng._np_predict(params, chars)
+        # Compare decoded phoneme prefixes (numpy stops at EOS; jax fills beyond).
+        assert ng.decode_ids(np_ids) == ng.decode_ids(jax_ids), word
+
+
+def test_weights_roundtrip(tmp_path):
+    params = ng.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "w.npz")
+    ng.save_weights(params, path)
+    loaded = ng.load_weights(path)
+    a, _ = jax.tree_util.tree_flatten(params)
+    b, _ = jax.tree_util.tree_flatten(loaded)
+    assert len(a) == len(b)
+    # f16 storage: equality within half-precision rounding.
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=2e-3, atol=2e-3)
+
+
+def test_predict_word_uses_weights(tmp_path, monkeypatch):
+    params = ng.init(jax.random.PRNGKey(1))
+    path = str(tmp_path / "w.npz")
+    ng.save_weights(params, path)
+    monkeypatch.setattr(ng, "WEIGHTS_PATH", path)
+    with ng._LOCK:
+        ng._CACHE.clear()
+    out = ng.predict_word("zyxgleb")
+    assert out is None or all(isinstance(p, str) for p in out)
+    # Env kill-switch: no neural result even with weights present.
+    monkeypatch.setenv("TTS_NEURAL_G2P", "0")
+    with ng._LOCK:
+        ng._CACHE.clear()
+    assert not ng.available()
+
+
+def test_g2p_fallback_never_raises(monkeypatch):
+    # Whatever the neural path does (missing weights, junk weights), text processing
+    # must stay alive through the LTS fallback.
+    from gonova_tts_tpu.text import g2p
+
+    monkeypatch.setattr(ng, "WEIGHTS_PATH", "/nonexistent/g2p_weights.npz")
+    with ng._LOCK:
+        ng._CACHE.clear()
+    phons = g2p.word_to_phonemes("zyxgleb")
+    assert phons and all(isinstance(p, str) for p in phons)
+
+
+@pytest.mark.skipif(not os.path.exists(ng.WEIGHTS_PATH), reason="no vendored weights")
+def test_vendored_weights_decode_known_words():
+    with ng._LOCK:
+        ng._CACHE.clear()
+    out = ng.predict_word("hello")
+    assert out, "vendored weights must produce a nonempty pronunciation"
+    assert all(p in set(ng._PHON_TO_ID) for p in out)

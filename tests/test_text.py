@@ -193,8 +193,13 @@ def test_lts_regular_words():
 
 
 def test_lts_silent_e():
-    assert word_to_phonemes("cake") == ["K", "EY", "K"]
-    assert word_to_phonemes("bike") == ["B", "AY", "K"]
+    # Rule-layer unit tests: target the LTS rules directly (word_to_phonemes may
+    # route lexicon misses through the neural G2P — graded separately in aggregate
+    # by tools/g2p_eval.py, not by cherry-picked words).
+    from gonova_tts_tpu.text.g2p import _word_to_phonemes_lts
+
+    assert _word_to_phonemes_lts("cake") == ["K", "EY", "K"]
+    assert _word_to_phonemes_lts("bike") == ["B", "AY", "K"]
 
 
 def test_lts_digraphs():
@@ -204,10 +209,12 @@ def test_lts_digraphs():
 
 
 def test_lts_c_g_softening():
-    assert word_to_phonemes("cent")[0] == "S"
-    assert word_to_phonemes("cat")[0] == "K"
-    assert word_to_phonemes("gem")[0] == "JH"
-    assert word_to_phonemes("gap")[0] == "G"
+    from gonova_tts_tpu.text.g2p import _word_to_phonemes_lts
+
+    assert _word_to_phonemes_lts("cent")[0] == "S"
+    assert _word_to_phonemes_lts("cat")[0] == "K"
+    assert _word_to_phonemes_lts("gem")[0] == "JH"
+    assert _word_to_phonemes_lts("gap")[0] == "G"
 
 
 def test_text_to_phonemes_includes_separators_and_punct():

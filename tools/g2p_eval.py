@@ -71,6 +71,19 @@ def main() -> None:
         [(_word_to_phonemes_lts(w.replace("'", "")), ref) for w, ref in held_out.items()]
     )
 
+    # 2b. Neural G2P on the same held-out split (when vendored weights exist).
+    neural = None
+    from gonova_tts_tpu.text import neural_g2p
+
+    if neural_g2p.available():
+        # numpy inference path (backend-free; no jit compile through the TPU tunnel).
+        pairs = []
+        for w in sorted(held_out):
+            pred = neural_g2p.predict_word(w)
+            if pred is not None:
+                pairs.append((pred, held_out[w]))
+        neural = grade(pairs)
+
     # 3. Homograph spot checks.
     homo_cases = [
         ("read", "have", "", ["R", "EH", "D"]),
@@ -92,6 +105,7 @@ def main() -> None:
                 "gold_words": len(gold),
                 "full_pipeline": full,
                 "lts_held_out": lts,
+                "neural_held_out": neural,
                 "homographs_ok": f"{homo_ok}/{len(homo_cases)}",
             }
         )
