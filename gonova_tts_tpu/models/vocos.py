@@ -105,16 +105,35 @@ def forward(params: Params, mel: jnp.ndarray, cfg: ModelConfig, dtype=jnp.float3
     return istft_synthesis(real, imag, n_fft, hop)
 
 
-def istft_synthesis(real: jnp.ndarray, imag: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+def istft_synthesis(
+    real: jnp.ndarray, imag: jnp.ndarray, n_fft: int, hop: int, dtype=jnp.float32
+) -> jnp.ndarray:
     """Exact windowed iSTFT for 4x-overlap framing: [B, T, bins]x2 → [B, T*hop].
 
     Inverse real-DFT as a matmul, synthesis window, 4-shift overlap-add, NOLA
     normalization (matches audio/stft.py's framing convention; unit-tested against its
-    istft)."""
+    istft).
+
+    dtype=bfloat16 selects a split-bf16 inverse-DFT (x = hi + lo on both operands,
+    three bf16 MXU passes; ~f24-accurate, ~108 dB SNR — tests pin <3e-5 relative
+    error). **Measured negative result** (PERF.md round-2): on this chip the f32
+    matmul path is *faster* (0.320 vs 0.395 ms at B=16/T=320) — the stage is partly
+    memory-bound and f32 MXU rate here is not the assumed 4-8× penalty — so
+    `forward` keeps f32; the split path stays for backends where f32 matmul is slow."""
     b, t, _ = real.shape
     icos, isin = idft_bases(n_fft)
     # Same (R, I) convention as audio/stft.py's stft_ri/istft pair.
-    frames = real @ jnp.asarray(icos) + (-imag) @ jnp.asarray(isin)  # [B, T, n_fft]
+    bases = jnp.concatenate([jnp.asarray(icos), -jnp.asarray(isin)], axis=0)  # [2*bins, n_fft]
+    coef = jnp.concatenate([real, imag], axis=-1)  # [B, T, 2*bins]
+    if dtype == jnp.bfloat16:
+        c_hi = coef.astype(jnp.bfloat16)
+        c_lo = (coef - c_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_hi = bases.astype(jnp.bfloat16)
+        b_lo = (bases - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        mm = lambda a, w: jnp.einsum("btc,cn->btn", a, w, preferred_element_type=jnp.float32)
+        frames = mm(c_hi, b_hi) + (mm(c_hi, b_lo) + mm(c_lo, b_hi))
+    else:
+        frames = coef @ bases  # [B, T, n_fft]
     window = jnp.asarray(hann_window(n_fft))
     frames = frames * window
 

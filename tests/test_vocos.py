@@ -100,3 +100,24 @@ def test_vocos_bf16(cfg, params):
     wav = vocos.forward(params["vocoder"], mel, cfg, dtype=jnp.bfloat16)
     assert wav.dtype == jnp.float32
     assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_istft_split_bf16_matches_f32():
+    # The split-bf16 inverse-DFT path (hi/lo on both operands, 3 bf16 matmuls) must
+    # stay far below the int16 transfer LSB relative to the f32 path.
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gonova_tts_tpu.config import ModelConfig
+    from gonova_tts_tpu.models.vocos import istft_synthesis
+
+    cfg = ModelConfig()
+    rng = np.random.default_rng(0)
+    n_bins = cfg.n_fft // 2 + 1
+    real = jnp.asarray(rng.standard_normal((2, 12, n_bins)), jnp.float32)
+    imag = jnp.asarray(rng.standard_normal((2, 12, n_bins)), jnp.float32)
+    f32 = istft_synthesis(real, imag, cfg.n_fft, cfg.hop_length)
+    bf = istft_synthesis(real, imag, cfg.n_fft, cfg.hop_length, dtype=jnp.bfloat16)
+    scale = float(jnp.max(jnp.abs(f32))) + 1e-9
+    err = float(jnp.max(jnp.abs(bf - f32))) / scale
+    assert err < 3e-5, f"split-bf16 istft relative error {err}"
