@@ -124,23 +124,33 @@ class DynamicBatcher:
                 self.metrics["bucket_splits"] += 1
 
             loop = asyncio.get_event_loop()
-            for group in groups.values():
-                try:
-                    results = await loop.run_in_executor(
-                        None,
-                        self.engine.synthesize_batch,
-                        [p.text for p in group],
-                        [p.speaker for p in group],
-                        [p.exaggeration for p in group],
-                    )
-                    for p, r in zip(group, results):
-                        if not p.future.done():
-                            p.future.set_result(r)
-                except Exception as e:  # noqa: BLE001 — isolate failures per group
-                    logger.error("batch_failed", error=str(e), batch_size=len(group))
-                    for p in group:
-                        if not p.future.done():
-                            p.future.set_exception(e)
+            try:
+                for group in groups.values():
+                    try:
+                        results = await loop.run_in_executor(
+                            None,
+                            self.engine.synthesize_batch,
+                            [p.text for p in group],
+                            [p.speaker for p in group],
+                            [p.exaggeration for p in group],
+                        )
+                        for p, r in zip(group, results):
+                            if not p.future.done():
+                                p.future.set_result(r)
+                    except Exception as e:  # noqa: BLE001 — isolate failures per group
+                        logger.error("batch_failed", error=str(e), batch_size=len(group))
+                        for p in group:
+                            if not p.future.done():
+                                p.future.set_exception(e)
+            except asyncio.CancelledError:
+                # stop() cancelled us mid-device-pass: CancelledError is a
+                # BaseException so the per-group handler above doesn't see it —
+                # fail every unresolved future in this batch (the executor job
+                # itself finishes on its own thread) so submit() callers never hang.
+                for p in batch:
+                    if p.future is not None and not p.future.done():
+                        p.future.set_exception(RuntimeError("batcher stopped"))
+                raise
             self.metrics["batches"] += len(groups)
             self.metrics["requests"] += len(batch)
             self.metrics["max_batch_seen"] = max(self.metrics["max_batch_seen"], len(batch))

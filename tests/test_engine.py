@@ -242,6 +242,33 @@ def test_dynamic_batcher_error_isolation(engine):
     assert isinstance(asyncio.run(run()), np.ndarray)
 
 
+def test_dynamic_batcher_stop_mid_device_pass(engine, monkeypatch):
+    """stop() while a device pass is IN FLIGHT: the worker task is cancelled at the
+    run_in_executor await (CancelledError, a BaseException, skips the per-group
+    Exception handler) — the current batch's futures must still be failed, not
+    stranded."""
+    import time as _time
+
+    real = engine.synthesize_batch
+
+    def slow_batch(texts, *a, **kw):
+        _time.sleep(0.6)
+        return real(texts, *a, **kw)
+
+    monkeypatch.setattr(engine, "synthesize_batch", slow_batch)
+
+    async def run():
+        batcher = DynamicBatcher(engine, max_batch=4, window_ms=5)
+        await batcher.start()
+        task = asyncio.ensure_future(batcher.submit("Mid flight sentence."))
+        await asyncio.sleep(0.2)  # window closed, executor pass in flight
+        await batcher.stop()
+        with pytest.raises(RuntimeError, match="batcher stopped"):
+            await asyncio.wait_for(task, timeout=5.0)
+
+    asyncio.run(run())
+
+
 def test_health_check(engine):
     h = engine.health_check()
     assert h["status"] == "ok"
