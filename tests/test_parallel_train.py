@@ -283,3 +283,30 @@ def test_init_distributed_noop_without_env(monkeypatch):
 
     monkeypatch.delenv("TTS_COORDINATOR", raising=False)
     assert init_distributed() is False
+
+
+@pytest.mark.slow
+def test_multihost_two_process_train_step():
+    """REAL multi-host integration: two OS processes (4 virtual CPU devices each)
+    form one 8-device system via jax.distributed and run the full dp×tp sharded
+    train step on a DCN×ICI hybrid mesh — cross-host 'data' collectives ride the
+    Gloo transport. Ranks must agree on the loss (tools/multihost_smoke.py)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "multihost_smoke.py"), "--port", "29519"],
+        env=env,
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["ok"] and report["ranks_agree"]
+    assert report["hosts"] == 2 and report["global_devices"] == 8
