@@ -12,6 +12,7 @@ Latency shape: p50 TTFA ≈ admission window + one acoustic pass + one vocoder w
 from __future__ import annotations
 
 import asyncio
+import functools
 import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
@@ -32,7 +33,11 @@ class _Pending:
     exaggeration: float
     future: asyncio.Future = field(repr=False, default=None)
     enqueued_at: float = 0.0
-    n_tokens: int = 0
+    ids: List[int] = field(default_factory=list)  # frontend output, computed once
+
+    @property
+    def n_tokens(self) -> int:
+        return len(self.ids)
 
 
 class DynamicBatcher:
@@ -82,13 +87,17 @@ class DynamicBatcher:
         exaggeration: float = 0.5,
     ) -> np.ndarray:
         """Synthesize one sentence-chunk; resolves when its batch completes."""
+        loop = asyncio.get_event_loop()
+        # Frontend (normalize + G2P, possibly the neural-G2P decode for OOV words)
+        # runs off the event loop, and exactly once — the ids ride to the engine.
+        ids = await loop.run_in_executor(None, text_to_ids, text)
         item = _Pending(
             text=text,
             speaker=speaker,
             exaggeration=exaggeration,
-            future=asyncio.get_event_loop().create_future(),
+            future=loop.create_future(),
             enqueued_at=time.time(),
-            n_tokens=len(text_to_ids(text)),
+            ids=list(ids),
         )
         await self._queue.put(item)
         return await item.future
@@ -129,10 +138,13 @@ class DynamicBatcher:
                     try:
                         results = await loop.run_in_executor(
                             None,
-                            self.engine.synthesize_batch,
-                            [p.text for p in group],
-                            [p.speaker for p in group],
-                            [p.exaggeration for p in group],
+                            functools.partial(
+                                self.engine.synthesize_batch,
+                                [p.text for p in group],
+                                [p.speaker for p in group],
+                                [p.exaggeration for p in group],
+                                id_lists=[p.ids for p in group],
+                            ),
                         )
                         for p, r in zip(group, results):
                             if not p.future.done():

@@ -45,11 +45,12 @@ class TTSEngine:
         if (
             self.ecfg.acoustic_pallas
             and not self.mcfg.acoustic_pallas
-            and jax.default_backend() not in ("cpu",)
+            and jax.default_backend() == "tpu"
         ):
-            # Serving path on an accelerator: fuse the acoustic transformer stacks
-            # (inference-only kernel — the trainer keeps the differentiable XLA path
-            # by constructing its own ModelConfig, never through an engine).
+            # Serving path on a TPU: fuse the acoustic transformer stacks. The
+            # kernel is Mosaic-TPU-only (a GPU backend must keep XLA) and
+            # inference-only — the trainer keeps the differentiable XLA path by
+            # constructing its own ModelConfig, never through an engine.
             self.mcfg = self.mcfg.model_copy(update={"acoustic_pallas": True})
         self.seed = seed
         self.params = None
@@ -228,11 +229,14 @@ class TTSEngine:
         texts: Sequence[str],
         speakers: Optional[Sequence[np.ndarray]] = None,
         exaggerations: Optional[Sequence[float]] = None,
+        id_lists: Optional[Sequence[Sequence[int]]] = None,
     ) -> List[np.ndarray]:
         """Synthesize one chunk of text per request in a single device pass.
 
         Each text should already be a single sentence-sized chunk (the service segments
-        upstream).  Returns one float32 waveform per input.
+        upstream).  `id_lists` takes precomputed token ids (one list per text) so a
+        caller that already ran the frontend (the batcher does, for bucketing) doesn't
+        pay normalize+G2P twice.  Returns one float32 waveform per input.
         """
         if not self.is_loaded:
             raise RuntimeError("Engine not loaded. Call load() first")
@@ -240,7 +244,10 @@ class TTSEngine:
             return []
         t0 = time.time()
         b = len(texts)
-        id_lists = [text_to_ids(t) for t in texts]
+        if id_lists is None:
+            id_lists = [text_to_ids(t) for t in texts]
+        else:
+            assert len(id_lists) == b
         tokens_np, lengths, bucket = batch_to_bucket(id_lists, self.ecfg.token_buckets)
         batch_bucket = pick_bucket(b, self.ecfg.batch_buckets)
 

@@ -309,7 +309,11 @@ def _np_predict(params, chars: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------- serving path
 
 _LOCK = threading.Lock()
-_CACHE: Dict[str, object] = {}
+# Word-result memo and the loaded-weights slot are SEPARATE: a words dict keyed by
+# input word must never share a namespace with bookkeeping keys (the English word
+# "params" is a legitimate input).
+_WORD_CACHE: Dict[str, Optional[List[str]]] = {}
+_PARAMS: List[object] = []  # empty = not yet loaded; [None] = unavailable
 
 
 def available() -> bool:
@@ -320,9 +324,9 @@ def available() -> bool:
 
 def _get_params() -> Optional[Params]:
     with _LOCK:
-        if "params" not in _CACHE:
-            _CACHE["params"] = load_weights(WEIGHTS_PATH) if available() else None
-        return _CACHE["params"]
+        if not _PARAMS:
+            _PARAMS.append(load_weights(WEIGHTS_PATH) if available() else None)
+        return _PARAMS[0]
 
 
 def predict_word(word: str) -> Optional[List[str]]:
@@ -333,12 +337,12 @@ def predict_word(word: str) -> Optional[List[str]]:
         return None
     key = word.lower()
     with _LOCK:
-        if key in _CACHE:
-            return _CACHE[key]  # type: ignore[return-value]
+        if key in _WORD_CACHE:
+            return _WORD_CACHE[key]
     chars = encode_word(key)
     if chars is None:
         return None
     phons = decode_ids(_np_predict(params, chars)) or None
     with _LOCK:
-        _CACHE[key] = phons
+        _WORD_CACHE[key] = phons
     return phons

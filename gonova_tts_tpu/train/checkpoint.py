@@ -86,7 +86,13 @@ def restore_params_npz(path: str) -> Any:
             return node
         out = {k: listify(v) for k, v in node.items()}
         if out and all(k.isdigit() for k in out):
-            return [out[str(i)] for i in range(len(out))]
+            idx = sorted(int(k) for k in out)
+            if idx != list(range(len(out))):
+                raise ValueError(
+                    f"npz checkpoint has non-contiguous list indices {idx} — "
+                    "file is truncated or hand-edited"
+                )
+            return [out[str(i)] for i in idx]
         return out
 
     return listify(root)

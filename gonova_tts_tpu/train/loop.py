@@ -93,6 +93,22 @@ def train(
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
+    if resident:
+        if (n_data or 0) > 1 or n_model > 1:
+            # Never silently drop requested parallelism: the resident chunk runner
+            # is single-device by construction (sharded training is the non-resident
+            # path via make_sharded_train_step).
+            raise ValueError(
+                "resident mode is single-device; drop --resident to train with "
+                f"n_data={n_data}/n_model={n_model} sharding"
+            )
+        if steps % chunk != 0:
+            # The chunk runner executes whole compiled chunks; round the budget up
+            # front so the step accounting (logs, LR schedule, checkpoint names)
+            # matches what actually runs.
+            rounded = ((steps + chunk - 1) // chunk) * chunk
+            logger.info("steps_rounded_to_chunk", requested=steps, actual=rounded)
+            steps = rounded
     # One jitted init graph (eager init = one device round trip per tensor).
     params = jax.jit(lambda k: tts.init(k, mcfg))(jax.random.PRNGKey(seed))
     # Cosine decay over the actual run length: short overfit runs otherwise sit at

@@ -55,13 +55,15 @@ def test_predict_word_uses_weights(tmp_path, monkeypatch):
     ng.save_weights(params, path)
     monkeypatch.setattr(ng, "WEIGHTS_PATH", path)
     with ng._LOCK:
-        ng._CACHE.clear()
+        ng._WORD_CACHE.clear()
+        ng._PARAMS.clear()
     out = ng.predict_word("zyxgleb")
     assert out is None or all(isinstance(p, str) for p in out)
     # Env kill-switch: no neural result even with weights present.
     monkeypatch.setenv("TTS_NEURAL_G2P", "0")
     with ng._LOCK:
-        ng._CACHE.clear()
+        ng._WORD_CACHE.clear()
+        ng._PARAMS.clear()
     assert not ng.available()
 
 
@@ -72,15 +74,35 @@ def test_g2p_fallback_never_raises(monkeypatch):
 
     monkeypatch.setattr(ng, "WEIGHTS_PATH", "/nonexistent/g2p_weights.npz")
     with ng._LOCK:
-        ng._CACHE.clear()
+        ng._WORD_CACHE.clear()
+        ng._PARAMS.clear()
     phons = g2p.word_to_phonemes("zyxgleb")
     assert phons and all(isinstance(p, str) for p in phons)
 
 
 @pytest.mark.skipif(not os.path.exists(ng.WEIGHTS_PATH), reason="no vendored weights")
+def test_predict_word_params_not_shadowed_by_weights_slot():
+    """Regression: the weights used to live in the same dict as the word memo under
+    the key 'params', so the English word 'params' returned the weights pytree."""
+    with ng._LOCK:
+        ng._WORD_CACHE.clear()
+        ng._PARAMS.clear()
+    out = ng.predict_word("params")
+    assert out is None or (
+        isinstance(out, list) and all(p in set(ng._PHON_TO_ID) for p in out)
+    ), f"predict_word('params') leaked non-phoneme data: {type(out)}"
+
+    from gonova_tts_tpu.text import g2p
+
+    phons = g2p.word_to_phonemes("params")
+    assert phons and all(isinstance(p, str) and p in set(ng._PHON_TO_ID) for p in phons)
+
+
+@pytest.mark.skipif(not os.path.exists(ng.WEIGHTS_PATH), reason="no vendored weights")
 def test_vendored_weights_decode_known_words():
     with ng._LOCK:
-        ng._CACHE.clear()
+        ng._WORD_CACHE.clear()
+        ng._PARAMS.clear()
     out = ng.predict_word("hello")
     assert out, "vendored weights must produce a nonempty pronunciation"
     assert all(p in set(ng._PHON_TO_ID) for p in out)

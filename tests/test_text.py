@@ -50,6 +50,19 @@ def test_split_initials_kept_joined():
     assert out == ["J. K. Rowling wrote it.", "I read it."]
 
 
+def test_split_guard_spares_standalone_words():
+    """Regression: 'no'/'max'/'sec' etc. are common sentence-final WORDS — the guard
+    must not treat them as abbreviations and merge real boundaries."""
+    assert split_into_sentences("She said no. We left at once.") == [
+        "She said no.",
+        "We left at once.",
+    ]
+    assert split_into_sentences("The gauge hit its max. Then it dropped.") == [
+        "The gauge hit its max.",
+        "Then it dropped.",
+    ]
+
+
 def test_split_abbrev_guard_off_matches_reference_fallback():
     out = split_into_sentences("Dr. Smith waved. Bye.", abbrev_guard=False)
     assert out == ["Dr.", "Smith waved.", "Bye."]
