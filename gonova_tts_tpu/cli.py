@@ -20,6 +20,8 @@ def cmd_serve(args: argparse.Namespace) -> int:
     from .config import load_config
 
     config = load_config(args.config)
+    if getattr(args, "model_path", None):
+        config.model.model_path = args.model_path
     if args.port is not None:
         config.server.port = args.port
     elif "TTS_PORT" in os.environ:
@@ -36,6 +38,8 @@ def cmd_synth(args: argparse.Namespace) -> int:
     from .utils import write_wav
 
     config = load_config(args.config)
+    if getattr(args, "model_path", None):
+        config.model.model_path = args.model_path
     engine = TTSEngine(config)
     engine.load(warmup=False)
     speaker = None
@@ -141,6 +145,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("serve", help="run the WS/REST service")
     p.add_argument("--config", default=None)
     p.add_argument("--port", type=int, default=None)
+    p.add_argument("--model-path", default=None, dest="model_path",
+                   help="checkpoint: orbax dir, training root, or compact .npz")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("synth", help="offline synthesis to a WAV file")
@@ -149,6 +155,8 @@ def main(argv=None) -> int:
     p.add_argument("--voice-wav", default=None, help="reference WAV for voice cloning")
     p.add_argument("--exaggeration", type=float, default=0.5)
     p.add_argument("--config", default=None)
+    p.add_argument("--model-path", default=None, dest="model_path",
+                   help="checkpoint: orbax dir, training root, or compact .npz")
     p.set_defaults(fn=cmd_synth)
 
     p = sub.add_parser("bench", help="run the headline benchmark")

@@ -246,3 +246,27 @@ def test_make_batch_speaker_and_silence_padding(manifest):
     if t < batch["mel"].shape[1]:
         np.testing.assert_allclose(batch["mel"][i, -1], sil, atol=1e-6)
         assert not np.allclose(sil, 0.0)
+
+
+def test_vendored_demo_checkpoint_restores():
+    """assets/checkpoints/demo_ema_f16.npz must restore to the production model's
+    exact param tree (the serve path accepts it via model_path)."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from gonova_tts_tpu.config import ModelConfig
+    from gonova_tts_tpu.models import tts
+    from gonova_tts_tpu.train.checkpoint import restore_params
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets", "checkpoints", "demo_ema_f16.npz",
+    )
+    assert os.path.exists(path), "vendored demo checkpoint missing"
+    params = restore_params(path)
+    ref = jax.eval_shape(lambda: tts.init(jax.random.PRNGKey(0), ModelConfig()))
+    got = jax.tree_util.tree_map(lambda x: np.shape(x), params)
+    want = jax.tree_util.tree_map(lambda x: tuple(x.shape), ref)
+    assert got == want
