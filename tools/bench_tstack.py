@@ -24,43 +24,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from _bench_util import enable_cache, timeit as _timeit
+
 K = 64
 
 
-def timeit(fn, *args):
-    @jax.jit
-    def step(*a):
-        def body(_, carry):
-            out = fn(a[0] + carry * 1e-12, *a[1:])
-            return jnp.mean(jnp.abs(out.astype(jnp.float32)))
-
-        return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
-
-    @jax.jit
-    def noop(x):
-        return jnp.sum(x) * 0.0
-
-    float(step(*args))
-    float(noop(args[0]))
-    overhead = min(
-        (lambda t0=time.perf_counter(): (float(noop(args[0])), time.perf_counter() - t0)[1])()
-        for _ in range(5)
-    )
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(step(*args))
-        times.append(time.perf_counter() - t0)
-    return (float(np.median(times)) - overhead) / K * 1e3  # ms per pass
+def timeit(fn, *args, k=K):
+    return _timeit(fn, *args, k=k, repeats=5)
 
 
 def main() -> None:
-    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    enable_cache()
 
     from gonova_tts_tpu.models import layers
     from gonova_tts_tpu.ops.transformer_stack_kernel import (

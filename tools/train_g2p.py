@@ -33,19 +33,103 @@ from gonova_tts_tpu.text import neural_g2p as ng
 from gonova_tts_tpu.text.g2p import LEXICON, VENDORED_LEXICON, _word_to_phonemes_lts
 
 
-def build_dataset():
+_VOICELESS = {"P", "T", "K", "F", "TH", "S", "SH", "CH", "HH"}
+_SIBILANT = {"S", "Z", "SH", "ZH", "CH", "JH"}
+_VOWELS = set("aeiou")
+
+
+def _cvc_risky(w: str) -> bool:
+    """Final-consonant doubling territory (stop→stopping): skip rather than guess."""
+    return (
+        len(w) >= 2
+        and w[-1] not in _VOWELS
+        and w[-1] not in "wxy"
+        and w[-2] in _VOWELS
+        and (len(w) < 3 or w[-3] not in _VOWELS)
+    )
+
+
+def morph_derive(word: str, phons):
+    """Regular inflections/derivations of a lexicon entry, both tiers at once —
+    standard English morphophonology (voicing assimilation for -s, syllabic
+    IH Z / IH D after sibilants/alveolar stops, silent-e and y→i orthography).
+    Pronunciation-consistent pseudo-words are fine training signal for a
+    spelling→sound model, so no dictionary check on the derived form; anything
+    orthographically ambiguous (consonant doubling) is skipped instead."""
+    last = phons[-1]
+    out = {}
+
+    # -s / -es (plural & 3sg)
+    if last in _SIBILANT:
+        plural = word + ("es" if not word.endswith("e") else "s")
+        out[plural] = phons + ["IH", "Z"]
+    else:
+        tail = ["S"] if last in _VOICELESS else ["Z"]
+        if word.endswith("y") and len(word) > 2 and word[-2] not in _VOWELS:
+            out[word[:-1] + "ies"] = phons + ["Z"]
+        elif not word.endswith(("s", "x", "z")):
+            out[word + "s"] = phons + tail
+
+    # -ing / -ed (drop final silent e; skip doubling-risk stems)
+    if word.endswith("e") and not word.endswith("ee"):
+        stem = word[:-1]
+    elif _cvc_risky(word):
+        stem = None
+    else:
+        stem = word
+    if stem:
+        if last != "NG":
+            out[stem + "ing"] = phons + ["IH", "NG"]
+        if last in ("T", "D"):
+            out[stem + "ed"] = phons + ["IH", "D"]
+        elif word.endswith("y") and len(word) > 2 and word[-2] not in _VOWELS:
+            out[word[:-1] + "ied"] = phons + ["D"]
+        else:
+            out[stem + "ed"] = phons + (["T"] if last in _VOICELESS else ["D"])
+
+    # -ly, -ness (y→i), -er (comparative/agentive)
+    if not word.endswith("y"):
+        out[word + "ly"] = phons + ["L", "IY"]
+        out[word + "ness"] = phons + ["N", "AH", "S"]
+    elif last == "IY":
+        out[word[:-1] + "iness"] = phons[:-1] + ["IY", "N", "AH", "S"]
+    if word.endswith("e"):
+        out[word + "r"] = phons + ["ER"]
+    elif word.endswith("y") and len(word) > 2 and word[-2] not in _VOWELS:
+        out[word[:-1] + "ier"] = phons[:-1] + ["IY", "ER"] if last == "IY" else phons + ["ER"]
+    elif not _cvc_risky(word):
+        out[word + "er"] = phons + ["ER"]
+
+    # un- prefix (pronunciation is fully regular regardless of lexicality)
+    out["un" + word] = ["AH", "N"] + phons
+
+    return {w: p for w, p in out.items() if p is not None}
+
+
+def build_dataset(augment: bool = True):
     gold = dict(VENDORED_LEXICON)
     merged = {**gold, **{w: p for w, p in LEXICON.items() if w not in gold}}
-    train_x, train_y, held = [], [], {}
-    for w, phons in sorted(merged.items()):
+    held = {
+        w: p
+        for w, p in merged.items()
+        if w in gold and zlib.crc32(w.encode()) % 10 == 0
+    }
+    train = {w: p for w, p in merged.items() if w not in held}
+    if augment:
+        derived = {}
+        for w, phons in sorted(train.items()):
+            for dw, dp in morph_derive(w, phons).items():
+                # Real lexicon entries always win; never leak a held-out spelling.
+                if dw not in merged and dw not in derived and dw not in held:
+                    derived[dw] = dp
+        train.update(derived)
+    train_x, train_y = [], []
+    for w, phons in sorted(train.items()):
         cx, cy = ng.encode_word(w), ng.encode_phonemes(phons)
         if cx is None or cy is None:
             continue
-        if w in gold and zlib.crc32(w.encode()) % 10 == 0:
-            held[w] = phons
-        else:
-            train_x.append(cx)
-            train_y.append(cy)
+        train_x.append(cx)
+        train_y.append(cy)
     return np.stack(train_x), np.stack(train_y), held
 
 
