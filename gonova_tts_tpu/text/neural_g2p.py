@@ -8,7 +8,7 @@ trained on the vendored lexicon (tools/train_g2p.py) with the *same* determinist
 held-out split the eval harness uses, so the numbers are honest.
 
 Measured (tools/g2p_eval.py, vendored f16 weights, serving numpy path): held-out
-53.8% exact / 0.160 PER vs the LTS rules' 43.7% / 0.180 — the neural path wins on
+53.1% exact / 0.163 PER (f16 serving path; 53.8%/0.160 pre-quantization) vs the LTS rules' 43.7% / 0.180 — the neural path wins on
 both and is used for lexicon misses; hyperparameters were dev-selected on this
 same split (no third split at 2.5k-word scale). Training data = the non-held-out
 lexicon plus ~14k regular morphological derivations of it (tools/train_g2p.py
