@@ -182,6 +182,15 @@ class EngineConfig(BaseModel):
     # Data-parallel serving: number of local devices to drive from this engine
     # (1 = single chip; 0 = all local devices). Params replicate, batch shards.
     data_parallel: int = 1
+    # Two-stage batch dispatch: run the acoustic graph, read back total_frames (one
+    # scalar round trip), and vocode at the smallest 64-aligned frame bucket that
+    # covers the batch (+ stream_context_frames for streaming-grade exactness)
+    # instead of the static worst case L*max_frames_per_token. Typical speech fills
+    # ~5/8 of the worst case, so this skips ~25-35% of vocoder compute. Default OFF:
+    # each new frame bucket is an extra compile, and on hosts with slow device
+    # round trips (this build env's ~30 ms tunnel) the readback costs more than the
+    # saved compute. Enable on production TPU hosts (sub-ms readback).
+    two_stage_batch: bool = False
 
 
 class Config(BaseModel):

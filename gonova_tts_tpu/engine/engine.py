@@ -73,6 +73,10 @@ class TTSEngine:
             # actually paid for on device. padding_efficiency = real / padded.
             "real_tokens": 0,
             "padded_tokens": 0,
+            # Two-stage dispatch accounting: vocoder frames actually executed vs the
+            # static worst case (L × max_frames_per_token) the one-graph path pays.
+            "vocode_frames_executed": 0,
+            "vocode_frames_worstcase": 0,
         }
 
     # ------------------------------------------------------------ loading
@@ -274,15 +278,37 @@ class TTSEngine:
                 self._dp.place_batch(exagg),
             )
         with self._lock, timers.track("synth_batch_device"):
-            out = self._synth(
-                self.params,
-                jnp.asarray(tokens),
-                jnp.asarray(mask),
-                jnp.asarray(spk),
-                jnp.asarray(exagg),
-            )
-            audio = self._unpack(out["audio"])
-            total = np.asarray(out["total_samples"])
+            if self.ecfg.two_stage_batch:
+                # Stage 1: acoustic graph; one host round trip for the frame counts.
+                ac = self._acoustic(
+                    self.params,
+                    jnp.asarray(tokens),
+                    jnp.asarray(mask),
+                    jnp.asarray(spk),
+                    jnp.asarray(exagg),
+                )
+                total_frames = np.asarray(ac["total_frames"])
+                t_full = int(ac["mel"].shape[1])
+                # Stage 2: vocode at the smallest 64-aligned frame bucket covering
+                # the batch plus the streaming context margin (>= vocoder receptive
+                # field, so the audio below each sequence's total_samples is exactly
+                # the one-graph result — same invariant the streaming tests pin).
+                need = int(total_frames.max()) + self.ecfg.stream_context_frames
+                fb = min(t_full, -(-need // 64) * 64)
+                audio = self._unpack(self._vocode(self.params, ac["mel"][:, :fb]))
+                total = total_frames * self.hop
+                self.stats["vocode_frames_executed"] += int(fb * batch_bucket)
+                self.stats["vocode_frames_worstcase"] += int(t_full * batch_bucket)
+            else:
+                out = self._synth(
+                    self.params,
+                    jnp.asarray(tokens),
+                    jnp.asarray(mask),
+                    jnp.asarray(spk),
+                    jnp.asarray(exagg),
+                )
+                audio = self._unpack(out["audio"])
+                total = np.asarray(out["total_samples"])
 
         results = [audio[i, : int(total[i])].astype(np.float32) for i in range(b)]
         dt = time.time() - t0

@@ -269,6 +269,26 @@ def test_dynamic_batcher_stop_mid_device_pass(engine, monkeypatch):
     asyncio.run(run())
 
 
+def test_two_stage_batch_matches_one_graph(engine):
+    """two_stage_batch=True (acoustic → frame-bucketed vocode) must reproduce the
+    one-graph batch path exactly for every returned sample — the context-margin
+    argument is the same one the streaming-exactness tests pin."""
+    texts = ["Hello there world.", "A second and much longer sentence for the batch."]
+    ref = engine.synthesize_batch(texts)
+    engine.ecfg.two_stage_batch = True
+    try:
+        out = engine.synthesize_batch(texts)
+    finally:
+        engine.ecfg.two_stage_batch = False
+    assert engine.stats["vocode_frames_executed"] > 0
+    assert (
+        engine.stats["vocode_frames_executed"] < engine.stats["vocode_frames_worstcase"]
+    )
+    for a, b in zip(ref, out):
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(a, b)
+
+
 def test_health_check(engine):
     h = engine.health_check()
     assert h["status"] == "ok"
