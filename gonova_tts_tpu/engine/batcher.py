@@ -110,14 +110,26 @@ class DynamicBatcher:
                 break
             batch: List[_Pending] = [first]
             deadline = time.time() + self.window_s
+            cancelled = False
             while len(batch) < self.max_batch:
                 timeout = deadline - time.time()
                 if timeout <= 0:
                     break
                 try:
                     batch.append(await asyncio.wait_for(self._queue.get(), timeout))
-                except (asyncio.TimeoutError, asyncio.CancelledError):
+                except asyncio.TimeoutError:
+                    break  # admission window closed — dispatch what we have
+                except asyncio.CancelledError:
+                    cancelled = True
                     break
+            if cancelled:
+                # stop() cancelled us while we were filling the window. Don't eat
+                # the cancellation and dispatch a device pass anyway — fail the
+                # admitted futures and exit (stop() flushes the rest of the queue).
+                for p in batch:
+                    if p.future is not None and not p.future.done():
+                        p.future.set_exception(RuntimeError("batcher stopped"))
+                raise asyncio.CancelledError
 
             # Bucket-aware dispatch: the engine pads every request in a device pass
             # to the pass's single token bucket, so a 5-token and a 40-token sentence

@@ -78,6 +78,7 @@ class TTSEngine:
             "vocode_frames_executed": 0,
             "vocode_frames_worstcase": 0,
         }
+        self._vocode_shapes_seen: set = set()
 
     # ------------------------------------------------------------ loading
 
@@ -295,6 +296,12 @@ class TTSEngine:
                 # the one-graph result — same invariant the streaming tests pin).
                 need = int(total_frames.max()) + self.ecfg.stream_context_frames
                 fb = min(t_full, -(-need // 64) * 64)
+                if (batch_bucket, fb) not in self._vocode_shapes_seen:
+                    # Each new frame bucket is a fresh _vocode compile — surface it
+                    # in compiled_shapes so operators can see the churn this mode
+                    # trades for padding savings.
+                    self._vocode_shapes_seen.add((batch_bucket, fb))
+                    self.stats["compiles"] += 1
                 audio = self._unpack(self._vocode(self.params, ac["mel"][:, :fb]))
                 total = total_frames * self.hop
                 self.stats["vocode_frames_executed"] += int(fb * batch_bucket)

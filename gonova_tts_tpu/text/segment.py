@@ -33,14 +33,16 @@ _CLAUSE_SPLIT = re.compile(r"[,;]\s+")
 # Multi-dot forms ("u.s", "e.g", "a.m") compare after stripping ONE trailing dot.
 # Deliberately EXCLUDED: forms that are also common standalone English words and can
 # legitimately end a sentence ("no", "min", "max", "est", "sec", "fig", "ch", "pp",
-# "vol", "pt", "rep", "gen", "co", "rm", "apt", "eq") — suppressing those merged real
-# sentence boundaries ("She said no. We left."). Their abbreviation use is almost
-# always followed by a digit ("No. 5", "Fig. 3"), which the boundary regex never
-# splits anyway (it requires a following capital letter), so excluding them loses
-# only rare "Fig. A"-style citations.
+# "vol", "pt", "rm", "apt", "eq") — suppressing those merged real sentence
+# boundaries ("She said no. We left."). Their abbreviation use is almost always
+# followed by a digit ("No. 5", "Fig. 3"), which the boundary regex never splits
+# anyway (it requires a following capital letter), so excluding them loses only
+# rare "Fig. A"-style citations. "gen"/"rep"/"co" stay IN: their dominant dotted
+# use is a title/suffix before a capitalized name ("Gen. MacArthur",
+# "Rep. Pelosi", "Smith and Co. Limited") — exactly the case the guard exists for.
 _NO_SPLIT_BEFORE = frozenset(
-    """mr mrs ms dr prof rev fr sr jr st mt ft sen gov capt sgt col maj lt
-    cmdr adm hon pres supt det insp dept univ assn bros inc ltd corp vs etc
+    """mr mrs ms dr prof rev fr sr jr st mt ft gen rep sen gov capt sgt col maj lt
+    cmdr adm hon pres supt det insp dept univ assn bros inc ltd co corp vs etc
     approx ave blvd rd hwy jan feb mar
     apr jun jul aug sep sept oct nov dec mon tue tues wed thu thur thurs fri sat sun
     e.g i.e u.s u.k u.n a.m p.m ph.d b.a m.a m.s b.s d.c""".split()

@@ -269,6 +269,26 @@ def test_dynamic_batcher_stop_mid_device_pass(engine, monkeypatch):
     asyncio.run(run())
 
 
+def test_dynamic_batcher_stop_during_admission_window(engine):
+    """stop() while the worker is filling the admission window must not dispatch a
+    device pass after cancellation — admitted futures fail fast instead."""
+
+    async def run():
+        batcher = DynamicBatcher(engine, max_batch=4, window_ms=10_000)
+        await batcher.start()
+        task = asyncio.ensure_future(batcher.submit("Window sentence."))
+        await asyncio.sleep(0.2)  # worker holds the item, waiting out the window
+        before = engine.stats["batches"]
+        t0 = asyncio.get_event_loop().time()
+        await batcher.stop()
+        assert asyncio.get_event_loop().time() - t0 < 2.0  # no device pass ran
+        assert engine.stats["batches"] == before
+        with pytest.raises(RuntimeError, match="batcher stopped"):
+            await asyncio.wait_for(task, timeout=5.0)
+
+    asyncio.run(run())
+
+
 def test_two_stage_batch_matches_one_graph(engine):
     """two_stage_batch=True (acoustic → frame-bucketed vocode) must reproduce the
     one-graph batch path exactly for every returned sample — the context-margin

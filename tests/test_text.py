@@ -61,6 +61,15 @@ def test_split_guard_spares_standalone_words():
         "The gauge hit its max.",
         "Then it dropped.",
     ]
+    # ...but title abbreviations before capitalized names stay guarded.
+    assert split_into_sentences("Gen. MacArthur arrived. We left.") == [
+        "Gen. MacArthur arrived.",
+        "We left.",
+    ]
+    assert split_into_sentences("Rep. Pelosi spoke. Then voting began.") == [
+        "Rep. Pelosi spoke.",
+        "Then voting began.",
+    ]
 
 
 def test_split_abbrev_guard_off_matches_reference_fallback():

@@ -100,7 +100,20 @@ def orchestrate(port: int, devices_per_host: int, n_model: int, timeout: int) ->
         )
         for r in (0, 1)
     ]
-    outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    try:
+        outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    except subprocess.TimeoutExpired:
+        # A hung rank (stale coordinator port, lost peer) must not leak workers or
+        # surface as an opaque TimeoutExpired in callers — kill both, report JSON.
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        outs = [p.communicate()[0] for p in procs]
+        for r, out in enumerate(outs):
+            print(f"--- rank {r} output (killed after {timeout}s) ---", file=sys.stderr)
+            print(out[-2000:], file=sys.stderr)
+        print(json.dumps({"ok": False, "error": f"timeout after {timeout}s"}))
+        return 1
     losses = []
     for r, out in enumerate(outs):
         m = re.search(r"MHOK rank=%d mesh=\((\d+), (\d+)\) hosts=(\d+) loss=([\d.eE+-]+)" % r, out)
@@ -132,7 +145,9 @@ def main() -> None:
     ap.add_argument("--port", type=int, default=29517)
     ap.add_argument("--devices-per-host", type=int, default=4)
     ap.add_argument("--n-model", type=int, default=2)
-    ap.add_argument("--timeout", type=int, default=420)
+    # Below the pytest wrapper's 420 s so a hang is reported here (JSON + tails),
+    # not as the caller's opaque TimeoutExpired.
+    ap.add_argument("--timeout", type=int, default=360)
     args = ap.parse_args()
     if args.rank is not None:
         worker(args.rank, args.port, args.devices_per_host, args.n_model)

@@ -109,6 +109,14 @@ def morph_derive(word: str, phons):
 def build_dataset(augment: bool = True):
     gold = dict(VENDORED_LEXICON)
     merged = {**gold, **{w: p for w, p in LEXICON.items() if w not in gold}}
+    # Encodability filter FIRST (matches tools/g2p_eval.py's universe): a word the
+    # model can't encode must be in neither split, or held-out grading would crash
+    # on np.stack and shift the published denominators.
+    merged = {
+        w: p
+        for w, p in merged.items()
+        if ng.encode_word(w) is not None and ng.encode_phonemes(p) is not None
+    }
     held = {
         w: p
         for w, p in merged.items()

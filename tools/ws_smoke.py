@@ -51,7 +51,7 @@ async def run(args) -> dict:
         resp = await client.get("/health")
         health = await resp.json()
         report["health"] = health["status"]
-        report["backend"] = health.get("tpu", {}).get("platform")
+        report["backend"] = health.get("tpu", {}).get("backend")
 
         ws = await client.ws_connect("/v1/stream/tts")
         ref = os.path.join(args.corpus, "ref_spk_mid.wav")
