@@ -38,15 +38,20 @@ def stitch(chunks: List[np.ndarray], overlap: int = 0) -> np.ndarray:
     out = chunks[0]
     if overlap <= 0:
         return np.concatenate(chunks)
-    t = np.linspace(0.0, np.pi / 2, overlap, dtype=np.float32)
-    fade_out = np.cos(t) ** 2
-    fade_in = np.sin(t) ** 2
+    ramps = {}
     for c in chunks[1:]:
         ov = min(overlap, len(out), len(c))
         if ov == 0:
             out = np.concatenate([out, c])
             continue
-        seam = out[-ov:] * fade_out[-ov:] + c[:ov] * fade_in[:ov]
+        if ov not in ramps:
+            # Full ramps at length ov — slicing a longer ramp (fade_out[-ov:] with
+            # fade_in[:ov]) selects the near-zero tails of BOTH and the seam dips
+            # to silence instead of summing to unity.
+            t = np.linspace(0.0, np.pi / 2, ov, dtype=np.float32)
+            ramps[ov] = (np.cos(t) ** 2, np.sin(t) ** 2)
+        fade_out, fade_in = ramps[ov]
+        seam = out[-ov:] * fade_out + c[:ov] * fade_in
         out = np.concatenate([out[:-ov], seam, c[ov:]])
     return out
 

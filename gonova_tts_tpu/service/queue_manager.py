@@ -62,6 +62,9 @@ class TTSQueueManager:
         }
         self._workers = []
         self.running = False
+        # Requests pulled by a worker but not yet marked done: in NEITHER queue, so
+        # the drain check must count them or shutdown cancels mid-synthesis work.
+        self.in_flight = 0
 
     async def start(self) -> None:
         if self.running:
@@ -134,7 +137,9 @@ class TTSQueueManager:
 
     async def get_next_request(self, timeout: float = 1.0) -> Optional[SynthesisRequest]:
         try:
-            return await asyncio.wait_for(self.input_queue.get(), timeout=timeout)
+            req = await asyncio.wait_for(self.input_queue.get(), timeout=timeout)
+            self.in_flight += 1
+            return req
         except asyncio.TimeoutError:
             return None
         except Exception as e:  # noqa: BLE001
@@ -143,6 +148,7 @@ class TTSQueueManager:
 
     async def mark_request_done(self) -> None:
         self.input_queue.task_done()
+        self.in_flight = max(0, self.in_flight - 1)
         self.metrics["requests_processed"] += 1
 
     async def enqueue_audio_chunk(
@@ -169,8 +175,14 @@ class TTSQueueManager:
             self.metrics["chunks_sent"] += 1
             return True
         except asyncio.QueueFull:
+            # Audio chunks are droppable under backpressure (reference policy, 0.1 s);
+            # CONTROL frames (is_final / negative chunk ids) are not — dropping a
+            # final marker strands the client waiting for synthesis_complete, so they
+            # get a much longer bound (5 s covers any realistic drain; still bounded
+            # so a dead-but-registered connection can't wedge a worker).
+            timeout = 5.0 if (is_final or chunk_id < 0) else 0.1
             try:
-                await asyncio.wait_for(queue.put(chunk), timeout=0.1)
+                await asyncio.wait_for(queue.put(chunk), timeout=timeout)
                 self.metrics["chunks_sent"] += 1
                 return True
             except asyncio.TimeoutError:
@@ -178,6 +190,7 @@ class TTSQueueManager:
                     "output_queue_full_chunk_dropped",
                     connection_id=connection_id,
                     chunk_id=chunk_id,
+                    is_final=is_final,
                 )
                 return False
 
@@ -212,8 +225,10 @@ class TTSQueueManager:
     async def wait_until_empty(self, timeout: float = 30.0) -> bool:
         deadline = time.time() + timeout
         while time.time() < deadline:
-            if self.input_queue.empty() and all(
-                q.empty() for q in self.output_queues.values()
+            if (
+                self.input_queue.empty()
+                and self.in_flight == 0
+                and all(q.empty() for q in self.output_queues.values())
             ):
                 logger.info("all_queues_empty")
                 return True

@@ -47,7 +47,7 @@ from ..utils import configure_logging, get_logger, write_wav
 from .queue_manager import SynthesisRequest, TTSQueueManager
 from .rate_limiter import RateLimiter
 from .synthesizer import StreamingSynthesizer
-from .voice_manager import VoiceManager
+from .voice_manager import VoiceManager, sanitize_voice_id
 
 logger = get_logger("gonova.server")
 
@@ -90,6 +90,11 @@ class TTSService:
         self.is_shutting_down = False
         self._workers = []
         self._cancel_generations: Dict[str, int] = {}
+        # Per-connection serialization: the worker POOL parallelizes across
+        # connections, but two requests from ONE connection must stream back
+        # sequentially — binary frames carry no request id (reference protocol),
+        # so interleaving them would garble the client's audio.
+        self._conn_locks: Dict[str, asyncio.Lock] = {}
         self._default_speaker: Optional[np.ndarray] = None
         self.started_at: Optional[float] = None
 
@@ -177,7 +182,11 @@ class TTSService:
         (reference behavior, server.py:128-138)."""
         if not voice_id or voice_id == "default":
             return self._default_speaker
-        cached = self.voice_embeddings.get(voice_id)
+        # Cache under the SANITIZED id — the voice manager resolves by it, so two
+        # raw spellings of one voice must share the entry (and re-registration's
+        # invalidate must hit every spelling).
+        key = sanitize_voice_id(voice_id)
+        cached = self.voice_embeddings.get(key)
         if cached is not None:
             return cached
         path = await self.voice_manager.get_voice(voice_id)
@@ -188,8 +197,19 @@ class TTSService:
         emb = await loop.run_in_executor(
             None, self.synthesizer.engine.embed_voice_file, path
         )
-        self.voice_embeddings.put(voice_id, emb)
+        self.voice_embeddings.put(key, emb)
         return emb
+
+    async def _send_error_frame(self, conn_id: str, message: str, chunk_id: int) -> None:
+        """Error JSON + terminating synthesis_complete so a failed request never
+        strands the client (control frames use the blocking-put path)."""
+        try:
+            await self.queue_manager.enqueue_audio_chunk(
+                conn_id, message.encode("utf-8"), -2, is_final=False
+            )
+            await self.queue_manager.enqueue_audio_chunk(conn_id, b"", chunk_id, is_final=True)
+        except Exception as e:  # noqa: BLE001
+            logger.error("error_frame_send_failed", connection_id=conn_id, error=str(e))
 
     def _is_stale(self, request: SynthesisRequest) -> bool:
         return request.generation < self._cancel_generations.get(request.connection_id, 0)
@@ -208,37 +228,44 @@ class TTSService:
                 if self._is_stale(request):
                     await self.queue_manager.mark_request_done()
                     continue
+                # No await between get_next_request returning and this acquire, so
+                # same-connection requests take the lock in queue order.
+                conn_lock = self._conn_locks.setdefault(
+                    request.connection_id, asyncio.Lock()
+                )
                 chunk_id = 0
+                pending: list = []
                 try:
-                    speaker = await self._resolve_speaker(request.voice_id)
-                    sentences = segment_text(request.text)
-                    if request.metadata:
-                        # Opt-in extension (reference README.md:160-173, never shipped
-                        # there): announce synthesis start without breaking byte-parity
-                        # for clients that didn't ask for it.
+                    async with conn_lock:
+                        speaker = await self._resolve_speaker(request.voice_id)
+                        sentences = segment_text(request.text)
+                        if request.metadata:
+                            # Opt-in extension (reference README.md:160-173, never
+                            # shipped there): announce synthesis start without breaking
+                            # byte-parity for clients that didn't ask for it.
+                            await self.queue_manager.enqueue_audio_chunk(
+                                request.connection_id, b"", -1, is_final=False
+                            )
+                        pending = [
+                            asyncio.create_task(
+                                self.batcher.submit(s, speaker, request.exaggeration)
+                            )
+                            for s in sentences
+                        ]
+                        for fut in pending:
+                            audio = await fut
+                            if self._is_stale(request):
+                                break
+                            await self.queue_manager.enqueue_audio_chunk(
+                                request.connection_id,
+                                audio.astype(np.float32).tobytes(),
+                                chunk_id,
+                                is_final=False,
+                            )
+                            chunk_id += 1
                         await self.queue_manager.enqueue_audio_chunk(
-                            request.connection_id, b"", -1, is_final=False
+                            request.connection_id, b"", chunk_id, is_final=True
                         )
-                    pending = [
-                        asyncio.create_task(
-                            self.batcher.submit(s, speaker, request.exaggeration)
-                        )
-                        for s in sentences
-                    ]
-                    for fut in pending:
-                        audio = await fut
-                        if self._is_stale(request):
-                            break
-                        await self.queue_manager.enqueue_audio_chunk(
-                            request.connection_id,
-                            audio.astype(np.float32).tobytes(),
-                            chunk_id,
-                            is_final=False,
-                        )
-                        chunk_id += 1
-                    await self.queue_manager.enqueue_audio_chunk(
-                        request.connection_id, b"", chunk_id, is_final=True
-                    )
                     logger.info(
                         "synthesis_completed",
                         connection_id=request.connection_id,
@@ -252,6 +279,20 @@ class TTSService:
                         error=str(e),
                         exc_info=True,
                     )
+                    # Never leave the client hanging: error frame + final marker
+                    # (the reference logged-and-moved-on, stranding clients —
+                    # error isolation per request, but the stream must terminate).
+                    await self._send_error_frame(
+                        request.connection_id, f"Synthesis failed: {e}", chunk_id
+                    )
+                finally:
+                    # Cancelled/failed mid-request: don't leave queued sentences
+                    # running on the device or futures nobody awaits.
+                    for t in pending:
+                        if not t.done():
+                            t.cancel()
+                    if pending:
+                        await asyncio.gather(*pending, return_exceptions=True)
                 await self.queue_manager.mark_request_done()
             except asyncio.CancelledError:
                 break
@@ -309,6 +350,13 @@ class TTSService:
                     try:
                         if chunk.chunk_id == -1 and not chunk.is_final:
                             await ws.send_json({"type": "synthesis_started"})
+                        elif chunk.chunk_id == -2 and not chunk.is_final:
+                            await ws.send_json(
+                                {
+                                    "type": "error",
+                                    "message": chunk.audio_data.decode("utf-8", "replace"),
+                                }
+                            )
                         elif not chunk.is_final:
                             await ws.send_bytes(chunk.audio_data)
                         else:
@@ -336,6 +384,7 @@ class TTSService:
             self.queue_manager.unregister_connection(conn_id)
             self.connections.pop(conn_id, None)
             self._cancel_generations.pop(conn_id, None)
+            self._conn_locks.pop(conn_id, None)
             self.active_connections -= 1
             logger.info(
                 "connection_closed",
@@ -348,7 +397,7 @@ class TTSService:
     ) -> None:
         mtype = data.get("type")
         if mtype == "synthesize":
-            await self.queue_manager.enqueue_request(
+            accepted = await self.queue_manager.enqueue_request(
                 connection_id=conn_id,
                 text=data.get("text", ""),
                 voice_id=data.get("voice_id", "default"),
@@ -360,6 +409,12 @@ class TTSService:
                 generation=self._cancel_generations.get(conn_id, 0),
                 metadata=data.get("metadata", False),
             )
+            if not accepted:
+                # The request was dropped at admission (input queue full for 2 s) —
+                # a silent drop would leave the client awaiting audio forever.
+                await ws.send_json(
+                    {"type": "error", "message": "Server busy: request queue full"}
+                )
         elif mtype == "register_voice":
             if not self.config.voice_cloning.enabled:
                 await ws.send_json(
@@ -375,7 +430,7 @@ class TTSService:
                         reference_audio_b64=reference_audio,
                         description=data.get("description", ""),
                     )
-                    self.voice_embeddings.invalidate(voice_id)
+                    self.voice_embeddings.invalidate(sanitize_voice_id(voice_id))
                     await ws.send_json({"type": "voice_registered", "voice_id": voice_id})
                 except Exception as e:  # noqa: BLE001
                     await ws.send_json(
@@ -413,24 +468,26 @@ service: Optional[TTSService] = None
 
 
 async def websocket_endpoint(request: web.Request) -> web.WebSocketResponse:
+    svc = request.app.get("service") or service
     ws = web.WebSocketResponse(max_msg_size=64 * 1024 * 1024)
     await ws.prepare(request)
 
     client_ip = request.remote or "unknown"
-    if not service.rate_limiter.check(client_ip):
+    if not svc.rate_limiter.check(client_ip):
         await ws.close(code=WS_POLICY_VIOLATION, message=b"Rate limit exceeded")
         return ws
-    if service.active_connections >= service.max_connections:
+    if svc.active_connections >= svc.max_connections:
         await ws.close(code=WS_POLICY_VIOLATION, message=b"Max connections reached")
         return ws
 
     conn_id = str(uuid.uuid4())
-    await service.handle_connection(ws, conn_id)
+    await svc.handle_connection(ws, conn_id)
     return ws
 
 
 async def health_check(request: web.Request) -> web.Response:
-    if not service or not service.synthesizer.is_loaded:
+    svc = request.app.get("service") or service
+    if not svc or not svc.synthesizer.is_loaded:
         return web.json_response(
             {"status": "unhealthy", "reason": "Model not loaded"}, status=503
         )
@@ -442,28 +499,29 @@ async def health_check(request: web.Request) -> web.Response:
         "device_count": len(devices),
         "devices": [str(d) for d in devices[:8]],
     }
-    dev_status = service.device_health.get("status", "unloaded")
+    dev_status = svc.device_health.get("status", "unloaded")
     return web.json_response(
         {
             "status": "healthy" if dev_status in ("ok", "unloaded") else "degraded",
-            "device_health": service.device_health,
+            "device_health": svc.device_health,
             "device": device_info["backend"],
-            "active_connections": service.active_connections,
-            "queue_metrics": service.queue_manager.get_metrics(),
-            "synthesizer_stats": service.synthesizer.get_stats(),
-            "voice_stats": service.voice_manager.get_stats(),
-            "batcher_metrics": service.batcher.metrics if service.batcher else {},
+            "active_connections": svc.active_connections,
+            "queue_metrics": svc.queue_manager.get_metrics(),
+            "synthesizer_stats": svc.synthesizer.get_stats(),
+            "voice_stats": svc.voice_manager.get_stats(),
+            "batcher_metrics": svc.batcher.metrics if svc.batcher else {},
             "tpu": device_info,
         }
     )
 
 
 async def metrics(request: web.Request) -> web.Response:
+    svc = request.app.get("service") or service
     """Queue metrics. Default: JSON dict (reference behavior — its /metrics returned
     the dict despite a 'Prometheus-compatible' docstring, server.py:478-481).
     `?format=prometheus` returns real Prometheus text exposition (the extension the
     reference's docstring promised)."""
-    data = service.queue_manager.get_metrics()
+    data = svc.queue_manager.get_metrics()
     if request.query.get("format") == "prometheus":
         lines = []
         for key, value in data.items():
@@ -471,8 +529,8 @@ async def metrics(request: web.Request) -> web.Response:
             kind = "counter" if key.startswith(("requests_", "chunks_")) else "gauge"
             lines.append(f"# TYPE {name} {kind}")
             lines.append(f"{name} {value}")
-        if service.batcher:
-            for key, value in service.batcher.metrics.items():
+        if svc.batcher:
+            for key, value in svc.batcher.metrics.items():
                 lines.append(f"# TYPE gonova_tts_batcher_{key} counter")
                 lines.append(f"gonova_tts_batcher_{key} {value}")
         return web.Response(text="\n".join(lines) + "\n", content_type="text/plain")
@@ -481,7 +539,8 @@ async def metrics(request: web.Request) -> web.Response:
 
 async def rest_synthesize(request: web.Request) -> web.Response:
     """POST /v1/synthesize {text, voice_id?, exaggeration?, format?: wav|pcm}."""
-    if not service or not service.synthesizer.is_loaded:
+    svc = request.app.get("service") or service
+    if not svc or not svc.synthesizer.is_loaded:
         return web.json_response({"error": "Model not loaded"}, status=503)
     try:
         data = await request.json()
@@ -491,16 +550,16 @@ async def rest_synthesize(request: web.Request) -> web.Response:
     if not text.strip():
         return web.json_response({"error": "Missing 'text'"}, status=400)
     client_ip = request.remote or "unknown"
-    if not service.rate_limiter.check(client_ip):
+    if not svc.rate_limiter.check(client_ip):
         return web.json_response({"error": "Rate limit exceeded"}, status=429)
 
-    audio = await service.synthesize_full(
+    audio = await svc.synthesize_full(
         text,
         voice_id=data.get("voice_id", "default"),
-        exaggeration=data.get("exaggeration", service.config.synthesis.default_exaggeration),
+        exaggeration=data.get("exaggeration", svc.config.synthesis.default_exaggeration),
     )
     fmt = data.get("format", "wav")
-    sr = service.config.model.sample_rate
+    sr = svc.config.model.sample_rate
     if fmt == "pcm":
         return web.Response(
             body=audio.astype(np.float32).tobytes(),
@@ -515,8 +574,11 @@ async def rest_synthesize(request: web.Request) -> web.Response:
 def create_app(config: Optional[Config] = None) -> web.Application:
     """Build the aiohttp app; service start/stop tied to the app lifecycle."""
     global service
-    service = TTSService(config)
+    service = TTSService(config)  # kept for back-compat introspection (latest app)
     app = web.Application()
+    # Handlers resolve the service from the app so multiple apps (tests, embedding)
+    # never cross wires through the module global.
+    app["service"] = service
     app.router.add_get("/v1/stream/tts", websocket_endpoint)
     if service.config.monitoring.enable_health_endpoint:
         app.router.add_get("/health", health_check)

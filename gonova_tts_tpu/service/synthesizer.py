@@ -13,6 +13,8 @@ executor exactly like the reference's `_synthesize_sync` (synthesizer.py:312-318
 from __future__ import annotations
 
 import asyncio
+import threading
+from concurrent.futures import TimeoutError as FuturesTimeoutError
 from typing import AsyncGenerator, Optional, Union
 
 import numpy as np
@@ -76,16 +78,43 @@ class StreamingSynthesizer:
         loop = asyncio.get_event_loop()
         queue: asyncio.Queue = asyncio.Queue(maxsize=64)
         _END = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            """Bounded cross-thread put that honors `stop` — a plain .result() would
+            block the executor thread forever if the consumer is cancelled while
+            the 64-slot queue is full (early client disconnect)."""
+            while not stop.is_set():
+                try:
+                    fut = asyncio.run_coroutine_threadsafe(queue.put(item), loop)
+                except RuntimeError:  # loop closed
+                    return False
+                try:
+                    fut.result(timeout=0.5)
+                    return True
+                except FuturesTimeoutError:
+                    fut.cancel()
+                    try:
+                        # Settle the race: the put may have completed between the
+                        # timeout and the cancel.
+                        fut.result(timeout=0.5)
+                        return True
+                    except Exception:  # noqa: BLE001 — cancelled or still stuck
+                        continue
+                except Exception:  # noqa: BLE001
+                    return False
+            return False
 
         def producer() -> None:
             try:
                 for chunk in self.engine.synthesize_stream(
                     text, speaker=speaker, exaggeration=exaggeration
                 ):
-                    asyncio.run_coroutine_threadsafe(queue.put(chunk), loop).result()
-                asyncio.run_coroutine_threadsafe(queue.put(_END), loop).result()
+                    if not _put(chunk):
+                        return  # consumer gone — closes the engine generator too
+                _put(_END)
             except Exception as e:  # noqa: BLE001
-                asyncio.run_coroutine_threadsafe(queue.put(e), loop).result()
+                _put(e)
 
         task = loop.run_in_executor(None, producer)
         try:
@@ -97,6 +126,10 @@ class StreamingSynthesizer:
                     raise item
                 yield item
         finally:
+            stop.set()
+            # Free a producer blocked on a full queue so `await task` can't hang.
+            while not queue.empty():
+                queue.get_nowait()
             await task
 
     async def _resolve_speaker(

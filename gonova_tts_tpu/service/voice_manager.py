@@ -156,17 +156,22 @@ class VoiceManager:
         return voices
 
     def _cleanup_cache(self) -> None:
-        """Evict the oldest entries down to max_cached // 2 (reference policy)."""
+        """Evict the oldest CACHED entries down to max_cached // 2 (reference policy).
+
+        Ranks only ids still in voice_cache (ranking all metadata re-selects
+        already-evicted ids and evicts nothing) and drops the metadata with the
+        cache entry so neither structure grows without bound."""
         if len(self.voice_cache) <= self.max_cached:
             return
         to_remove = len(self.voice_cache) - (self.max_cached // 2)
         by_age = sorted(
-            self.voice_metadata.items(), key=lambda kv: kv[1].get("created_at", 0)
+            self.voice_cache,
+            key=lambda vid: self.voice_metadata.get(vid, {}).get("created_at", 0),
         )
-        for voice_id, _meta in by_age[:to_remove]:
-            if voice_id in self.voice_cache:
-                del self.voice_cache[voice_id]
-                logger.debug("voice_evicted", voice_id=voice_id)
+        for voice_id in by_age[:to_remove]:
+            del self.voice_cache[voice_id]
+            self.voice_metadata.pop(voice_id, None)
+            logger.debug("voice_evicted", voice_id=voice_id)
 
     def get_stats(self) -> dict:
         stats = dict(self.stats)

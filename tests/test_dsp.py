@@ -195,3 +195,13 @@ def test_stitch_crossfade_constant_signal():
 def test_stitch_empty():
     assert len(stitch([])) == 0
     assert len(stitch([np.zeros(0, np.float32)])) == 0
+
+
+def test_stitch_short_clip_keeps_level():
+    """Regression: when a clip is shorter than the requested overlap, the ramps
+    must be recomputed at the shorter length — slicing the long ramps selected the
+    near-zero tails of BOTH and the seam dipped to silence."""
+    a = np.ones(1000, np.float32)
+    short = np.ones(100, np.float32)
+    out = stitch([a, short, a], overlap=500)
+    np.testing.assert_allclose(out, 1.0, atol=1e-6)

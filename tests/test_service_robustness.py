@@ -236,3 +236,75 @@ def test_idle_connection_timeout(tmp_path_factory):
     finally:
         loop.run_until_complete(client.close())
         loop.close()
+
+
+def test_same_connection_requests_serialize(client_ctx):
+    """Two synthesize requests on ONE connection must stream back strictly in
+    order — binary frames carry no request id, so the worker pool serializes per
+    connection (regression: concurrent workers used to interleave them)."""
+    loop, client, srv = client_ctx
+    svc = client.app["service"]  # NOT srv.service: later ctxs rebind the global
+    svc.rate_limiter._requests.clear()  # earlier flood tests burn the budget
+
+    async def run():
+        ws = await client.ws_connect("/v1/stream/tts")
+        await ws.send_json(
+            {"type": "synthesize", "text": "First item one. First item two."}
+        )
+        await ws.send_json({"type": "synthesize", "text": "Second request."})
+        seq = []
+        completes = 0
+        while completes < 2:
+            msg = await asyncio.wait_for(ws.receive(), timeout=120)
+            if msg.type == WSMsgType.BINARY:
+                seq.append("B")
+            else:
+                data = json.loads(msg.data)
+                if data.get("type") == "synthesis_complete":
+                    seq.append(f"C{data['chunk_id']}")
+                    completes += 1
+        await ws.close()
+        assert seq == ["B", "B", "C2", "B", "C1"], seq
+        return True
+
+    assert loop.run_until_complete(run())
+
+
+def test_synthesis_failure_sends_error_and_complete(client_ctx):
+    """A failing device batch must terminate the stream (error frame + final
+    marker), not strand the client (regression: failures were only logged)."""
+    loop, client, srv = client_ctx
+    svc = client.app["service"]  # NOT srv.service: later ctxs rebind the global
+    svc.rate_limiter._requests.clear()  # earlier flood tests burn the budget
+
+    async def run():
+        real = svc.batcher.submit
+
+        async def boom(*a, **kw):
+            raise RuntimeError("injected device failure")
+
+        svc.batcher.submit = boom
+        try:
+            ws = await client.ws_connect("/v1/stream/tts")
+            await ws.send_json({"type": "synthesize", "text": "This will fail."})
+            saw_error = saw_complete = False
+            while not saw_complete:
+                msg = await asyncio.wait_for(ws.receive(), timeout=60)
+                assert msg.type != WSMsgType.BINARY
+                data = json.loads(msg.data)
+                if data.get("type") == "error":
+                    saw_error = True
+                    assert "Synthesis failed" in data["message"]
+                elif data.get("type") == "synthesis_complete":
+                    saw_complete = True
+            assert saw_error
+        finally:
+            svc.batcher.submit = real
+        # The connection (and service) stay usable afterwards.
+        await ws.send_json({"type": "synthesize", "text": "Recovered fine."})
+        chunks, _ = await _collect_synthesis(ws)
+        await ws.close()
+        assert len(chunks) == 1
+        return True
+
+    assert loop.run_until_complete(run())

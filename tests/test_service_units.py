@@ -257,3 +257,68 @@ def test_queue_manager_wait_until_empty():
         return True
 
     assert asyncio.run(run())
+
+
+def test_queue_manager_final_chunk_not_dropped_under_brief_backpressure():
+    """Control frames (is_final / negative chunk ids) must survive a full output
+    queue that drains within the 5 s control bound — dropping synthesis_complete
+    strands the client."""
+
+    async def run():
+        qm = TTSQueueManager(output_queue_size=1)
+        q = qm.register_connection("c1")
+        assert await qm.enqueue_audio_chunk("c1", b"a", 0)
+
+        async def drain_soon():
+            await asyncio.sleep(0.5)  # past the 0.1 s audio-drop bound
+            q.get_nowait()
+
+        drainer = asyncio.ensure_future(drain_soon())
+        ok = await qm.enqueue_audio_chunk("c1", b"", 1, is_final=True)
+        await drainer
+        assert ok  # the final marker waited out the backpressure instead of dropping
+        return True
+
+    assert asyncio.run(run())
+
+
+def test_queue_manager_wait_until_empty_counts_in_flight():
+    """A request pulled by a worker but not yet marked done is in NEITHER queue —
+    the drain check must not report empty (shutdown would cancel mid-synthesis)."""
+
+    async def run():
+        qm = TTSQueueManager()
+        await qm.enqueue_request("c1", "x")
+        req = await qm.get_next_request()
+        assert req is not None
+        assert not await qm.wait_until_empty(timeout=0.6)  # in flight
+        await qm.mark_request_done()
+        assert await qm.wait_until_empty(timeout=0.6)
+        return True
+
+    assert asyncio.run(run())
+
+
+def test_voice_manager_eviction_bounds_cache_and_metadata(tmp_path):
+    """Regression: eviction ranked ALL metadata (including already-evicted ids), so
+    after the first cycle it evicted nothing and metadata grew without bound."""
+    vm = VoiceManager(cache_dir=str(tmp_path), max_cached=4)
+
+    async def run():
+        sr = 24000
+        t = np.arange(int(4.0 * sr)) / sr
+        rng = np.random.default_rng(0)
+        audio = (0.4 * np.sin(2 * np.pi * 220 * t) + 0.02 * rng.standard_normal(len(t))).astype(
+            np.float32
+        )
+        b64 = base64.b64encode(write_wav(None, audio, sr)).decode()
+        for i in range(12):
+            assert await vm.register_voice(f"v{i:02d}", b64)
+        # Repeated eviction cycles must keep BOTH structures bounded.
+        assert len(vm.voice_cache) <= vm.max_cached
+        assert len(vm.voice_metadata) <= vm.max_cached
+        # The newest registrations survive.
+        assert "v11" in vm.voice_cache
+        return True
+
+    assert asyncio.run(run())

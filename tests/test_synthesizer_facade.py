@@ -95,3 +95,22 @@ def test_cleanup_unloads(synth):
     asyncio.run(s.load())
     asyncio.run(s.cleanup())
     assert not s.is_loaded
+
+
+def test_streaming_early_close_does_not_hang(synth):
+    """Regression: aborting the async generator mid-stream used to deadlock — the
+    producer thread blocked forever in a cross-thread put on a full queue while
+    the generator's finally awaited it."""
+
+    async def run():
+        text = " ".join(f"Sentence number {i} here." for i in range(12))
+        gen = synth.synthesize_streaming(text)
+        first = None
+        async for chunk in gen:
+            first = chunk
+            break  # abandon the stream immediately
+        await asyncio.wait_for(gen.aclose(), timeout=10.0)
+        return first
+
+    first = asyncio.run(asyncio.wait_for(run(), timeout=30.0))
+    assert first is not None and first.dtype == np.float32
