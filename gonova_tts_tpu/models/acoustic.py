@@ -114,7 +114,12 @@ def _stack(
     cfg.acoustic_pallas (inference-only — no VJP), else the pure-XLA path.
     Long-form frame buckets (T > 768) keep XLA: the kernel's per-sequence f32
     FFN tap accumulator would exceed the 16 MB VMEM budget there."""
-    if cfg.acoustic_pallas and dtype in (jnp.float32, jnp.bfloat16) and x.shape[1] <= 768:
+    if (
+        cfg.acoustic_pallas
+        and dtype in (jnp.float32, jnp.bfloat16)
+        and x.shape[1] <= 768
+        and cfg.conv_kernel == 3  # the fused kernel hardcodes 3 conv-FFN taps
+    ):
         from ..ops.transformer_stack_kernel import (
             stack_block_params,
             transformer_stack_pallas,

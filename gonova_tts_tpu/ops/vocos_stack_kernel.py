@@ -15,8 +15,9 @@ Per grid step (one batch row, full sequence):
   final tile → out
 
 VMEM budget at C=512, F=1536, T≤512: tile ≤1.1 MB + h ≤3.2 MB + 2 weight slots
-(bf16 w1+w2 = 3.2 MB each) ≈ 11 MB.  The wrapper falls back to the per-block path for
-T > MAX_T (long-form buckets) where the h intermediate would not fit.
+(bf16 w1+w2 = 3.2 MB each) ≈ 11 MB.  The wrapper raises for T > MAX_T (long-form
+buckets) where the h intermediate would not fit — callers route those through the
+pure-XLA stack (models/vocos.py, the production default).
 
 allclose-tested against the pure-JAX stack in tests/test_kernels.py.
 """
@@ -155,6 +156,11 @@ def vocos_stack_pallas(
     bf16: bool = True,
 ) -> jnp.ndarray:
     b, t, c = x.shape
+    if t > MAX_T:
+        raise ValueError(
+            f"vocos_stack_pallas: T={t} exceeds MAX_T={MAX_T} (VMEM h-intermediate "
+            "budget) — use the pure-XLA stack for long-form buckets"
+        )
     n_layers = dw.shape[0]
     compute_dtype = jnp.bfloat16 if bf16 else jnp.float32
     rows = ROWS_PER_STEP if b % ROWS_PER_STEP == 0 else 1

@@ -121,6 +121,16 @@ def _expand_decimal(match: re.Match) -> str:
     return number_to_words(int(whole)) + " point " + digits
 
 
+def _numeric_words(numstr: str) -> str:
+    """'1,234.56' → words; commas stripped, optional fraction spoken digit-wise."""
+    numstr = numstr.replace(",", "")
+    if "." in numstr:
+        whole, frac = numstr.split(".", 1)
+        digits = " ".join(_UNITS[int(d)] if d != "0" else "zero" for d in frac)
+        return number_to_words(int(whole or 0)) + " point " + digits
+    return number_to_words(int(numstr))
+
+
 def _expand_currency(match: re.Match) -> str:
     amount = match.group(1).replace(",", "")
     if "." in amount:
@@ -139,9 +149,9 @@ def _expand_currency(match: re.Match) -> str:
 _RE_CURRENCY = re.compile(r"\$([0-9][0-9,]*(?:\.[0-9]+)?)")
 _RE_ORDINAL = re.compile(r"\b([0-9]+)(st|nd|rd|th)\b")
 _RE_DECIMAL = re.compile(r"\b([0-9]+)\.([0-9]+)\b")
-_RE_PERCENT = re.compile(r"\b([0-9][0-9,]*)\s*%")
+_RE_PERCENT = re.compile(r"\b([0-9][0-9,]*(?:\.[0-9]+)?)\s*%")
 _RE_YEAR = re.compile(r"\b(1[0-9]{3}|20[0-9]{2})s?\b")
-_RE_COMMA_NUM = re.compile(r"\b[0-9]{1,3}(?:,[0-9]{3})+\b")
+_RE_COMMA_NUM = re.compile(r"\b[0-9]{1,3}(?:,[0-9]{3})+(?:\.[0-9]+)?\b")
 _RE_INT = re.compile(r"\b[0-9]+\b")
 _RE_ABBREV = re.compile(r"\b([A-Za-z]+)\.(?=\s|$)")
 _RE_WS = re.compile(r"\s+")
@@ -159,16 +169,23 @@ def normalize_text(text: str) -> str:
     def abbrev_sub(m: re.Match) -> str:
         word = m.group(1)
         exp = _ABBREVIATIONS.get(word.lower())
-        if exp:
-            return exp
-        return m.group(0)
+        if not exp:
+            return m.group(0)
+        # Keep the period when the abbreviation ends a sentence (end of text or a
+        # capitalized next word) — dropping it loses the pause/prosody boundary.
+        rest = m.string[m.end():]
+        ends_sentence = not rest.strip() or rest.lstrip()[:1].isupper()
+        return exp + ("." if ends_sentence else "")
 
     text = _RE_ABBREV.sub(abbrev_sub, text)
     text = _RE_CURRENCY.sub(_expand_currency, text)
-    text = _RE_PERCENT.sub(lambda m: number_to_words(int(m.group(1).replace(",", ""))) + " percent", text)
+    # Percent first but DECIMAL-AWARE ("3.5%" → "three point five percent"); then
+    # comma-grouped numbers (which may carry a fraction) BEFORE the bare-decimal
+    # rule so "1,234.56" isn't split at the comma.
+    text = _RE_PERCENT.sub(lambda m: _numeric_words(m.group(1)) + " percent", text)
     text = _RE_ORDINAL.sub(lambda m: ordinal_to_words(int(m.group(1))), text)
+    text = _RE_COMMA_NUM.sub(lambda m: _numeric_words(m.group(0)), text)
     text = _RE_DECIMAL.sub(_expand_decimal, text)
-    text = _RE_COMMA_NUM.sub(lambda m: number_to_words(int(m.group(0).replace(",", ""))), text)
     text = _RE_YEAR.sub(lambda m: year_to_words(int(m.group(0).rstrip("s"))) + ("s" if m.group(0).endswith("s") else ""), text)
     text = _RE_INT.sub(lambda m: number_to_words(int(m.group(0))), text)
     text = _RE_WS.sub(" ", text).strip()

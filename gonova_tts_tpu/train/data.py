@@ -44,6 +44,7 @@ class Example:
     speaker: Optional[np.ndarray] = None  # [speaker_dim] f32 (None → zeros)
     ref_mel: Optional[np.ndarray] = None  # [T_ref, n_mels] reference-clip mel
     ref_frames: int = 0  # valid frames in ref_mel
+    durations: Optional[np.ndarray] = None  # [L] int32 external-aligner durations
 
 
 def load_manifest(path: str) -> List[Dict[str, str]]:
@@ -76,6 +77,7 @@ def prepare_example(
     speaker_fn=None,
     ref_path=None,
     ref_mel: bool = False,
+    durations: Optional[str] = None,
 ) -> Example:
     """Speaker conditioning, two modes:
 
@@ -123,6 +125,13 @@ def prepare_example(
             )
         else:
             speaker = np.asarray(speaker_fn(wav, cfg.sample_rate), np.float32)
+    dur = None
+    if durations:
+        dur = np.asarray([int(d) for d in str(durations).split()], np.int32)
+        if len(dur) != len(tokens):
+            raise ValueError(
+                f"{wav_path}: manifest durations length {len(dur)} != {len(tokens)} tokens"
+            )
     return Example(
         tokens=tokens,
         mel=mel.astype(np.float32),
@@ -131,6 +140,7 @@ def prepare_example(
         speaker=speaker,
         ref_mel=rmel,
         ref_frames=rframes,
+        durations=dur,
     )
 
 
@@ -183,19 +193,17 @@ def silence_mel(cfg: ModelConfig) -> np.ndarray:
 
 
 def _uniform_durations(n_tokens: int, n_frames: int, cap: int) -> np.ndarray:
-    """Spread n_frames over n_tokens as evenly as possible, each in [1, cap]."""
-    base = max(1, min(cap, n_frames // max(n_tokens, 1)))
+    """Spread min(n_frames, n_tokens*cap) over n_tokens as evenly as possible.
+
+    Sums EXACTLY to that total (the collate slices mel/audio by the sum, so an
+    overshoot crashes on short clips); entries may be 0 when there are fewer
+    frames than tokens — inference clamps durations >= 1, training targets don't
+    need to."""
+    total = min(n_frames, n_tokens * cap)
+    base = total // max(n_tokens, 1)
     dur = np.full((n_tokens,), base, np.int32)
-    extra = min(n_frames - base * n_tokens, n_tokens * (cap - base))
-    i = 0
-    while extra > 0 and i < n_tokens:
-        if dur[i] < cap:
-            dur[i] += 1
-            extra -= 1
-        i = (i + 1) % n_tokens
-        if i == 0 and all(d >= cap for d in dur):
-            break
-    return dur
+    dur[: total - base * n_tokens] += 1
+    return np.clip(dur, 0, cap)
 
 
 def make_batch(
@@ -222,8 +230,8 @@ def make_batch(
         "frame_mask": np.zeros((b, t_cap), np.float32),
         "audio": np.zeros((b, t_cap * hop), np.float32),
     }
-    if examples[0].ref_mel is not None:
-        t_ref = examples[0].ref_mel.shape[0]
+    if any(e.ref_mel is not None for e in examples):
+        t_ref = max(e.ref_mel.shape[0] for e in examples if e.ref_mel is not None)
         batch["ref_mel"] = np.tile(silence_mel(cfg), (b, t_ref, 1))
         batch["ref_mask"] = np.zeros((b, t_ref), np.float32)
 
@@ -235,9 +243,22 @@ def make_batch(
         if e.speaker is not None:
             batch["speaker"][i] = e.speaker[:spk_dim]
         if e.ref_mel is not None:
-            batch["ref_mel"][i] = e.ref_mel
+            tr = e.ref_mel.shape[0]
+            batch["ref_mel"][i, :tr] = e.ref_mel
             batch["ref_mask"][i, : e.ref_frames] = 1.0
-        dur = _uniform_durations(l, t, cfg.max_frames_per_token)
+        if e.durations is not None:
+            # External-aligner targets: clip per-token to the cap and truncate the
+            # tail so the cumulative sum never exceeds the available frames.
+            dur = np.clip(e.durations[:l], 0, cfg.max_frames_per_token)
+            over = dur.sum() - t
+            j = l - 1
+            while over > 0 and j >= 0:
+                take = min(int(dur[j]), int(over))
+                dur[j] -= take
+                over -= take
+                j -= 1
+        else:
+            dur = _uniform_durations(l, t, cfg.max_frames_per_token)
         batch["durations"][i, :l] = dur
         t_used = int(dur.sum())
         batch["mel"][i, :t_used] = e.mel[:t_used]
@@ -284,7 +305,7 @@ class ManifestDataset:
             prepare_example(
                 e["wav"], e["text"], self.cfg,
                 speaker_fn=self.speaker_fn, ref_path=e.get("ref"),
-                ref_mel=self.ref_mel,
+                ref_mel=self.ref_mel, durations=e.get("durations"),
             )
             for e in self.entries
         ]
@@ -304,7 +325,16 @@ class ManifestDataset:
         for bucket_examples in by_bucket.values():
             for i in range(0, len(bucket_examples), self.batch_size):
                 group = bucket_examples[i : i + self.batch_size]
-                # Pad the final partial batch by repeating (masked identically).
+                n_real = len(group)
                 while len(group) < self.batch_size:
                     group.append(group[-1])
-                yield make_batch(group, self.cfg, self.token_buckets)
+                batch = make_batch(group, self.cfg, self.token_buckets)
+                # Pad rows must contribute ZERO loss — repeating the last example
+                # as live rows would weight it n_pad+1 times per epoch (a real
+                # sampling bias on the small corpora this loader targets).
+                if n_real < self.batch_size:
+                    for key in ("token_mask", "frame_mask", "durations", "pitch", "audio"):
+                        batch[key][n_real:] = 0
+                    if "ref_mask" in batch:
+                        batch["ref_mask"][n_real:] = 0
+                yield batch

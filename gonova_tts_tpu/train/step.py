@@ -121,18 +121,26 @@ def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation, d
 
 def _state_shardings(state: TrainState, mesh) -> TrainState:
     """Sharding pytree for a TrainState: params via the mesh rules; optimizer
-    state mirrors param sharding where shapes match; scalars replicated."""
+    moment trees (Adam mu/nu — params-shaped subtrees) mirror param sharding BY
+    STRUCTURE, scalars/counters replicated. Structure matching (not a
+    (shape, dtype) lookup) because same-shaped params can carry different
+    shardings — e.g. attention biases P('model') vs layernorm gains replicated —
+    and a shape-keyed map would silently give one group the other's sharding,
+    inserting a reshard collective every step."""
     param_sh = pmesh.param_shardings(state.params, mesh)
-    flat_params = jax.tree_util.tree_leaves(state.params)
-    shape_to_sh = {}
-    for leaf, sh in zip(flat_params, jax.tree_util.tree_leaves(param_sh)):
-        shape_to_sh.setdefault((leaf.shape, leaf.dtype), sh)
+    params_def = jax.tree_util.tree_structure(state.params)
 
-    def opt_sharding(leaf):
-        return shape_to_sh.get((getattr(leaf, "shape", ()), getattr(leaf, "dtype", None)),
-                               pmesh.replicated(mesh))
+    def is_params_like(node) -> bool:
+        try:
+            return jax.tree_util.tree_structure(node) == params_def
+        except Exception:  # noqa: BLE001
+            return False
 
-    opt_sh = jax.tree_util.tree_map(opt_sharding, state.opt_state)
+    opt_sh = jax.tree_util.tree_map(
+        lambda sub: param_sh if is_params_like(sub) else pmesh.replicated(mesh),
+        state.opt_state,
+        is_leaf=is_params_like,
+    )
     return TrainState(params=param_sh, opt_state=opt_sh, step=pmesh.replicated(mesh))
 
 

@@ -335,3 +335,26 @@ def test_g2p_eval_gate_passes():
     # LTS rules on held-out words: pin the floor so regressions surface.
     assert data["lts_held_out"]["exact_match"] >= 0.40
     assert data["lts_held_out"]["per"] <= 0.20
+
+
+def test_normalize_decimal_percent_and_comma_numbers():
+    """Regression: rule ordering mangled decimals — '3.5%' became
+    'three.five percent' and '1,234.56' split at the comma."""
+    assert (
+        normalize_text("The rate rose 3.5% this year.")
+        == "The rate rose three point five percent this year."
+    )
+    assert (
+        normalize_text("It cost 1,234.56 in total.")
+        == "It cost one thousand two hundred thirty-four point five six in total."
+    )
+
+
+def test_normalize_abbrev_keeps_sentence_final_period():
+    """Regression: expanding a sentence-final abbreviation dropped its period and
+    with it the prosodic boundary."""
+    out = normalize_text("Apples, pears, etc. Next point.")
+    assert "et cetera." in out
+    # Mid-sentence (lowercase continuation) stays period-free.
+    out2 = normalize_text("We visited the dept. of records")
+    assert "." not in out2

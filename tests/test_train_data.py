@@ -270,3 +270,55 @@ def test_vendored_demo_checkpoint_restores():
     got = jax.tree_util.tree_map(lambda x: np.shape(x), params)
     want = jax.tree_util.tree_map(lambda x: tuple(x.shape), ref)
     assert got == want
+
+
+def test_make_batch_short_audio_more_tokens_than_frames(tmp_path):
+    """Regression: a clip with fewer mel frames than tokens used to crash the
+    collate (uniform durations floored at 1 frame/token overshot the mel)."""
+    sr = 24000
+    cfg = tiny_mcfg()
+    audio = 0.3 * np.sin(2 * np.pi * 180 * np.arange(int(0.08 * sr)) / sr).astype(np.float32)
+    path = str(tmp_path / "short.wav")
+    write_wav(path, audio, sr)
+    ex = prepare_example(path, "a much longer text than this tiny clip can cover", cfg)
+    assert len(ex.tokens) > ex.mel.shape[0]
+    batch = make_batch([ex], cfg)
+    assert int(batch["durations"].sum()) == int(batch["frame_mask"].sum())
+    assert int(batch["durations"].sum()) <= ex.mel.shape[0]
+
+
+def test_manifest_aligner_durations_used(tmp_path):
+    """The documented third manifest field (external-aligner durations) must reach
+    the training targets (regression: parsed but silently discarded)."""
+    sr = 24000
+    cfg = tiny_mcfg()
+    audio = 0.3 * np.sin(2 * np.pi * 160 * np.arange(int(1.0 * sr)) / sr).astype(np.float32)
+    path = str(tmp_path / "al.wav")
+    write_wav(path, audio, sr)
+    probe = prepare_example(path, "Hi there.", cfg)
+    n_tok = len(probe.tokens)
+    durs = [2] * n_tok
+    mpath = str(tmp_path / "m.txt")
+    with open(mpath, "w") as f:
+        f.write(f"{path}|Hi there.|{' '.join(str(d) for d in durs)}\n")
+    ds = ManifestDataset(mpath, cfg, batch_size=1)
+    batch = next(iter(ds.epoch(0)))
+    assert list(batch["durations"][0, :n_tok]) == durs
+
+
+def test_partial_batch_pad_rows_are_masked(tmp_path):
+    """Regression: the final partial batch repeated its last example as LIVE rows,
+    multiplying that utterance's gradient weight; pad rows must carry zero masks."""
+    sr = 24000
+    cfg = tiny_mcfg()
+    audio = 0.3 * np.sin(2 * np.pi * 150 * np.arange(int(1.0 * sr)) / sr).astype(np.float32)
+    path = str(tmp_path / "p.wav")
+    write_wav(path, audio, sr)
+    mpath = str(tmp_path / "m.txt")
+    with open(mpath, "w") as f:
+        f.write(f"{path}|Only one example here.\n")
+    ds = ManifestDataset(mpath, cfg, batch_size=4)
+    batch = next(iter(ds.epoch(0)))
+    assert batch["token_mask"][0].sum() > 0
+    assert batch["token_mask"][1:].sum() == 0
+    assert batch["frame_mask"][1:].sum() == 0
