@@ -47,13 +47,18 @@ def resample(x: jnp.ndarray, orig_sr: int, new_sr: int, dtype=jnp.float32) -> jn
     t_out = -(-t_in * up // down)  # ceil
 
     # upfirdn: zero-stuff by `up` (lhs_dilation), FIR, take every `down`-th sample.
-    # Align so output sample k corresponds to input time k * down / up (filter centered).
+    # Align so output sample k corresponds to input time k * down / up (filter
+    # centered). Right padding is computed EXACTLY to yield >= t_out strided
+    # outputs — a fixed `half + down` undershoots by one sample whenever
+    # up/down > 2 (e.g. 8 kHz -> 24 kHz), crashing the final reshape.
+    dilated = (t_in - 1) * up + 1
+    pad_r = max(down, (t_out - 1) * down + n_taps - dilated - half)
     kernel = jnp.asarray(taps[::-1].copy(), dtype=dtype).reshape((1, 1, n_taps))
     y = lax.conv_general_dilated(
         x2,
         kernel,
         window_strides=(down,),
-        padding=[(half, half + down)],
+        padding=[(half, pad_r)],
         lhs_dilation=(up,),
         dimension_numbers=("NCW", "IOW", "NCW"),
     )

@@ -14,8 +14,6 @@ import time
 
 
 def cmd_serve(args: argparse.Namespace) -> int:
-    import os
-
     from .service.server import create_app, web
     from .config import load_config
 
@@ -23,9 +21,7 @@ def cmd_serve(args: argparse.Namespace) -> int:
     if getattr(args, "model_path", None):
         config.model.model_path = args.model_path
     if args.port is not None:
-        config.server.port = args.port
-    elif "TTS_PORT" in os.environ:
-        config.server.port = int(os.environ["TTS_PORT"])
+        config.server.port = args.port  # TTS_PORT already applied by load_config
     app = create_app(config)
     web.run_app(app, host=config.server.host, port=config.server.port)
     return 0

@@ -15,10 +15,17 @@ import os
 from typing import List, Optional
 
 import yaml
-from pydantic import BaseModel, Field
+from pydantic import BaseModel, ConfigDict, Field
 
 
-class ModelConfig(BaseModel):
+class _SectionModel(BaseModel):
+    """Every section validates on assignment (so env/kwarg overrides are coerced
+    and type-checked, not stored verbatim)."""
+
+    model_config = ConfigDict(validate_assignment=True)
+
+
+class ModelConfig(_SectionModel):
     """Reference `model:` section (config.yaml:4-10) + TPU model hyperparameters."""
 
     model_path: Optional[str] = None  # checkpoint dir (orbax) or None for fresh init
@@ -89,7 +96,7 @@ class ModelConfig(BaseModel):
     compute_dtype: str = "bfloat16"  # engine compute dtype on TPU; f32 on CPU tests
 
 
-class VoiceCloningConfig(BaseModel):
+class VoiceCloningConfig(_SectionModel):
     """Reference `voice_cloning:` section (config.yaml:13-24)."""
 
     enabled: bool = True
@@ -101,7 +108,7 @@ class VoiceCloningConfig(BaseModel):
     min_snr: float = 5.0
 
 
-class SynthesisConfig(BaseModel):
+class SynthesisConfig(_SectionModel):
     """Reference `synthesis:` section (config.yaml:27-30)."""
 
     default_exaggeration: float = 0.5
@@ -109,7 +116,7 @@ class SynthesisConfig(BaseModel):
     enable_streaming: bool = True
 
 
-class ServerConfig(BaseModel):
+class ServerConfig(_SectionModel):
     """Reference `server:` section (config.yaml:33-37)."""
 
     host: str = "0.0.0.0"
@@ -118,14 +125,14 @@ class ServerConfig(BaseModel):
     connection_timeout: float = 300.0
 
 
-class QueueConfig(BaseModel):
+class QueueConfig(_SectionModel):
     """Reference `queues:` section (config.yaml:40-42)."""
 
     input_queue_size: int = 500
     output_queue_size: int = 2000
 
 
-class RateLimitConfig(BaseModel):
+class RateLimitConfig(_SectionModel):
     """Reference `rate_limiting:` section (config.yaml:45-48)."""
 
     enabled: bool = True
@@ -133,7 +140,7 @@ class RateLimitConfig(BaseModel):
     window_seconds: int = 60
 
 
-class LoggingConfig(BaseModel):
+class LoggingConfig(_SectionModel):
     """Reference `logging:` section (config.yaml:51-57)."""
 
     level: str = "INFO"
@@ -143,14 +150,14 @@ class LoggingConfig(BaseModel):
     log_voice_registrations: bool = True
 
 
-class MonitoringConfig(BaseModel):
+class MonitoringConfig(_SectionModel):
     """Reference `monitoring:` section (config.yaml:60-62)."""
 
     enable_health_endpoint: bool = True
     enable_metrics_endpoint: bool = True
 
 
-class EngineConfig(BaseModel):
+class EngineConfig(_SectionModel):
     """TPU engine extension: bucketing, batching, streaming (no reference analog —
     replaces the serialized single worker, reference server.py:110-186)."""
 
@@ -193,7 +200,7 @@ class EngineConfig(BaseModel):
     two_stage_batch: bool = False
 
 
-class Config(BaseModel):
+class Config(_SectionModel):
     model: ModelConfig = Field(default_factory=ModelConfig)
     voice_cloning: VoiceCloningConfig = Field(default_factory=VoiceCloningConfig)
     synthesis: SynthesisConfig = Field(default_factory=SynthesisConfig)
@@ -211,6 +218,10 @@ def load_config(path: Optional[str] = None, **overrides) -> Config:
     if path is None:
         candidate = os.path.join(os.getcwd(), "config.yaml")
         path = candidate if os.path.exists(candidate) else None
+    elif not os.path.exists(path):
+        # An EXPLICIT path must exist — silently serving defaults after a typo'd
+        # --config is a misconfiguration trap (auto-discovery above may miss).
+        raise FileNotFoundError(f"config file not found: {path}")
     if path is not None and os.path.exists(path):
         with open(path) as f:
             loaded = yaml.safe_load(f) or {}
@@ -228,8 +239,10 @@ def load_config(path: Optional[str] = None, **overrides) -> Config:
         section, _, key = dotted.partition(".")
         if not key:
             raise KeyError(f"override must be 'section.key', got {dotted!r}")
+        if not hasattr(cfg, section):
+            raise KeyError(f"unknown config section: {section!r}")
         target = getattr(cfg, section)
         if not hasattr(target, key):
             raise KeyError(f"unknown config key: {dotted}")
-        setattr(target, key, value)
+        setattr(target, key, value)  # validate_assignment coerces/rejects
     return cfg

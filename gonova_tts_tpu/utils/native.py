@@ -102,7 +102,9 @@ def audio_stats(audio: np.ndarray) -> Tuple[float, float]:
     audio = np.ascontiguousarray(audio, np.float32)
     lib = _lib()
     if lib is None:
-        return float(np.mean(np.square(audio))), float(np.max(np.abs(audio)) if audio.size else 0.0)
+        if audio.size == 0:
+            return 0.0, 0.0  # match the native scan (np.mean of empty is nan)
+        return float(np.mean(np.square(audio))), float(np.max(np.abs(audio)))
     ms = ctypes.c_double()
     pk = ctypes.c_double()
     lib.audio_stats(

@@ -56,8 +56,12 @@ def read_wav(data: Union[bytes, str]) -> Tuple[np.ndarray, int]:
         if chunk_id == b"fmt ":
             if chunk_size < 16:
                 raise WavError("fmt chunk too small")
+            if body_start + 16 > len(buf):
+                raise WavError("truncated fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", buf, body_start)
             if fmt[0] == _WAVE_FORMAT_EXTENSIBLE and chunk_size >= 40:
+                if body_start + 26 > len(buf):
+                    raise WavError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
                 # SubFormat GUID's first two bytes carry the real format tag.
                 (sub_tag,) = struct.unpack_from("<H", buf, body_start + 24)
                 fmt = (sub_tag,) + fmt[1:]
@@ -74,6 +78,13 @@ def read_wav(data: Union[bytes, str]) -> Tuple[np.ndarray, int]:
     tag, channels, sample_rate, _byte_rate, _block_align, bits = fmt
     if channels < 1:
         raise WavError("invalid channel count")
+    if sample_rate < 1:
+        raise WavError("invalid sample rate")
+    # A truncated data chunk may end mid-sample: trim to whole samples so
+    # np.frombuffer never raises its generic buffer-size ValueError.
+    if bits in (16, 32, 64):
+        width = bits // 8
+        audio_raw = audio_raw[: len(audio_raw) - len(audio_raw) % width]
 
     if tag == _WAVE_FORMAT_PCM:
         if bits == 16:

@@ -42,7 +42,9 @@ int64_t crossfade_join(const float* a, int64_t na, const float* b, int64_t nb,
     std::memcpy(out, a, (size_t)head * sizeof(float));
     for (int64_t i = 0; i < overlap; ++i) {
         // sin^2 / cos^2 fades sum to 1 (matches audio/ola.py stitch()).
-        double t = overlap > 1 ? (double)i / (double)(overlap - 1) : 1.0;
+        // overlap==1: numpy linspace(0, pi/2, 1) == [0] => fade_out=1 (a wins),
+        // matching audio/ola.py exactly — t=1.0 here would output b[0] instead.
+        double t = overlap > 1 ? (double)i / (double)(overlap - 1) : 0.0;
         double fi = std::sin(t * M_PI / 2.0);
         double fo = std::cos(t * M_PI / 2.0);
         out[head + i] = (float)(a[head + i] * fo * fo + b[i] * fi * fi);

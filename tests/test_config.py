@@ -68,10 +68,28 @@ monitoring:
     assert cfg.logging.file == "./logs/tts.log"
 
 
-def test_env_override(tmp_path, monkeypatch):
+def test_env_override(monkeypatch):
     monkeypatch.setenv("TTS_PORT", "9999")
-    cfg = load_config(str(tmp_path / "missing.yaml"))
+    cfg = load_config(None)
     assert cfg.server.port == 9999
+
+
+def test_explicit_missing_path_raises(tmp_path):
+    """A typo'd --config must fail loudly, not silently serve defaults."""
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        load_config(str(tmp_path / "missing.yaml"))
+
+
+def test_kwarg_override_is_validated():
+    """Overrides go through pydantic validation: coerced, not stored verbatim."""
+    cfg = load_config(None, **{"server.port": "9000"})
+    assert cfg.server.port == 9000 and isinstance(cfg.server.port, int)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        load_config(None, **{"server.port": "not-a-port"})
 
 
 def test_kwarg_override():

@@ -205,3 +205,14 @@ def test_stitch_short_clip_keeps_level():
     short = np.ones(100, np.float32)
     out = stitch([a, short, a], overlap=500)
     np.testing.assert_allclose(out, 1.0, atol=1e-6)
+
+
+def test_resample_length_contract_all_ratios():
+    """Regression: right padding undershot one output sample whenever
+    up/down > 2 (8 kHz and 22.05 kHz references crashed the embed path)."""
+    from gonova_tts_tpu.audio.resample import resample_np
+
+    rng = np.random.default_rng(0)
+    for orig, new, n in [(8000, 24000, 1000), (22050, 48000, 1234), (16000, 24000, 511)]:
+        y = resample_np(rng.standard_normal(n).astype(np.float32), orig, new)
+        assert len(y) == -(-n * new // orig), (orig, new, len(y))

@@ -72,3 +72,19 @@ def test_native_matches_fallback_when_built(rng):
         native._LIB = lib
     # lrintf vs numpy round: allow off-by-one on exact .5 boundaries.
     assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() <= 1
+
+
+def test_crossfade_overlap_one_matches_python(rng):
+    """Regression: the C++ overlap==1 case output b[0] while the numpy paths
+    output a[-1] — native and fallback must agree sample-for-sample."""
+    from gonova_tts_tpu.audio.ola import stitch
+
+    a = rng.standard_normal(16).astype(np.float32)
+    b = rng.standard_normal(16).astype(np.float32)
+    nat = native.crossfade_join(a, b, 1)
+    ref = stitch([a, b], overlap=1)
+    np.testing.assert_allclose(nat, ref, atol=1e-6)
+
+
+def test_audio_stats_empty_matches_native():
+    assert native.audio_stats(np.zeros(0, np.float32)) == (0.0, 0.0)

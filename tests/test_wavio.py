@@ -96,3 +96,39 @@ def test_reads_reference_default_voice():
     assert sr == 48000
     assert y.ndim == 1
     assert 16.0 < len(y) / sr < 17.5
+
+
+def test_malformed_wavs_raise_waverror_not_raw_exceptions():
+    """Regression: truncated fmt chunks raised struct.error and sample_rate=0
+    parsed fine (dividing by zero downstream) — all must be WavError so the
+    voice-registration handler classifies them as invalid payloads."""
+    import struct
+
+    import pytest
+
+    from gonova_tts_tpu.utils.wavio import WavError, read_wav
+
+    truncated_fmt = (
+        b"RIFF" + struct.pack("<I", 100) + b"WAVE" + b"fmt " + struct.pack("<I", 16) + b"\x01\x00"
+    )
+    with pytest.raises(WavError):
+        read_wav(truncated_fmt)
+
+    fmt0 = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+    sr_zero = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt0
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    with pytest.raises(WavError):
+        read_wav(sr_zero)
+
+    # Odd-length 16-bit data (truncated upload): trimmed to whole samples, no crash.
+    fmt = struct.pack("<HHIIHH", 1, 1, 24000, 48000, 2, 16)
+    odd = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 3) + b"\x00" * 3
+    )
+    audio, sr = read_wav(odd)
+    assert sr == 24000 and len(audio) == 1
