@@ -35,6 +35,7 @@ class SynthesisRequest:
     exaggeration: float = 0.5
     streaming: bool = True
     generation: int = 0  # cancel support: stale generations are skipped
+    seq: int = 0  # per-connection send-order index (worker pool streams in order)
     metadata: bool = False  # opt-in synthesis_started frame (README-promised extension)
     cancelled: bool = field(default=False, compare=False)
 
@@ -114,6 +115,7 @@ class TTSQueueManager:
         timeout: float = 2.0,
         generation: int = 0,
         metadata: bool = False,
+        seq: int = 0,
     ) -> bool:
         request = SynthesisRequest(
             connection_id=connection_id,
@@ -125,6 +127,7 @@ class TTSQueueManager:
             streaming=streaming,
             generation=generation,
             metadata=metadata,
+            seq=seq,
         )
         try:
             await asyncio.wait_for(self.input_queue.put(request), timeout=timeout)
@@ -145,6 +148,20 @@ class TTSQueueManager:
         except Exception as e:  # noqa: BLE001
             logger.error("get_next_request_error", error=str(e))
             return None
+
+    async def requeue(self, request: SynthesisRequest) -> bool:
+        """Put a pulled request back (out-of-order arrival at a worker). Balances
+        the original get()'s task_done/in_flight accounting; the requeued item gets
+        its own. False if the queue is full (caller must fail the request)."""
+        try:
+            self.input_queue.put_nowait(request)
+        except asyncio.QueueFull:
+            self.input_queue.task_done()
+            self.in_flight = max(0, self.in_flight - 1)
+            return False
+        self.input_queue.task_done()
+        self.in_flight = max(0, self.in_flight - 1)
+        return True
 
     async def mark_request_done(self) -> None:
         self.input_queue.task_done()

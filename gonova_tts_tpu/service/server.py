@@ -90,11 +90,15 @@ class TTSService:
         self.is_shutting_down = False
         self._workers = []
         self._cancel_generations: Dict[str, int] = {}
-        # Per-connection serialization: the worker POOL parallelizes across
-        # connections, but two requests from ONE connection must stream back
-        # sequentially — binary frames carry no request id (reference protocol),
-        # so interleaving them would garble the client's audio.
-        self._conn_locks: Dict[str, asyncio.Lock] = {}
+        # Per-connection ORDERING: the worker pool parallelizes across connections,
+        # but one connection's requests must stream back strictly in send order —
+        # binary frames carry no request id (reference protocol), so interleaving
+        # or reordering them garbles the client's audio. Each request gets a
+        # per-connection sequence number at admission; a worker only runs the
+        # request whose seq is next for its connection and requeues any later one
+        # (no lock, so a chatty client can't park the whole pool).
+        self._conn_seq_alloc: Dict[str, int] = {}
+        self._conn_seq_next: Dict[str, int] = {}
         self._default_speaker: Optional[np.ndarray] = None
         self.started_at: Optional[float] = None
 
@@ -136,10 +140,13 @@ class TTSService:
 
     async def shutdown(self) -> None:
         logger.info("service_shutting_down")
-        self.is_shutting_down = True
         if self._watchdog_task:
             self._watchdog_task.cancel()
+        # Drain BEFORE signalling the workers: each worker loop exits on
+        # is_shutting_down, so flipping it first would leave any requests beyond
+        # one-per-worker stranded in the input queue for the whole drain timeout.
         await self.queue_manager.wait_until_empty(timeout=30.0)
+        self.is_shutting_down = True
         for w in self._workers:
             w.cancel()
         await asyncio.gather(*self._workers, return_exceptions=True)
@@ -214,6 +221,9 @@ class TTSService:
     def _is_stale(self, request: SynthesisRequest) -> bool:
         return request.generation < self._cancel_generations.get(request.connection_id, 0)
 
+    def _advance_seq(self, conn_id: str, seq: int) -> None:
+        self._conn_seq_next[conn_id] = max(self._conn_seq_next.get(conn_id, 0), seq + 1)
+
     async def _tts_worker(self, worker_id: int) -> None:
         """Pull requests, segment, feed the batcher, stream chunks back in order.
 
@@ -225,24 +235,38 @@ class TTSService:
                 request = await self.queue_manager.get_next_request()
                 if request is None:
                     continue
+                conn = request.connection_id
                 if self._is_stale(request):
+                    self._advance_seq(conn, request.seq)
                     await self.queue_manager.mark_request_done()
                     continue
-                # No await between get_next_request returning and this acquire, so
-                # same-connection requests take the lock in queue order.
-                conn_lock = self._conn_locks.setdefault(
-                    request.connection_id, asyncio.Lock()
-                )
+                if conn not in self.queue_manager.output_queues:
+                    # Connection already gone: skip the work (and advance the seq so
+                    # bookkeeping can't wedge a reconnect that reuses nothing).
+                    self._advance_seq(conn, request.seq)
+                    await self.queue_manager.mark_request_done()
+                    continue
+                if request.seq > self._conn_seq_next.get(conn, 0):
+                    # An earlier request from this connection is still streaming
+                    # (or queued behind us). Requeue and serve other connections —
+                    # parking here would let one chatty client stall the whole pool.
+                    if not await self.queue_manager.requeue(request):
+                        self._advance_seq(conn, request.seq)
+                        await self._send_error_frame(
+                            conn, "Server busy: request queue full", 0
+                        )
+                    await asyncio.sleep(0.005)  # don't spin when the queue is all one client
+                    continue
                 chunk_id = 0
                 pending: list = []
                 try:
-                    async with conn_lock:
+                    try:
                         speaker = await self._resolve_speaker(request.voice_id)
                         sentences = segment_text(request.text)
                         if request.metadata:
                             # Opt-in extension (reference README.md:160-173, never
-                            # shipped there): announce synthesis start without breaking
-                            # byte-parity for clients that didn't ask for it.
+                            # shipped there): announce synthesis start without
+                            # breaking byte-parity for clients that didn't ask.
                             await self.queue_manager.enqueue_audio_chunk(
                                 request.connection_id, b"", -1, is_final=False
                             )
@@ -266,24 +290,24 @@ class TTSService:
                         await self.queue_manager.enqueue_audio_chunk(
                             request.connection_id, b"", chunk_id, is_final=True
                         )
+                    except Exception as e:  # noqa: BLE001
+                        logger.error(
+                            "synthesis_failed",
+                            connection_id=request.connection_id,
+                            error=str(e),
+                            exc_info=True,
+                        )
+                        # Never leave the client hanging: error frame + final
+                        # marker, sent BEFORE the seq advances so they can't
+                        # interleave into the next request's stream.
+                        await self._send_error_frame(
+                            request.connection_id, f"Synthesis failed: {e}", chunk_id
+                        )
                     logger.info(
                         "synthesis_completed",
                         connection_id=request.connection_id,
                         text_length=len(request.text),
                         chunks=chunk_id,
-                    )
-                except Exception as e:  # noqa: BLE001
-                    logger.error(
-                        "synthesis_failed",
-                        connection_id=request.connection_id,
-                        error=str(e),
-                        exc_info=True,
-                    )
-                    # Never leave the client hanging: error frame + final marker
-                    # (the reference logged-and-moved-on, stranding clients —
-                    # error isolation per request, but the stream must terminate).
-                    await self._send_error_frame(
-                        request.connection_id, f"Synthesis failed: {e}", chunk_id
                     )
                 finally:
                     # Cancelled/failed mid-request: don't leave queued sentences
@@ -293,6 +317,7 @@ class TTSService:
                             t.cancel()
                     if pending:
                         await asyncio.gather(*pending, return_exceptions=True)
+                    self._advance_seq(conn, request.seq)
                 await self.queue_manager.mark_request_done()
             except asyncio.CancelledError:
                 break
@@ -384,7 +409,8 @@ class TTSService:
             self.queue_manager.unregister_connection(conn_id)
             self.connections.pop(conn_id, None)
             self._cancel_generations.pop(conn_id, None)
-            self._conn_locks.pop(conn_id, None)
+            self._conn_seq_alloc.pop(conn_id, None)
+            self._conn_seq_next.pop(conn_id, None)
             self.active_connections -= 1
             logger.info(
                 "connection_closed",
@@ -397,6 +423,8 @@ class TTSService:
     ) -> None:
         mtype = data.get("type")
         if mtype == "synthesize":
+            seq = self._conn_seq_alloc.get(conn_id, 0)
+            self._conn_seq_alloc[conn_id] = seq + 1
             accepted = await self.queue_manager.enqueue_request(
                 connection_id=conn_id,
                 text=data.get("text", ""),
@@ -408,8 +436,12 @@ class TTSService:
                 streaming=data.get("streaming", True),
                 generation=self._cancel_generations.get(conn_id, 0),
                 metadata=data.get("metadata", False),
+                seq=seq,
             )
             if not accepted:
+                # The slot was never admitted; don't let its seq hole stall later
+                # requests.
+                self._advance_seq(conn_id, seq)
                 # The request was dropped at admission (input queue full for 2 s) —
                 # a silent drop would leave the client awaiting audio forever.
                 await ws.send_json(

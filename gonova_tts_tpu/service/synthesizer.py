@@ -96,12 +96,14 @@ class StreamingSynthesizer:
                     fut.cancel()
                     try:
                         # Settle the race: the put may have completed between the
-                        # timeout and the cancel.
+                        # timeout and the cancel. CancelledError is a BaseException
+                        # on stock CPython >= 3.8 — catching only Exception would
+                        # let it escape the producer thread.
                         fut.result(timeout=0.5)
                         return True
-                    except Exception:  # noqa: BLE001 — cancelled or still stuck
+                    except BaseException:  # noqa: BLE001 — cancelled or still stuck
                         continue
-                except Exception:  # noqa: BLE001
+                except BaseException:  # noqa: BLE001
                     return False
             return False
 

@@ -116,9 +116,7 @@ def year_to_words(n: int) -> str:
 
 
 def _expand_decimal(match: re.Match) -> str:
-    whole, frac = match.group(1), match.group(2)
-    digits = " ".join(_UNITS[int(d)] if d != "0" else "zero" for d in frac)
-    return number_to_words(int(whole)) + " point " + digits
+    return _numeric_words(match.group(1) + "." + match.group(2))
 
 
 def _numeric_words(numstr: str) -> str:
@@ -171,11 +169,14 @@ def normalize_text(text: str) -> str:
         exp = _ABBREVIATIONS.get(word.lower())
         if not exp:
             return m.group(0)
-        # Keep the period when the abbreviation ends a sentence (end of text or a
-        # capitalized next word) — dropping it loses the pause/prosody boundary.
+        # Keep the period only at the true end of the text ("... pears, etc.") —
+        # that's the unambiguous sentence-final case. A capitalized-next-word
+        # heuristic misfires on the dominant title use ("Dr. Smith" must become
+        # "doctor Smith", not "doctor. Smith"), and segmentation runs BEFORE
+        # normalization in the serving path, so mid-text boundaries are already
+        # decided by then.
         rest = m.string[m.end():]
-        ends_sentence = not rest.strip() or rest.lstrip()[:1].isupper()
-        return exp + ("." if ends_sentence else "")
+        return exp + ("." if not rest.strip() else "")
 
     text = _RE_ABBREV.sub(abbrev_sub, text)
     text = _RE_CURRENCY.sub(_expand_currency, text)

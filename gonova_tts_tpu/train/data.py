@@ -335,6 +335,10 @@ class ManifestDataset:
                 if n_real < self.batch_size:
                     for key in ("token_mask", "frame_mask", "durations", "pitch", "audio"):
                         batch[key][n_real:] = 0
+                    # The multi-res STFT and GAN losses are NOT masked: pad rows
+                    # must carry silence mel to match their zero audio, or they'd
+                    # actively teach vocode(real mel) -> silence.
+                    batch["mel"][n_real:] = silence_mel(self.cfg)[None, None, :]
                     if "ref_mask" in batch:
                         batch["ref_mask"][n_real:] = 0
                 yield batch

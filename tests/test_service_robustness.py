@@ -308,3 +308,33 @@ def test_synthesis_failure_sends_error_and_complete(client_ctx):
         return True
 
     assert loop.run_until_complete(run())
+
+
+def test_three_pipelined_requests_stay_ordered(client_ctx):
+    """Three back-to-back requests on one connection: strict send-order streaming
+    (the seq gate must not let a requeued request overtake an earlier one)."""
+    loop, client, srv = client_ctx
+    svc = client.app["service"]
+    svc.rate_limiter._requests.clear()
+
+    async def run():
+        ws = await client.ws_connect("/v1/stream/tts")
+        await ws.send_json({"type": "synthesize", "text": "Alpha one. Alpha two."})
+        await ws.send_json({"type": "synthesize", "text": "Beta only."})
+        await ws.send_json({"type": "synthesize", "text": "Gamma one. Gamma two. Gamma three."})
+        seq = []
+        completes = 0
+        while completes < 3:
+            msg = await asyncio.wait_for(ws.receive(), timeout=180)
+            if msg.type == WSMsgType.BINARY:
+                seq.append("B")
+            else:
+                data = json.loads(msg.data)
+                if data.get("type") == "synthesis_complete":
+                    seq.append(f"C{data['chunk_id']}")
+                    completes += 1
+        await ws.close()
+        assert seq == ["B", "B", "C2", "B", "C1", "B", "B", "B", "C3"], seq
+        return True
+
+    assert loop.run_until_complete(run())

@@ -350,11 +350,11 @@ def test_normalize_decimal_percent_and_comma_numbers():
     )
 
 
-def test_normalize_abbrev_keeps_sentence_final_period():
-    """Regression: expanding a sentence-final abbreviation dropped its period and
-    with it the prosodic boundary."""
-    out = normalize_text("Apples, pears, etc. Next point.")
-    assert "et cetera." in out
-    # Mid-sentence (lowercase continuation) stays period-free.
+def test_normalize_abbrev_period_rules():
+    """An abbreviation at the TRUE end of the text keeps its period (prosodic
+    boundary); anywhere else it expands bare — 'Dr. Smith' must become
+    'doctor Smith', never 'doctor. Smith'."""
+    assert normalize_text("Apples, pears, etc.") == "Apples, pears, et cetera."
+    assert normalize_text("Dr. Smith went home") == "doctor Smith went home"
     out2 = normalize_text("We visited the dept. of records")
     assert "." not in out2
