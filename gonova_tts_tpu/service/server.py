@@ -95,10 +95,21 @@ class TTSService:
         # binary frames carry no request id (reference protocol), so interleaving
         # or reordering them garbles the client's audio. Each request gets a
         # per-connection sequence number at admission; a worker only runs the
-        # request whose seq is next for its connection and requeues any later one
-        # (no lock, so a chatty client can't park the whole pool).
+        # request whose seq equals the connection's cursor. A later seq pulled
+        # early is PARKED in a per-connection dict (it stays in_flight for drain
+        # accounting); the worker that completes the earlier seq picks the parked
+        # successor up inline — no requeue churn, and one chatty client only ever
+        # occupies one worker. The cursor advances strictly contiguously: seqs
+        # that will never run (admission drop, cancel, dead connection) go into a
+        # done-set and the cursor moves only when its own seq lands there, so an
+        # overload can never let two requests of one connection stream at once.
         self._conn_seq_alloc: Dict[str, int] = {}
         self._conn_seq_next: Dict[str, int] = {}
+        self._conn_done: Dict[str, set] = {}
+        self._conn_parked: Dict[str, Dict[int, SynthesisRequest]] = {}
+        self._park_cap = 32  # per-connection parked bound (admission stays queue-bounded)
+        self._park_count = 0  # observability: how often workers hit out-of-order pulls
+        self.is_draining = False
         self._default_speaker: Optional[np.ndarray] = None
         self.started_at: Optional[float] = None
 
@@ -140,6 +151,10 @@ class TTSService:
 
     async def shutdown(self) -> None:
         logger.info("service_shutting_down")
+        # Gate new admissions for the whole drain: without this an active client
+        # can keep the input queue non-empty until the 30 s timeout expires and
+        # then lose its in-flight requests to the worker cancellation below.
+        self.is_draining = True
         if self._watchdog_task:
             self._watchdog_task.cancel()
         # Drain BEFORE signalling the workers: each worker loop exits on
@@ -221,8 +236,38 @@ class TTSService:
     def _is_stale(self, request: SynthesisRequest) -> bool:
         return request.generation < self._cancel_generations.get(request.connection_id, 0)
 
-    def _advance_seq(self, conn_id: str, seq: int) -> None:
-        self._conn_seq_next[conn_id] = max(self._conn_seq_next.get(conn_id, 0), seq + 1)
+    def _finish_seq(self, conn_id: str, seq: int) -> None:
+        """Mark seq finished-or-skipped; advance the connection cursor CONTIGUOUSLY.
+
+        The cursor only moves through seqs that have actually completed (or will
+        never run) — jumping past an unfinished seq would let a later request pass
+        the gate while an earlier one is still streaming."""
+        nxt = self._conn_seq_next.get(conn_id, 0)
+        if seq != nxt:
+            self._conn_done.setdefault(conn_id, set()).add(seq)
+            return
+        nxt = seq + 1
+        done = self._conn_done.get(conn_id)
+        if done:
+            while nxt in done:
+                done.discard(nxt)
+                nxt += 1
+        self._conn_seq_next[conn_id] = nxt
+
+    def _pop_ready(self, conn_id: str) -> Optional[SynthesisRequest]:
+        """Parked successor whose seq just became current, if any."""
+        parked = self._conn_parked.get(conn_id)
+        if not parked:
+            return None
+        return parked.pop(self._conn_seq_next.get(conn_id, 0), None)
+
+    async def _flush_dead_connection(self, conn_id: str) -> None:
+        """Release bookkeeping for requests of a connection that no longer exists."""
+        parked = self._conn_parked.pop(conn_id, None)
+        if parked:
+            for _ in parked:
+                await self.queue_manager.mark_request_done()
+        self._conn_done.pop(conn_id, None)
 
     async def _tts_worker(self, worker_id: int) -> None:
         """Pull requests, segment, feed the batcher, stream chunks back in order.
@@ -233,97 +278,118 @@ class TTSService:
         while not self.is_shutting_down:
             try:
                 request = await self.queue_manager.get_next_request()
-                if request is None:
-                    continue
-                conn = request.connection_id
-                if self._is_stale(request):
-                    self._advance_seq(conn, request.seq)
-                    await self.queue_manager.mark_request_done()
-                    continue
-                if conn not in self.queue_manager.output_queues:
-                    # Connection already gone: skip the work (and advance the seq so
-                    # bookkeeping can't wedge a reconnect that reuses nothing).
-                    self._advance_seq(conn, request.seq)
-                    await self.queue_manager.mark_request_done()
-                    continue
-                if request.seq > self._conn_seq_next.get(conn, 0):
-                    # An earlier request from this connection is still streaming
-                    # (or queued behind us). Requeue and serve other connections —
-                    # parking here would let one chatty client stall the whole pool.
-                    if not await self.queue_manager.requeue(request):
-                        self._advance_seq(conn, request.seq)
-                        await self._send_error_frame(
-                            conn, "Server busy: request queue full", 0
-                        )
-                    await asyncio.sleep(0.005)  # don't spin when the queue is all one client
-                    continue
-                chunk_id = 0
-                pending: list = []
-                try:
-                    try:
-                        speaker = await self._resolve_speaker(request.voice_id)
-                        sentences = segment_text(request.text)
-                        if request.metadata:
-                            # Opt-in extension (reference README.md:160-173, never
-                            # shipped there): announce synthesis start without
-                            # breaking byte-parity for clients that didn't ask.
-                            await self.queue_manager.enqueue_audio_chunk(
-                                request.connection_id, b"", -1, is_final=False
-                            )
-                        pending = [
-                            asyncio.create_task(
-                                self.batcher.submit(s, speaker, request.exaggeration)
-                            )
-                            for s in sentences
-                        ]
-                        for fut in pending:
-                            audio = await fut
-                            if self._is_stale(request):
-                                break
-                            await self.queue_manager.enqueue_audio_chunk(
-                                request.connection_id,
-                                audio.astype(np.float32).tobytes(),
-                                chunk_id,
-                                is_final=False,
-                            )
-                            chunk_id += 1
-                        await self.queue_manager.enqueue_audio_chunk(
-                            request.connection_id, b"", chunk_id, is_final=True
-                        )
-                    except Exception as e:  # noqa: BLE001
-                        logger.error(
-                            "synthesis_failed",
-                            connection_id=request.connection_id,
-                            error=str(e),
-                            exc_info=True,
-                        )
-                        # Never leave the client hanging: error frame + final
-                        # marker, sent BEFORE the seq advances so they can't
-                        # interleave into the next request's stream.
-                        await self._send_error_frame(
-                            request.connection_id, f"Synthesis failed: {e}", chunk_id
-                        )
-                    logger.info(
-                        "synthesis_completed",
-                        connection_id=request.connection_id,
-                        text_length=len(request.text),
-                        chunks=chunk_id,
-                    )
-                finally:
-                    # Cancelled/failed mid-request: don't leave queued sentences
-                    # running on the device or futures nobody awaits.
-                    for t in pending:
-                        if not t.done():
-                            t.cancel()
-                    if pending:
-                        await asyncio.gather(*pending, return_exceptions=True)
-                    self._advance_seq(conn, request.seq)
-                await self.queue_manager.mark_request_done()
+                # Completing one request can unpark its successor; process the
+                # chain inline — per-connection requests are serial by contract,
+                # so one worker owning the backlog is the optimal schedule.
+                while request is not None:
+                    request = await self._process_request(request)
             except asyncio.CancelledError:
                 break
             except Exception as e:  # noqa: BLE001
                 logger.error("tts_worker_error", worker=worker_id, error=str(e))
                 await asyncio.sleep(1.0)
+
+    async def _process_request(
+        self, request: SynthesisRequest
+    ) -> Optional[SynthesisRequest]:
+        """Run (or park/skip) one pulled request; return the next ready one."""
+        conn = request.connection_id
+        if conn not in self.queue_manager.output_queues:
+            # Connection already gone: drop the work and any parked siblings.
+            await self.queue_manager.mark_request_done()
+            await self._flush_dead_connection(conn)
+            return None
+        if self._is_stale(request):
+            self._finish_seq(conn, request.seq)
+            await self.queue_manager.mark_request_done()
+            return self._pop_ready(conn)
+        if request.seq > self._conn_seq_next.get(conn, 0):
+            # An earlier request from this connection is still streaming (or in
+            # another worker's hands). Park it — it stays in_flight for drain
+            # accounting and is released by whichever worker finishes the
+            # predecessor. No await between the liveness check above and this
+            # insert, so connection teardown can't race us into a leak.
+            parked = self._conn_parked.setdefault(conn, {})
+            if len(parked) < self._park_cap:
+                parked[request.seq] = request
+                self._park_count += 1
+                return None
+            # Parked depth at cap: without this, workers would drain the whole
+            # input queue into parked dicts and a single pipelining client could
+            # bypass the queue bound entirely. Put it back (admission control
+            # stays with the bounded queue) or, if even that is full, drop with
+            # an error frame — plain JSON, no final marker, so it cannot
+            # terminate the in-flight request's stream early.
+            if not await self.queue_manager.requeue(request):
+                self._finish_seq(conn, request.seq)
+                await self.queue_manager.enqueue_audio_chunk(
+                    conn, b"Server busy: request queue full", -2, is_final=False
+                )
+            await asyncio.sleep(0.005)  # throttle the above-cap requeue cycle
+            return None
+        chunk_id = 0
+        pending: list = []
+        try:
+            try:
+                speaker = await self._resolve_speaker(request.voice_id)
+                sentences = segment_text(request.text)
+                if request.metadata:
+                    # Opt-in extension (reference README.md:160-173, never
+                    # shipped there): announce synthesis start without
+                    # breaking byte-parity for clients that didn't ask.
+                    await self.queue_manager.enqueue_audio_chunk(
+                        request.connection_id, b"", -1, is_final=False
+                    )
+                pending = [
+                    asyncio.create_task(
+                        self.batcher.submit(s, speaker, request.exaggeration)
+                    )
+                    for s in sentences
+                ]
+                for fut in pending:
+                    audio = await fut
+                    if self._is_stale(request):
+                        break
+                    await self.queue_manager.enqueue_audio_chunk(
+                        request.connection_id,
+                        audio.astype(np.float32).tobytes(),
+                        chunk_id,
+                        is_final=False,
+                    )
+                    chunk_id += 1
+                await self.queue_manager.enqueue_audio_chunk(
+                    request.connection_id, b"", chunk_id, is_final=True
+                )
+            except Exception as e:  # noqa: BLE001
+                logger.error(
+                    "synthesis_failed",
+                    connection_id=request.connection_id,
+                    error=str(e),
+                    exc_info=True,
+                )
+                # Never leave the client hanging: error frame + final
+                # marker, sent BEFORE the seq advances so they can't
+                # interleave into the next request's stream.
+                await self._send_error_frame(
+                    request.connection_id, f"Synthesis failed: {e}", chunk_id
+                )
+            logger.info(
+                "synthesis_completed",
+                connection_id=request.connection_id,
+                text_length=len(request.text),
+                chunks=chunk_id,
+            )
+        finally:
+            # Cancelled/failed mid-request: don't leave queued sentences
+            # running on the device or futures nobody awaits.
+            for t in pending:
+                if not t.done():
+                    t.cancel()
+            if pending:
+                await asyncio.gather(*pending, return_exceptions=True)
+            self._finish_seq(conn, request.seq)
+        await self.queue_manager.mark_request_done()
+        return self._pop_ready(conn)
 
     # ------------------------------------------------------------ WS connection
 
@@ -365,7 +431,12 @@ class TTSService:
                     except asyncio.TimeoutError:
                         # Idle-connection timeout (server.connection_timeout — present in
                         # the reference's config schema but never wired there, §5.6).
-                        idle = time.time() - self.connections[conn_id]["last_activity"]
+                        conn_state = self.connections.get(conn_id)
+                        if conn_state is None:
+                            # Teardown raced us (cancellation can surface as this
+                            # TimeoutError inside wait_for): the connection is gone.
+                            break
+                        idle = time.time() - conn_state["last_activity"]
                         if idle_limit and idle > idle_limit:
                             logger.info("connection_idle_timeout", connection_id=conn_id)
                             await ws.close()
@@ -411,6 +482,9 @@ class TTSService:
             self._cancel_generations.pop(conn_id, None)
             self._conn_seq_alloc.pop(conn_id, None)
             self._conn_seq_next.pop(conn_id, None)
+            # Parked requests count as in_flight; release them or shutdown's
+            # drain would wait the full timeout on a dead connection.
+            await self._flush_dead_connection(conn_id)
             self.active_connections -= 1
             logger.info(
                 "connection_closed",
@@ -423,6 +497,13 @@ class TTSService:
     ) -> None:
         mtype = data.get("type")
         if mtype == "synthesize":
+            if self.is_draining or self.is_shutting_down:
+                # Shutdown drain in progress: reject instead of admitting work the
+                # worker cancellation would strand mid-request.
+                await ws.send_json(
+                    {"type": "error", "message": "Server shutting down"}
+                )
+                return
             seq = self._conn_seq_alloc.get(conn_id, 0)
             self._conn_seq_alloc[conn_id] = seq + 1
             accepted = await self.queue_manager.enqueue_request(
@@ -440,8 +521,8 @@ class TTSService:
             )
             if not accepted:
                 # The slot was never admitted; don't let its seq hole stall later
-                # requests.
-                self._advance_seq(conn_id, seq)
+                # requests (contiguous advance — never jumps past in-flight work).
+                self._finish_seq(conn_id, seq)
                 # The request was dropped at admission (input queue full for 2 s) —
                 # a silent drop would leave the client awaiting audio forever.
                 await ws.send_json(

@@ -315,8 +315,11 @@ def _np_predict(params, chars: np.ndarray) -> np.ndarray:
 _LOCK = threading.Lock()
 # Word-result memo and the loaded-weights slot are SEPARATE: a words dict keyed by
 # input word must never share a namespace with bookkeeping keys (the English word
-# "params" is a legitimate input).
+# "params" is a legitimate input). Bounded: client-controlled text can contain
+# unlimited unique OOV words, so the memo evicts oldest-inserted past the cap
+# (plain dict preserves insertion order) like the other serving-path caches.
 _WORD_CACHE: Dict[str, Optional[List[str]]] = {}
+_WORD_CACHE_MAX = 4096
 _PARAMS: List[object] = []  # empty = not yet loaded; [None] = unavailable
 
 
@@ -348,5 +351,7 @@ def predict_word(word: str) -> Optional[List[str]]:
         return None
     phons = decode_ids(_np_predict(params, chars)) or None
     with _LOCK:
+        while len(_WORD_CACHE) >= _WORD_CACHE_MAX:
+            _WORD_CACHE.pop(next(iter(_WORD_CACHE)))
         _WORD_CACHE[key] = phons
     return phons

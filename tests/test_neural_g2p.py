@@ -67,6 +67,29 @@ def test_predict_word_uses_weights(tmp_path, monkeypatch):
     assert not ng.available()
 
 
+def test_word_cache_bounded(tmp_path, monkeypatch):
+    """The OOV memo must not grow without bound on client-controlled text
+    (unique nonsense words): oldest entries evict past the cap."""
+    params = ng.init(jax.random.PRNGKey(2))
+    path = str(tmp_path / "w.npz")
+    ng.save_weights(params, path)
+    monkeypatch.setattr(ng, "WEIGHTS_PATH", path)
+    monkeypatch.setattr(ng, "_WORD_CACHE_MAX", 8)
+    with ng._LOCK:
+        ng._WORD_CACHE.clear()
+        ng._PARAMS.clear()
+    words = [f"zq{chr(97 + i)}xel" for i in range(20)]  # letters only (encodable)
+    for w in words:
+        ng.predict_word(w)
+    with ng._LOCK:
+        assert len(ng._WORD_CACHE) <= 8
+        # Newest entries survive, oldest are gone.
+        assert words[-1] in ng._WORD_CACHE
+        assert words[0] not in ng._WORD_CACHE
+        ng._WORD_CACHE.clear()
+        ng._PARAMS.clear()
+
+
 def test_g2p_fallback_never_raises(monkeypatch):
     # Whatever the neural path does (missing weights, junk weights), text processing
     # must stay alive through the LTS fallback.

@@ -270,6 +270,199 @@ def test_same_connection_requests_serialize(client_ctx):
     assert loop.run_until_complete(run())
 
 
+def test_seq_cursor_advances_contiguously():
+    """The ordering cursor must never jump past an unfinished seq (regression:
+    overload paths used max(next, seq+1), letting a later request stream
+    concurrently with an earlier in-flight one on the same connection)."""
+    from gonova_tts_tpu.service.server import TTSService
+
+    svc = TTSService.__new__(TTSService)  # cursor mechanics only; no engine needed
+    svc._conn_seq_next = {}
+    svc._conn_done = {}
+    svc._conn_parked = {}
+
+    # seq 0 is in flight; seqs 1 and 3 are dropped at admission, seq 2 parked.
+    svc._finish_seq("c", 1)
+    svc._finish_seq("c", 3)
+    assert svc._conn_seq_next.get("c", 0) == 0  # 0 still running: no jump
+    svc._conn_parked["c"] = {2: "req2"}
+    assert svc._pop_ready("c") is None  # 2 is not next yet
+    # seq 0 completes → cursor crosses the skipped 1 and releases parked 2.
+    svc._finish_seq("c", 0)
+    assert svc._conn_seq_next["c"] == 2
+    assert svc._pop_ready("c") == "req2"
+    # seq 2 completes → cursor crosses skipped 3.
+    svc._finish_seq("c", 2)
+    assert svc._conn_seq_next["c"] == 4
+    assert svc._conn_done.get("c") == set()
+
+
+@pytest.mark.slow
+def test_admission_drop_does_not_ungate_later_requests(tmp_path_factory):
+    """Overload while request 0 streams: dropped admissions must not let a later
+    queued request overtake it (the first synthesis_complete must carry request
+    0's chunk count, never a later request's)."""
+    from gonova_tts_tpu.service import server as srv
+
+    tmp_path = tmp_path_factory.mktemp("svc_adm")
+    cfg = service_config(tmp_path)
+    cfg.queues.input_queue_size = 1
+    cfg.engine.max_batch = 1  # one worker: admission pressure lands on the queue
+    loop = asyncio.new_event_loop()
+    app = srv.create_app(cfg)
+    client = TestClient(TestServer(app), loop=loop)
+    loop.run_until_complete(client.start_server())
+    svc = app["service"]
+    try:
+        async def run():
+            real = svc.batcher.submit
+
+            async def slow(*a, **kw):
+                # Longer than the 2.0 s admission put-timeout: sentence tasks run
+                # concurrently, so this must exceed it per REQUEST, not per call.
+                await asyncio.sleep(2.5)
+                return await real(*a, **kw)
+
+            svc.batcher.submit = slow
+            try:
+                ws = await client.ws_connect("/v1/stream/tts")
+                await ws.send_json(
+                    {"type": "synthesize", "text": "First one. First two. First three."}
+                )
+                await asyncio.sleep(0.1)  # let request 0 reach the worker
+                for i in range(6):  # queue bound 1 → at least one admission drop
+                    await ws.send_json({"type": "synthesize", "text": f"Later item {i}."})
+                completes = []
+                busy_errors = 0
+                try:
+                    while True:
+                        msg = await asyncio.wait_for(ws.receive(), timeout=10)
+                        if msg.type == WSMsgType.TEXT:
+                            data = json.loads(msg.data)
+                            if data.get("type") == "synthesis_complete":
+                                completes.append(data["chunk_id"])
+                            elif data.get("type") == "error":
+                                busy_errors += 1
+                except asyncio.TimeoutError:
+                    pass
+                # Request 0 has 3 sentences; a later single-sentence request
+                # overtaking it would put a chunk_id-1 complete first.
+                assert completes and completes[0] == 3, completes
+                assert busy_errors >= 1  # the overload actually happened
+                # Every admitted later request completed, despite the seq holes
+                # the drops punched (contiguous-cursor regression check).
+                assert completes[1:] == [1] * (6 - busy_errors), (completes, busy_errors)
+                await ws.close()
+                return True
+            finally:
+                svc.batcher.submit = real
+
+        assert loop.run_until_complete(run())
+    finally:
+        loop.run_until_complete(client.close())
+        loop.close()
+
+
+@pytest.mark.slow
+def test_single_client_flood_no_starvation(tmp_path_factory):
+    """50 pipelined requests on one connection while a second connection streams:
+    strict per-connection ordering, the second client is not starved, and the
+    out-of-order handling churn is bounded (parked once per request, not a
+    requeue spin)."""
+    from gonova_tts_tpu.service import server as srv
+
+    tmp_path = tmp_path_factory.mktemp("svc_flood")
+    cfg = service_config(tmp_path)
+    cfg.queues.input_queue_size = 200
+    cfg.rate_limiting.max_requests_per_minute = 1000
+    loop = asyncio.new_event_loop()
+    app = srv.create_app(cfg)
+    client = TestClient(TestServer(app), loop=loop)
+    loop.run_until_complete(client.start_server())
+    svc = app["service"]
+    try:
+        async def flood_client(n=50):
+            ws = await client.ws_connect("/v1/stream/tts")
+            for i in range(n):
+                await ws.send_json({"type": "synthesize", "text": f"Flood item {i}."})
+            transcript = []
+            completes = 0
+            while completes < n:
+                msg = await asyncio.wait_for(ws.receive(), timeout=300)
+                if msg.type == WSMsgType.BINARY:
+                    transcript.append("B")
+                elif msg.type == WSMsgType.TEXT:
+                    data = json.loads(msg.data)
+                    if data.get("type") == "synthesis_complete":
+                        transcript.append(f"C{data['chunk_id']}")
+                        completes += 1
+            await ws.close()
+            return transcript, asyncio.get_event_loop().time()
+
+        async def side_client(k=3):
+            ws = await client.ws_connect("/v1/stream/tts")
+            for i in range(k):
+                await ws.send_json({"type": "synthesize", "text": f"Side request {i}."})
+                chunks, _ = await _collect_synthesis(ws)
+                assert len(chunks) == 1
+            await ws.close()
+            return asyncio.get_event_loop().time()
+
+        async def run():
+            flood_res, side_done = await asyncio.gather(flood_client(), side_client())
+            transcript, flood_done = flood_res
+            # Strict order: every request is exactly one frame then its final marker.
+            assert transcript == ["B", "C1"] * 50, transcript[:12]
+            # The 3-request side client finished while the 50-deep flood drained.
+            assert side_done <= flood_done
+            # Park churn is bounded by the number of out-of-order pulls — each
+            # request parks at most once (no repeated requeue cycling).
+            assert svc._park_count <= 60, svc._park_count
+            # Nothing left over in the ordering bookkeeping.
+            await asyncio.sleep(0.2)
+            assert not svc._conn_parked or all(
+                not v for v in svc._conn_parked.values()
+            )
+            return True
+
+        assert loop.run_until_complete(run())
+    finally:
+        loop.run_until_complete(client.close())
+        loop.close()
+
+
+def test_draining_rejects_new_synthesize(tmp_path_factory):
+    """While shutdown drains, new synthesize messages are rejected with an error
+    frame instead of being admitted and later cancelled mid-request."""
+    from gonova_tts_tpu.service import server as srv
+
+    tmp_path = tmp_path_factory.mktemp("svc_drain")
+    cfg = service_config(tmp_path)
+    loop = asyncio.new_event_loop()
+    app = srv.create_app(cfg)
+    client = TestClient(TestServer(app), loop=loop)
+    loop.run_until_complete(client.start_server())
+    svc = app["service"]
+    try:
+        async def run():
+            ws = await client.ws_connect("/v1/stream/tts")
+            svc.is_draining = True  # what shutdown() sets before waiting
+            await ws.send_json({"type": "synthesize", "text": "Too late."})
+            msg = json.loads((await asyncio.wait_for(ws.receive(), 30)).data)
+            assert msg["type"] == "error" and "shutting down" in msg["message"]
+            svc.is_draining = False
+            await ws.send_json({"type": "synthesize", "text": "Back open."})
+            chunks, _ = await _collect_synthesis(ws)
+            assert len(chunks) == 1
+            await ws.close()
+            return True
+
+        assert loop.run_until_complete(run())
+    finally:
+        loop.run_until_complete(client.close())
+        loop.close()
+
+
 def test_synthesis_failure_sends_error_and_complete(client_ctx):
     """A failing device batch must terminate the stream (error frame + final
     marker), not strand the client (regression: failures were only logged)."""
