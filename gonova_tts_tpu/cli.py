@@ -83,9 +83,13 @@ def cmd_train(args: argparse.Namespace) -> int:
 
         from .train.synth_corpus import generate_corpus
 
-        manifest = os.path.join(args.demo_corpus, "manifest.txt")
+        # Variable per-token durations + a 2-sentence/speaker held-out split:
+        # training sees manifest_train.txt only (no duration column → the MAS
+        # aligner learns the text↔frame map); eval_checkpoint --heldout 2
+        # --variable grades generalization and duration accuracy.
+        manifest = os.path.join(args.demo_corpus, "manifest_train.txt")
         if not os.path.exists(manifest):
-            manifest = generate_corpus(args.demo_corpus)
+            generate_corpus(args.demo_corpus, variable=True, holdout=2)
         resident = True
     out = train(
         config=load_config(args.config),
@@ -100,6 +104,8 @@ def cmd_train(args: argparse.Namespace) -> int:
         resident=resident,
         chunk=args.chunk,
         history_path=args.history,
+        learn_alignment=args.learn_alignment,
+        gan=args.gan,
     )
     print(json.dumps(out))
     return 0
@@ -172,6 +178,12 @@ def main(argv=None) -> int:
                    help="device-resident corpus + fori_loop chunks (small corpora)")
     p.add_argument("--chunk", type=int, default=200)
     p.add_argument("--history", default=None, help="append per-interval metrics JSONL")
+    p.add_argument("--learn-alignment", dest="learn_alignment", action="store_true",
+                   default=None, help="force MAS alignment learning on")
+    p.add_argument("--no-learn-alignment", dest="learn_alignment", action="store_false",
+                   help="force the uniform-duration bootstrap (default: auto)")
+    p.add_argument("--gan", action="store_true",
+                   help="adversarial fine-tune of the vocoder (HiFi-GAN objective)")
     p.add_argument("--demo-corpus", default=None, metavar="DIR",
                    help="generate the deterministic formant corpus here (if absent) "
                         "and train device-resident on it — the TRAIN_EVAL.md recipe")

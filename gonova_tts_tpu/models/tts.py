@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from . import acoustic, speaker, vocoder, vocoder_folded, vocos
+from . import acoustic, aligner as aligner_mod, speaker, vocoder, vocoder_folded, vocos
 from .layers import Params
 
 
@@ -33,13 +33,18 @@ def _vocoder_forward(cfg: ModelConfig):
     return _vocoder_mod(cfg).forward
 
 
-def init(rng, cfg: ModelConfig) -> Params:
-    ka, kv, ks = jax.random.split(rng, 3)
-    return {
+def init(rng, cfg: ModelConfig, with_aligner: bool = False) -> Params:
+    """with_aligner=True adds the MAS aligner subtree (training from raw
+    (text, audio) pairs — models/aligner.py); serving never loads it."""
+    ka, kv, ks, kal = jax.random.split(rng, 4)
+    params = {
         "acoustic": acoustic.init(ka, cfg),
         "vocoder": _vocoder_mod(cfg).init(kv, cfg),
         "speaker": speaker.init(ks, cfg),
     }
+    if with_aligner:
+        params["aligner"] = aligner_mod.init(kal, cfg)
+    return params
 
 
 def synthesize(

@@ -210,8 +210,13 @@ def make_batch(
     examples: Sequence[Example],
     cfg: ModelConfig,
     token_buckets: Sequence[int] = (32, 64, 128, 192),
+    learn_alignment: bool = False,
 ) -> Dict[str, np.ndarray]:
-    """Collate examples into one static-shape supervised batch (train/step.py keys)."""
+    """Collate examples into one static-shape supervised batch (train/step.py keys).
+
+    learn_alignment=True: no duration targets are fabricated — the full mel/audio is
+    packed (durations stay 0, ignored by the step), and frame-level pitch ships as
+    `pitch_frames` for in-graph per-token pooling under the MAS segmentation."""
     b = len(examples)
     longest = max(len(e.tokens) for e in examples)
     bucket = pick_bucket(longest, token_buckets)
@@ -234,6 +239,8 @@ def make_batch(
         t_ref = max(e.ref_mel.shape[0] for e in examples if e.ref_mel is not None)
         batch["ref_mel"] = np.tile(silence_mel(cfg), (b, t_ref, 1))
         batch["ref_mask"] = np.zeros((b, t_ref), np.float32)
+    if learn_alignment:
+        batch["pitch_frames"] = np.zeros((b, t_cap), np.float32)
 
     for i, e in enumerate(examples):
         l = min(len(e.tokens), bucket)
@@ -246,6 +253,19 @@ def make_batch(
             tr = e.ref_mel.shape[0]
             batch["ref_mel"][i, :tr] = e.ref_mel
             batch["ref_mask"][i, : e.ref_frames] = 1.0
+        if learn_alignment:
+            # MAS extracts the text↔frame map in-graph; a monotonic path needs at
+            # least one frame per token.
+            if t < l:
+                raise ValueError(
+                    f"alignment learning needs >= 1 frame per token "
+                    f"({t} frames < {l} tokens)"
+                )
+            batch["mel"][i, :t] = e.mel[:t]
+            batch["frame_mask"][i, :t] = 1.0
+            batch["audio"][i, : t * hop] = e.audio[: t * hop]
+            batch["pitch_frames"][i, :t] = e.pitch_frames[:t]
+            continue
         if e.durations is not None:
             # External-aligner targets: clip per-token to the cap and truncate the
             # tail so the cumulative sum never exceeds the available frames.
@@ -286,6 +306,7 @@ class ManifestDataset:
         cache: bool = True,
         speaker_fn=None,
         ref_mel: bool = False,
+        learn_alignment: bool = False,
     ):
         self.entries = load_manifest(manifest_path)
         if not self.entries:
@@ -296,6 +317,7 @@ class ManifestDataset:
         self.seed = seed
         self.speaker_fn = speaker_fn
         self.ref_mel = ref_mel
+        self.learn_alignment = learn_alignment
         self._cache: Optional[List[Example]] = [] if cache else None
 
     def _examples(self) -> List[Example]:
@@ -328,13 +350,18 @@ class ManifestDataset:
                 n_real = len(group)
                 while len(group) < self.batch_size:
                     group.append(group[-1])
-                batch = make_batch(group, self.cfg, self.token_buckets)
+                batch = make_batch(
+                    group, self.cfg, self.token_buckets,
+                    learn_alignment=self.learn_alignment,
+                )
                 # Pad rows must contribute ZERO loss — repeating the last example
                 # as live rows would weight it n_pad+1 times per epoch (a real
                 # sampling bias on the small corpora this loader targets).
                 if n_real < self.batch_size:
                     for key in ("token_mask", "frame_mask", "durations", "pitch", "audio"):
                         batch[key][n_real:] = 0
+                    if "pitch_frames" in batch:
+                        batch["pitch_frames"][n_real:] = 0
                     # The multi-res STFT and GAN losses are NOT masked: pad rows
                     # must carry silence mel to match their zero audio, or they'd
                     # actively teach vocode(real mel) -> silence.

@@ -23,6 +23,14 @@ from .checkpoint import save_params
 logger = get_logger("gonova.train")
 
 
+def _serve_params(tree):
+    """Strip the aligner subtree before checkpointing: it exists to extract
+    durations during training; serving never evaluates it."""
+    if isinstance(tree, dict):
+        return {k: v for k, v in tree.items() if k != "aligner"}
+    return tree
+
+
 def make_speaker_fn(params, mcfg):
     """(audio[T] f32 @ model rate, sr) → speaker embedding, using the (frozen)
     speaker encoder — the same static-10s-buffer + masked-mean convention as
@@ -73,13 +81,25 @@ def train(
     resident: bool = False,
     chunk: int = 50,
     history_path: Optional[str] = None,
+    learn_alignment: Optional[bool] = None,
+    gan: bool = False,
+    gan_steps: Optional[int] = None,
+    gan_lr: float = 2e-4,
 ) -> dict:
     """Run `steps` optimization steps; returns final metrics.
 
     `resident=True` stacks the whole (small) dataset on device and runs `chunk`
     steps per jitted fori_loop call (see step.make_resident_train_chunk) — the
     right mode for overfit runs and this environment's tunneled TPU.
-    `history_path` appends one JSON line of mean metrics per logging interval."""
+    `history_path` appends one JSON line of mean metrics per logging interval.
+    `learn_alignment` None = auto: when the manifest supplies no duration targets,
+    alignment is LEARNED in-graph (MAS aligner, models/aligner.py) rather than
+    bootstrapped with a uniform spread — raw (text, audio) pairs suffice, like the
+    reference's external model.
+    `gan=True` appends an adversarial vocoder fine-tune (HiFi-GAN objective:
+    MPD+MSD discriminators, LSGAN + feature-matching + λ_mel) for `gan_steps`
+    (default: `steps`) after the joint phase; only the vocoder subtree trains, and
+    its EMA replaces the vocoder in the saved checkpoint."""
     config = config or load_config()
     mcfg = config.model
     try:  # persistent compile cache — tunnel compiles cost minutes, reruns seconds
@@ -109,8 +129,19 @@ def train(
             rounded = ((steps + chunk - 1) // chunk) * chunk
             logger.info("steps_rounded_to_chunk", requested=steps, actual=rounded)
             steps = rounded
+    if learn_alignment is None:
+        if manifest:
+            from .data import load_manifest
+
+            learn_alignment = not any(
+                "durations" in e for e in load_manifest(manifest)
+            )
+        else:
+            learn_alignment = False  # synthetic batches carry durations
     # One jitted init graph (eager init = one device round trip per tensor).
-    params = jax.jit(lambda k: tts.init(k, mcfg))(jax.random.PRNGKey(seed))
+    params = jax.jit(lambda k: tts.init(k, mcfg, with_aligner=learn_alignment))(
+        jax.random.PRNGKey(seed)
+    )
     # Cosine decay over the actual run length: short overfit runs otherwise sit at
     # peak LR for their whole duration and plateau on optimizer noise.
     optimizer = tstep.make_optimizer(lr=lr, warmup=warmup, decay_steps=max(steps, warmup + 1))
@@ -135,7 +166,9 @@ def train(
             manifest, mcfg, batch_size=batch_size,
             token_buckets=buckets, seed=seed,
             ref_mel=speaker_conditioning,
+            learn_alignment=learn_alignment,
         )
+        logger.info("alignment_mode", learned=learn_alignment)
 
         def batches():
             epoch = 0
@@ -194,7 +227,8 @@ def train(
             bucket=int(epoch_batches[0]["tokens"].shape[1]),
         )
         run_chunk, _ = tstep.make_resident_train_chunk(
-            mcfg, optimizer, epoch_batches, chunk=chunk, ema_decay=ema_decay
+            mcfg, optimizer, epoch_batches, chunk=chunk, ema_decay=ema_decay,
+            learn_alignment=learn_alignment,
         )
         ema = tstep.ema_init(state.params)
         t0 = time.time()
@@ -205,7 +239,7 @@ def train(
             done += chunk
             log_point(done, {k: v for k, v in metrics.items()}, t0)
             if checkpoint_dir and done % checkpoint_every < chunk and done < steps:
-                path = save_params(checkpoint_dir, jax.device_get(ema), step=done)
+                path = save_params(checkpoint_dir, _serve_params(jax.device_get(ema)), step=done)
                 logger.info("checkpoint_saved", path=path, kind="ema")
     else:
         use_mesh = (n_data or 0) > 1 or n_model > 1
@@ -213,11 +247,14 @@ def train(
         if use_mesh:
             mesh = make_mesh(n_data=n_data, n_model=n_model)
             step_fn, state = tstep.make_sharded_train_step(
-                mcfg, optimizer, mesh, state, example
+                mcfg, optimizer, mesh, state, example,
+                learn_alignment=learn_alignment,
             )
             logger.info("train_sharded", mesh=str(mesh.devices.shape))
         else:
-            step_fn = tstep.make_train_step(mcfg, optimizer)
+            step_fn = tstep.make_train_step(
+                mcfg, optimizer, learn_alignment=learn_alignment
+            )
 
         ema = tstep.ema_init(jax.device_get(state.params))
         ema_step = jax.jit(lambda e, p: tstep.ema_update(e, p, ema_decay))
@@ -232,13 +269,89 @@ def train(
             if (i + 1) % 50 == 0 or i == 0:
                 log_point(i + 1, metrics, t0)
             if checkpoint_dir and (i + 1) % checkpoint_every == 0:
-                path = save_params(checkpoint_dir, jax.device_get(ema), step=i + 1)
+                path = save_params(checkpoint_dir, _serve_params(jax.device_get(ema)), step=i + 1)
                 logger.info("checkpoint_saved", path=path, kind="ema")
+
+    if gan:
+        if not manifest:
+            raise ValueError("adversarial training needs a manifest corpus")
+        from ..models import vocoder as voc_mod
+
+        n_gan = gan_steps or steps
+        if resident and n_gan % chunk != 0:
+            n_gan = ((n_gan + chunk - 1) // chunk) * chunk
+        g_opt = tstep.make_optimizer(
+            lr=gan_lr, warmup=min(200, max(n_gan // 10, 1)), decay_steps=max(n_gan, 2)
+        )
+        d_opt = tstep.make_optimizer(
+            lr=gan_lr, warmup=min(200, max(n_gan // 10, 1)), decay_steps=max(n_gan, 2)
+        )
+        # Generator = the TRAINED vocoder subtree only: the acoustic/speaker weights
+        # get no adversarial gradient, and handing them to adamw anyway would decay
+        # them toward zero for the whole phase.
+        gen_params = {"vocoder": jax.device_get(state.params)["vocoder"]}
+        disc_params = {
+            "mpd": voc_mod.mpd_init(jax.random.PRNGKey(seed + 101)),
+            "msd": voc_mod.msd_init(jax.random.PRNGKey(seed + 102)),
+        }
+        gen_state = tstep.init_state(gen_params, g_opt)
+        disc_state = tstep.init_state(disc_params, d_opt)
+        logger.info("gan_phase_start", steps=n_gan, lr=gan_lr)
+
+        def log_gan(step_no, gm, t0):
+            vals = {k: round(float(v), 5) for k, v in gm.items()}
+            logger.info("gan_step", step=step_no, **vals)
+            if history:
+                import json
+
+                history.write(json.dumps({"phase": "gan", "step": step_no, **vals}) + "\n")
+                history.flush()
+
+        t0 = time.time()
+        gm = {}
+        if resident:
+            run_gan, _ = tstep.make_resident_gan_chunk(
+                mcfg, g_opt, d_opt, epoch_batches, chunk=chunk, ema_decay=ema_decay
+            )
+            ema_voc = tstep.ema_init(gen_state.params)
+            done = 0
+            while done < n_gan:
+                gen_state, disc_state, ema_voc, gm = run_gan(
+                    gen_state, disc_state, ema_voc, done
+                )
+                done += chunk
+                log_gan(done, gm, t0)
+        else:
+            d_step, g_step = tstep.make_gan_steps(mcfg, g_opt, d_opt)
+            ema_voc = tstep.ema_init(gen_state.params)
+            ema_step_g = jax.jit(lambda e, p: tstep.ema_update(e, p, ema_decay))
+            for i, batch in enumerate(batches()):
+                if i >= n_gan:
+                    break
+                disc_state, d_loss = d_step(
+                    disc_state, gen_state.params, batch["mel"], batch["audio"]
+                )
+                gen_state, g_metrics = g_step(
+                    gen_state, disc_state.params, batch["mel"], batch["audio"],
+                    batch["frame_mask"],
+                )
+                ema_voc = ema_step_g(ema_voc, gen_state.params)
+                gm = {"d": d_loss, **g_metrics}
+                if (i + 1) % 50 == 0 or i == 0:
+                    log_gan(i + 1, gm, t0)
+        # The adversarially-trained vocoder EMA replaces the L1-phase vocoder in
+        # the serving weights.
+        ema = dict(ema)
+        ema["vocoder"] = jax.device_get(ema_voc)["vocoder"]
+        metrics = {
+            **{k: float(v) for k, v in metrics.items()},
+            **{f"gan_{k}": float(v) for k, v in gm.items()},
+        }
 
     if history:
         history.close()
     if checkpoint_dir:
-        path = save_params(checkpoint_dir, jax.device_get(ema), step=steps)
+        path = save_params(checkpoint_dir, _serve_params(jax.device_get(ema)), step=steps)
         logger.info("checkpoint_saved", path=path, kind="ema")
     return {k: float(v) for k, v in metrics.items()}
 
@@ -264,6 +377,15 @@ def main() -> None:
     ap.add_argument("--chunk", type=int, default=50)
     ap.add_argument("--no-speaker-conditioning", action="store_true")
     ap.add_argument("--history", default=None, help="append per-interval metrics JSONL here")
+    ap.add_argument("--learn-alignment", dest="learn_alignment", action="store_true",
+                    default=None, help="force MAS alignment learning on")
+    ap.add_argument("--no-learn-alignment", dest="learn_alignment", action="store_false",
+                    help="force the uniform-duration bootstrap (default: auto — learn "
+                         "alignment when the manifest has no duration column)")
+    ap.add_argument("--gan", action="store_true",
+                    help="adversarial vocoder fine-tune after the joint phase")
+    ap.add_argument("--gan-steps", type=int, default=None)
+    ap.add_argument("--gan-lr", type=float, default=2e-4)
     args = ap.parse_args()
     config = load_config(args.config)
     out = train(
@@ -281,6 +403,10 @@ def main() -> None:
         chunk=args.chunk,
         speaker_conditioning=not args.no_speaker_conditioning,
         history_path=args.history,
+        learn_alignment=args.learn_alignment,
+        gan=args.gan,
+        gan_steps=args.gan_steps,
+        gan_lr=args.gan_lr,
     )
     print(out)
 

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import optax
 
 from ..config import ModelConfig
-from ..models import acoustic, tts, vocoder
+from ..models import acoustic, aligner, tts, vocoder
 from ..parallel import mesh as pmesh
 from . import losses
 
@@ -55,12 +55,23 @@ def tts_loss_fn(
     batch: Dict[str, jnp.ndarray],
     cfg: ModelConfig,
     dtype=jnp.float32,
+    learn_alignment: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Joint acoustic + vocoder loss on a supervised batch.
 
     batch keys: tokens [B,L], token_mask [B,L], speaker [B,S], exaggeration [B],
     durations [B,L], pitch [B,L], mel [B,T,n_mels], frame_mask [B,T], audio [B,T*hop];
-    optional ref_mel [B,T_ref,n_mels] + ref_mask [B,T_ref] (cloning training).
+    optional ref_mel [B,T_ref,n_mels] + ref_mask [B,T_ref] (cloning training);
+    pitch_frames [B,T] when learn_alignment.
+
+    learn_alignment=True (static): duration targets come from monotonic alignment
+    search over the in-graph aligner (models/aligner.py) instead of batch
+    ["durations"] — training needs only raw (text, audio) pairs, matching the
+    reference's external model which learns alignment internally
+    (services/tts/core/synthesizer.py:344-350). The forward-sum loss trains the
+    aligner; MAS durations (stop-grad) supervise the duration predictor and drive
+    the length regulator; pitch targets are re-pooled per token under the MAS
+    segmentation.
 
     When ref_mel is present the speaker embedding is computed IN-GRAPH from the
     reference clip, so the speaker encoder trains jointly and learns to separate
@@ -73,6 +84,25 @@ def tts_loss_fn(
         )
     else:
         spk = batch["speaker"]
+    align_metrics: Dict[str, jnp.ndarray] = {}
+    l_align = 0.0
+    if learn_alignment:
+        log_p = aligner.log_probs(
+            params["aligner"], batch["tokens"], batch["mel"], batch["token_mask"], dtype
+        )
+        l_fs = aligner.forward_sum_loss(log_p, batch["token_mask"], batch["frame_mask"])
+        durations = aligner.mas_durations(
+            jax.lax.stop_gradient(log_p), batch["token_mask"], batch["frame_mask"]
+        )
+        l_bin = aligner.bin_loss(log_p, durations, batch["frame_mask"])
+        pitch_tok = aligner.token_pitch(
+            batch["pitch_frames"], durations, batch["frame_mask"]
+        )
+        l_align = l_fs + 0.1 * l_bin
+        align_metrics = {"align_fs": l_fs, "align_bin": l_bin}
+    else:
+        durations = batch["durations"]
+        pitch_tok = batch["pitch"]
     ac = acoustic.forward(
         params["acoustic"],
         batch["tokens"],
@@ -80,11 +110,11 @@ def tts_loss_fn(
         spk,
         batch["exaggeration"],
         cfg,
-        durations=batch["durations"],
+        durations=durations,
         dtype=dtype,
     )
     l_ac, ac_parts = losses.acoustic_loss(
-        ac, batch["mel"], batch["durations"], batch["pitch"], batch["token_mask"]
+        ac, batch["mel"], durations, pitch_tok, batch["token_mask"]
     )
     # Vocoder trains on ground-truth mel (teacher forcing), per HiFi-GAN.
     wav_pred = tts.vocode(params, batch["mel"], cfg, dtype=dtype)
@@ -94,9 +124,10 @@ def tts_loss_fn(
     l_vmel = losses.mel_reconstruction_loss(
         wav_pred, batch["mel"], batch["frame_mask"], cfg
     )
-    total = l_ac + l_stft + 5.0 * l_vmel
+    total = l_ac + l_stft + 5.0 * l_vmel + l_align
     metrics = {
         **{f"ac_{k}": v for k, v in ac_parts.items()},
+        **align_metrics,
         "stft": l_stft,
         "voc_mel": l_vmel,
         "total": total,
@@ -104,13 +135,18 @@ def tts_loss_fn(
     return total, metrics
 
 
-def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation, dtype=jnp.float32):
+def make_train_step(
+    cfg: ModelConfig,
+    optimizer: optax.GradientTransformation,
+    dtype=jnp.float32,
+    learn_alignment: bool = False,
+):
     """Plain (unsharded) jitted train step."""
 
     @jax.jit
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         (loss, metrics), grads = jax.value_and_grad(tts_loss_fn, has_aux=True)(
-            state.params, batch, cfg, dtype
+            state.params, batch, cfg, dtype, learn_alignment
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -161,6 +197,7 @@ def make_sharded_train_step(
     state: TrainState,
     batch_example: Dict[str, jnp.ndarray],
     dtype=jnp.float32,
+    learn_alignment: bool = False,
 ):
     """pjit the full train step over the mesh with explicit in/out shardings.
 
@@ -172,7 +209,7 @@ def make_sharded_train_step(
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
         (loss, metrics), grads = jax.value_and_grad(tts_loss_fn, has_aux=True)(
-            state.params, batch, cfg, dtype
+            state.params, batch, cfg, dtype, learn_alignment
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -217,9 +254,9 @@ def make_sharded_gan_steps(
         params = optax.apply_updates(disc_state.params, updates)
         return TrainState(params, opt_state, disc_state.step + 1), loss
 
-    def g_step(gen_state: TrainState, disc_params, mel, audio_real):
+    def g_step(gen_state: TrainState, disc_params, mel, audio_real, frame_mask):
         (loss, metrics), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            gen_state.params, disc_params, mel, audio_real
+            gen_state.params, disc_params, mel, audio_real, frame_mask
         )
         updates, opt_state = g_opt.update(grads, gen_state.opt_state, gen_state.params)
         params = optax.apply_updates(gen_state.params, updates)
@@ -232,7 +269,7 @@ def make_sharded_gan_steps(
     )
     g_sharded = jax.jit(
         g_step,
-        in_shardings=(gen_sh, disc_sh.params, data3, data2),
+        in_shardings=(gen_sh, disc_sh.params, data3, data2, data2),
         out_shardings=(gen_sh, rep),
     )
     return (
@@ -253,6 +290,7 @@ def make_resident_train_chunk(
     chunk: int = 50,
     ema_decay: float = 0.999,
     dtype=jnp.float32,
+    learn_alignment: bool = False,
 ):
     """K optimization steps per device call over a device-resident corpus.
 
@@ -272,7 +310,7 @@ def make_resident_train_chunk(
 
     def one_step(state: TrainState, ema, batch):
         (loss, metrics), grads = jax.value_and_grad(tts_loss_fn, has_aux=True)(
-            state.params, batch, cfg, dtype
+            state.params, batch, cfg, dtype, learn_alignment
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -329,7 +367,7 @@ def _gan_loss_fns(cfg: ModelConfig, dtype=jnp.float32):
             loss = loss + losses.lsgan_discriminator_loss(real_outs, fake_outs)
         return loss
 
-    def g_loss_fn(gen_params, disc_params, mel, audio_real):
+    def g_loss_fn(gen_params, disc_params, mel, audio_real, frame_mask):
         audio_fake = tts.vocode(gen_params, mel, cfg, dtype=dtype)
         adv = 0.0
         fm = 0.0
@@ -338,9 +376,12 @@ def _gan_loss_fns(cfg: ModelConfig, dtype=jnp.float32):
             fake_outs = apply_fn(disc_params[key], audio_fake, dtype=dtype)
             adv = adv + losses.lsgan_generator_loss(fake_outs)
             fm = fm + losses.feature_matching_loss(real_outs, fake_outs)
-        stft = losses.multi_resolution_stft_loss(audio_fake, audio_real)
-        total = adv + 2.0 * fm + 45.0 * stft  # HiFi-GAN weighting (λ_fm=2, λ_mel=45)
-        return total, {"adv": adv, "fm": fm, "stft": stft}
+        # HiFi-GAN eq(7): L_G = L_adv + λ_fm·L_fm + λ_mel·L_mel (λ_fm=2, λ_mel=45);
+        # the mel term is the MEL-reconstruction L1 (paper §2.3), not a linear-STFT
+        # proxy — it is also exactly the metric eval_checkpoint grades.
+        l_mel = losses.mel_reconstruction_loss(audio_fake, mel, frame_mask, cfg)
+        total = adv + 2.0 * fm + 45.0 * l_mel
+        return total, {"adv": adv, "fm": fm, "mel": l_mel}
 
     return d_loss_fn, g_loss_fn
 
@@ -360,15 +401,93 @@ def make_gan_steps(cfg: ModelConfig, g_opt: optax.GradientTransformation, d_opt:
         return TrainState(params, opt_state, disc_state.step + 1), loss
 
     @jax.jit
-    def g_step(gen_state: TrainState, disc_params, mel, audio_real):
+    def g_step(gen_state: TrainState, disc_params, mel, audio_real, frame_mask):
         (loss, metrics), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            gen_state.params, disc_params, mel, audio_real
+            gen_state.params, disc_params, mel, audio_real, frame_mask
         )
         updates, opt_state = g_opt.update(grads, gen_state.opt_state, gen_state.params)
         params = optax.apply_updates(gen_state.params, updates)
         return TrainState(params, opt_state, gen_state.step + 1), metrics
 
     return d_step, g_step
+
+
+def make_resident_gan_chunk(
+    cfg: ModelConfig,
+    g_opt: optax.GradientTransformation,
+    d_opt: optax.GradientTransformation,
+    batches,
+    chunk: int = 50,
+    ema_decay: float = 0.999,
+    dtype=jnp.float32,
+):
+    """Adversarial fine-tune, device-resident (same pattern as
+    make_resident_train_chunk): the whole (mel, audio, frame_mask) corpus is stacked
+    on device and `chunk` alternating d/g step pairs run inside one jitted
+    fori_loop — one dispatch and one metrics readback per K pairs, which is what
+    makes a multi-thousand-step GAN run practical over the tunneled TPU.
+
+    Generator params are the {'vocoder': ...} SUBTREE only: passing the full
+    pipeline would let the optimizer's weight decay erode the acoustic/speaker
+    weights that receive no adversarial gradient.
+
+    Returns (run_chunk, stacked) where
+      run_chunk(gen_state, disc_state, ema, start) ->
+          (gen_state, disc_state, ema, mean_metrics)."""
+    d_loss_fn, g_loss_fn = _gan_loss_fns(cfg, dtype)
+    keys = ("mel", "audio", "frame_mask")
+    stacked = {k: jnp.stack([jnp.asarray(b[k]) for b in batches]) for k in keys}
+    n = len(batches)
+
+    def one_pair(gen_state: TrainState, disc_state: TrainState, ema, batch):
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(
+            disc_state.params, gen_state.params, batch["mel"], batch["audio"]
+        )
+        d_updates, d_opt_state = d_opt.update(
+            d_grads, disc_state.opt_state, disc_state.params
+        )
+        disc_state = TrainState(
+            optax.apply_updates(disc_state.params, d_updates),
+            d_opt_state,
+            disc_state.step + 1,
+        )
+        (g_loss, g_metrics), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            gen_state.params, disc_state.params, batch["mel"], batch["audio"],
+            batch["frame_mask"],
+        )
+        g_updates, g_opt_state = g_opt.update(
+            g_grads, gen_state.opt_state, gen_state.params
+        )
+        gen_state = TrainState(
+            optax.apply_updates(gen_state.params, g_updates),
+            g_opt_state,
+            gen_state.step + 1,
+        )
+        ema = ema_update(ema, gen_state.params, ema_decay)
+        return gen_state, disc_state, ema, {"d": d_loss, **g_metrics}
+
+    @jax.jit
+    def run_chunk(gen_state: TrainState, disc_state: TrainState, ema, start):
+        def body(i, carry):
+            gen_state, disc_state, ema, acc = carry
+            batch = jax.tree_util.tree_map(lambda x: x[(start + i) % n], stacked)
+            gen_state, disc_state, ema, metrics = one_pair(
+                gen_state, disc_state, ema, batch
+            )
+            acc = jax.tree_util.tree_map(lambda a, m: a + m, acc, metrics)
+            return gen_state, disc_state, ema, acc
+
+        batch0 = jax.tree_util.tree_map(lambda x: x[start % n], stacked)
+        _, _, _, m0 = jax.eval_shape(one_pair, gen_state, disc_state, ema, batch0)
+        acc0 = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), m0)
+        gen_state, disc_state, ema, acc = jax.lax.fori_loop(
+            0, chunk, body, (gen_state, disc_state, ema, acc0)
+        )
+        return gen_state, disc_state, ema, jax.tree_util.tree_map(
+            lambda a: a / chunk, acc
+        )
+
+    return run_chunk, stacked
 
 
 def synthetic_batch(cfg: ModelConfig, batch: int = 4, tokens: int = 16, seed: int = 0) -> Dict[str, jnp.ndarray]:

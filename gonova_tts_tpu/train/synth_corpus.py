@@ -177,19 +177,47 @@ def token_segment(
     return (1e-4 * rng.standard_normal(n)).astype(np.float32)
 
 
+def utterance_durations(ids: Sequence[int], text: str) -> List[int]:
+    """Deterministic VARIABLE per-token frame counts (mean ≈ FRAMES_PER_TOKEN).
+
+    Class-dependent base + seeded jitter keyed on (symbol, position, text) — so the
+    mapping is learnable (phone identity and position drive length) but NOT uniform:
+    a model that merely spreads frames evenly gets the alignment measurably wrong,
+    which is exactly what the aligner-learning eval needs to detect."""
+    out = []
+    for pos, tok in enumerate(ids):
+        sym = SYMBOLS[tok]
+        jitter = zlib.crc32(f"{sym}|{pos}|{text}".encode())
+        if sym in _VOWEL_FORMANTS:
+            dur = 4 + jitter % 4  # 4-7: vowels longest
+        elif sym in _SONORANT_FORMANTS:
+            dur = 3 + jitter % 3  # 3-5
+        elif sym in _NOISE_RECIPES:
+            dur = 3 + jitter % 2  # 3-4
+        elif sym in _STOP_RECIPES:
+            dur = 2 + jitter % 2  # 2-3
+        else:
+            dur = 2 + jitter % 4  # 2-5: silence/punctuation varies most
+        out.append(int(dur))
+    return out
+
+
 def synthesize_utterance(
-    text: str, speaker: Speaker, cfg: ModelConfig
+    text: str, speaker: Speaker, cfg: ModelConfig, variable: bool = False
 ) -> Tuple[np.ndarray, List[int]]:
-    """Text → (waveform, token ids); exactly FRAMES_PER_TOKEN frames per token."""
+    """Text → (waveform, token ids); FRAMES_PER_TOKEN frames per token, or the
+    deterministic `utterance_durations` spread when variable=True."""
     ids = text_to_ids(text)
-    n_seg = FRAMES_PER_TOKEN * cfg.hop_length
+    durs = utterance_durations(ids, text) if variable else [FRAMES_PER_TOKEN] * len(ids)
     segs = []
     n_tok = len(ids)
-    for pos, tok in enumerate(ids):
+    for pos, (tok, d) in enumerate(zip(ids, durs)):
         # Sentence-level declination: ~ +6% at start → -8% at end.
         frac = pos / max(n_tok - 1, 1)
         f0 = speaker.f0 * (1.06 - 0.14 * frac)
-        segs.append(token_segment(SYMBOLS[tok], speaker, f0, n_seg, cfg.sample_rate))
+        segs.append(
+            token_segment(SYMBOLS[tok], speaker, f0, d * cfg.hop_length, cfg.sample_rate)
+        )
     return np.concatenate(segs), ids
 
 
@@ -198,31 +226,46 @@ def generate_corpus(
     cfg: Optional[ModelConfig] = None,
     sentences: Sequence[str] = DEFAULT_SENTENCES,
     speakers: Sequence[Speaker] = DEFAULT_SPEAKERS,
+    variable: bool = False,
+    holdout: int = 0,
 ) -> str:
-    """Write WAVs + manifest + per-speaker reference clips; returns manifest path."""
+    """Write WAVs + manifest + per-speaker reference clips; returns manifest path.
+
+    variable=True renders `utterance_durations` per token (non-uniform; the corpus
+    for alignment-learning runs). holdout=N additionally writes
+    manifest_train.txt / manifest_heldout.txt with the LAST N sentences of every
+    speaker held out — the generalization split the training eval reports."""
     cfg = cfg or ModelConfig()
     os.makedirs(out_dir, exist_ok=True)
     lines = []
+    heldout_texts = set(sentences[-holdout:]) if holdout > 0 else set()
     for spk in speakers:
         # Reference clip (two concatenated sentences, >3 s): the per-speaker
         # conditioning audio for BOTH training (`ref=` manifest column) and cloning
         # eval — the model must key on this fixed embedding, exactly as serving does.
         ref = np.concatenate(
             [
-                synthesize_utterance(sentences[j % len(sentences)], spk, cfg)[0]
+                synthesize_utterance(sentences[j % len(sentences)], spk, cfg, variable)[0]
                 for j in (0, 4)
             ]
         )
         ref_path = os.path.join(out_dir, f"ref_{spk.name}.wav")
         write_wav(ref_path, ref, cfg.sample_rate)
         for i, text in enumerate(sentences):
-            wav, _ = synthesize_utterance(text, spk, cfg)
+            wav, _ = synthesize_utterance(text, spk, cfg, variable)
             path = os.path.join(out_dir, f"{spk.name}_{i:02d}.wav")
             write_wav(path, wav, cfg.sample_rate)
             lines.append(f"{path}|{text}|ref={ref_path}")
     manifest = os.path.join(out_dir, "manifest.txt")
     with open(manifest, "w") as f:
         f.write("\n".join(lines) + "\n")
+    if holdout > 0:
+        train_lines = [ln for ln in lines if ln.split("|")[1] not in heldout_texts]
+        held_lines = [ln for ln in lines if ln.split("|")[1] in heldout_texts]
+        with open(os.path.join(out_dir, "manifest_train.txt"), "w") as f:
+            f.write("\n".join(train_lines) + "\n")
+        with open(os.path.join(out_dir, "manifest_heldout.txt"), "w") as f:
+            f.write("\n".join(held_lines) + "\n")
     return manifest
 
 
@@ -231,8 +274,12 @@ def main() -> None:
 
     ap = argparse.ArgumentParser(description="generate the deterministic formant corpus")
     ap.add_argument("--out-dir", default="corpus")
+    ap.add_argument("--variable", action="store_true",
+                    help="non-uniform per-token durations (alignment-learning corpus)")
+    ap.add_argument("--holdout", type=int, default=0,
+                    help="hold out the last N sentences per speaker into manifest_heldout.txt")
     args = ap.parse_args()
-    manifest = generate_corpus(args.out_dir)
+    manifest = generate_corpus(args.out_dir, variable=args.variable, holdout=args.holdout)
     print(manifest)
 
 

@@ -175,8 +175,9 @@ def test_gan_steps_run(cfg, params):
     rng = np.random.default_rng(0)
     mel = jnp.asarray(rng.standard_normal((2, 16, cfg.n_mels)), jnp.float32)
     audio = jnp.asarray(0.1 * rng.standard_normal((2, 16 * 256)), jnp.float32)
+    fmask = jnp.ones((2, 16), jnp.float32)
     disc_state, d_loss = d_step(disc_state, gen_state.params, mel, audio)
-    gen_state, g_metrics = g_step(gen_state, disc_state.params, mel, audio)
+    gen_state, g_metrics = g_step(gen_state, disc_state.params, mel, audio, fmask)
     assert np.isfinite(float(d_loss))
     for v in g_metrics.values():
         assert np.isfinite(float(v))
@@ -188,6 +189,7 @@ def test_sharded_gan_steps_match_single_device(cfg, params):
     rng = np.random.default_rng(0)
     mel = jnp.asarray(rng.standard_normal((4, 16, cfg.n_mels)), jnp.float32)
     audio = jnp.asarray(0.1 * rng.standard_normal((4, 16 * 256)), jnp.float32)
+    fmask = jnp.ones((4, 16), jnp.float32)
     disc_params = {
         "mpd": vocoder.mpd_init(jax.random.PRNGKey(1)),
         "msd": vocoder.msd_init(jax.random.PRNGKey(2)),
@@ -199,7 +201,7 @@ def test_sharded_gan_steps_match_single_device(cfg, params):
         d_step, g_step = tstep.make_gan_steps(cfg, g_opt, d_opt)
         gs, ds = tstep.init_state(params, g_opt), tstep.init_state(disc_params, d_opt)
         ds, d_loss = d_step(ds, gs.params, mel, audio)
-        gs, g_metrics = g_step(gs, ds.params, mel, audio)
+        gs, g_metrics = g_step(gs, ds.params, mel, audio, fmask)
         return float(d_loss), {k: float(v) for k, v in g_metrics.items()}, gs
 
     def run_sharded():
@@ -214,7 +216,7 @@ def test_sharded_gan_steps_match_single_device(cfg, params):
         w = ds.params["mpd"]["subs"][0]["convs"][1]["w"]
         assert not w.sharding.is_fully_replicated
         ds, d_loss = d_step(ds, gs.params, mel, audio)
-        gs, g_metrics = g_step(gs, ds.params, mel, audio)
+        gs, g_metrics = g_step(gs, ds.params, mel, audio, fmask)
         return float(d_loss), {k: float(v) for k, v in g_metrics.items()}, gs
 
     d1, m1, gs1 = run_single()

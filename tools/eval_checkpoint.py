@@ -31,6 +31,12 @@ def main() -> None:
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--corpus", required=True, help="synth_corpus output dir")
     ap.add_argument("--sentences", type=int, default=3, help="held-in sentences to grade")
+    ap.add_argument("--heldout", type=int, default=0,
+                    help="also grade the LAST N sentences (the generalization split "
+                         "written by synth_corpus --holdout)")
+    ap.add_argument("--variable", action="store_true",
+                    help="corpus was generated with --variable: grade per-token "
+                         "durations against utterance_durations ground truth")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--f32", action="store_true", help="serve in float32 (default bf16)")
     args = ap.parse_args()
@@ -114,20 +120,34 @@ def main() -> None:
         t = min(len(m_gt), len(m2))
         return float(np.abs(m2[:t] - m_gt[:t]).mean())
 
-    recon = []
-    for spk in DEFAULT_SPEAKERS:
-        for i in range(args.sentences):
-            text = DEFAULT_SENTENCES[i]
-            gt, sr = read_wav(os.path.join(args.corpus, f"{spk.name}_{i:02d}.wav"))
-            gt = np.asarray(gt, np.float32)
-            out = engine.synthesize_batch([text], speakers=[ref_embs[spk.name]])[0]
-            m_gt, m_out = mel_of(gt), mel_of(out)
-            m_ac = acoustic_mel_pred(text, ref_embs[spk.name])
-            t = min(len(m_gt), len(m_out))
-            ta = min(len(m_gt), len(m_ac))
-            d = m_out[:t] - m_gt[:t]
-            recon.append(
-                {
+    def predicted_durations(text: str, emb: np.ndarray):
+        ids = text_to_ids(text)
+        bucket = 64
+        tokens = np.zeros((1, bucket), np.int32)
+        tokens[0, : len(ids)] = ids[:bucket]
+        mask = (np.arange(bucket)[None] < len(ids)).astype(np.float32)
+        out = tmodel.acoustic_mel(
+            engine.params, jnp.asarray(tokens), jnp.asarray(mask),
+            jnp.asarray(emb, jnp.float32)[None],
+            jnp.full((1,), 0.5, jnp.float32), mcfg,
+            dtype=engine.compute_dtype,
+        )
+        return np.asarray(out["durations"], np.int32)[0, : len(ids)]
+
+    def grade(sentence_indices):
+        recon = []
+        for spk in DEFAULT_SPEAKERS:
+            for i in sentence_indices:
+                text = DEFAULT_SENTENCES[i]
+                gt, sr = read_wav(os.path.join(args.corpus, f"{spk.name}_{i:02d}.wav"))
+                gt = np.asarray(gt, np.float32)
+                out = engine.synthesize_batch([text], speakers=[ref_embs[spk.name]])[0]
+                m_gt, m_out = mel_of(gt), mel_of(out)
+                m_ac = acoustic_mel_pred(text, ref_embs[spk.name])
+                t = min(len(m_gt), len(m_out))
+                ta = min(len(m_gt), len(m_ac))
+                d = m_out[:t] - m_gt[:t]
+                row = {
                     "mel_l1": float(np.abs(d).mean()),
                     "mel_mse": float((d**2).mean()),
                     # MCD over log-mel (dB-scaled L2 per frame, standard 10/ln10·√2)
@@ -139,13 +159,43 @@ def main() -> None:
                     "voc_floor_mel_l1": vocoder_floor(gt),
                     "len_ratio": float(len(m_out) / max(len(m_gt), 1)),
                 }
-            )
-    mel_l1 = float(np.mean([r["mel_l1"] for r in recon]))
-    mel_mse = float(np.mean([r["mel_mse"] for r in recon]))
-    mcd = float(np.mean([r["mcd_db"] for r in recon]))
-    ac_l1 = float(np.mean([r["acoustic_mel_l1"] for r in recon]))
-    floor_l1 = float(np.mean([r["voc_floor_mel_l1"] for r in recon]))
-    len_ratio = float(np.mean([r["len_ratio"] for r in recon]))
+                if args.variable:
+                    # Per-token duration accuracy vs the corpus generator's ground
+                    # truth — the direct evidence that alignment was LEARNED (the
+                    # manifest carries no durations; uniform spreading would score
+                    # mae ≈ the jitter amplitude with ~zero correlation).
+                    from gonova_tts_tpu.train.synth_corpus import utterance_durations
+
+                    ids = text_to_ids(text)
+                    true_d = np.asarray(utterance_durations(ids, text), np.float64)
+                    pred_d = predicted_durations(text, ref_embs[spk.name]).astype(np.float64)
+                    row["dur_mae_frames"] = float(np.abs(pred_d - true_d).mean())
+                    if true_d.std() > 0 and pred_d.std() > 0:
+                        row["dur_corr"] = float(np.corrcoef(pred_d, true_d)[0, 1])
+                recon.append(row)
+        agg = {
+            "mel_l1": float(np.mean([r["mel_l1"] for r in recon])),
+            "mel_mse": float(np.mean([r["mel_mse"] for r in recon])),
+            "mcd_db": float(np.mean([r["mcd_db"] for r in recon])),
+            "acoustic_mel_l1": float(np.mean([r["acoustic_mel_l1"] for r in recon])),
+            "voc_floor_mel_l1": float(np.mean([r["voc_floor_mel_l1"] for r in recon])),
+            "len_ratio": float(np.mean([r["len_ratio"] for r in recon])),
+        }
+        if args.variable:
+            agg["dur_mae_frames"] = float(np.mean([r["dur_mae_frames"] for r in recon]))
+            corrs = [r["dur_corr"] for r in recon if "dur_corr" in r]
+            if corrs:
+                agg["dur_corr"] = float(np.mean(corrs))
+        return agg
+
+    held_in = grade(range(args.sentences))
+    mel_l1, mel_mse, mcd = held_in["mel_l1"], held_in["mel_mse"], held_in["mcd_db"]
+    ac_l1, floor_l1 = held_in["acoustic_mel_l1"], held_in["voc_floor_mel_l1"]
+    len_ratio = held_in["len_ratio"]
+    held_out = None
+    if args.heldout > 0:
+        n = len(DEFAULT_SENTENCES)
+        held_out = grade(range(n - args.heldout, n))
 
     # 2. Streaming exactness on trained weights.
     spk0 = DEFAULT_SPEAKERS[0]
@@ -187,6 +237,20 @@ def main() -> None:
         "clone_cross_voice_mean": round(float(np.mean(cross)), 4),
         "clone_margin": round(margin, 4),
     }
+    if args.variable and "dur_mae_frames" in held_in:
+        result["held_in_dur_mae_frames"] = round(held_in["dur_mae_frames"], 3)
+        result["held_in_dur_corr"] = round(held_in.get("dur_corr", 0.0), 4)
+    if held_out is not None:
+        result["held_out_mel_l1"] = round(held_out["mel_l1"], 4)
+        result["held_out_mcd_db"] = round(held_out["mcd_db"], 3)
+        result["held_out_acoustic_mel_l1"] = round(held_out["acoustic_mel_l1"], 4)
+        result["held_out_len_ratio"] = round(held_out["len_ratio"], 4)
+        result["generalization_gap_mel_l1"] = round(
+            held_out["mel_l1"] - held_in["mel_l1"], 4
+        )
+        if args.variable and "dur_mae_frames" in held_out:
+            result["held_out_dur_mae_frames"] = round(held_out["dur_mae_frames"], 3)
+            result["held_out_dur_corr"] = round(held_out.get("dur_corr", 0.0), 4)
     print(json.dumps(result))
     sys.exit(0 if margin > 0 else 1)
 
