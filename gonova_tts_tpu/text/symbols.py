@@ -26,7 +26,14 @@ CONSONANTS = [
 ]
 PHONEMES = VOWELS + CONSONANTS
 
-SYMBOLS: List[str] = [PAD, BOS, EOS, WORD_SEP] + PUNCTUATION + PHONEMES
+# Stress-marked vowels (ARPAbet convention: 0 unstressed / 1 primary / 2
+# secondary). APPENDED after the stressless inventory so every pre-stress id —
+# and therefore every trained embedding row and vendored checkpoint — keeps its
+# meaning; the stressless vowels remain valid symbols (used whenever stress is
+# disabled or unknown).
+STRESSED_VOWELS = [f"{v}{s}" for v in VOWELS for s in ("0", "1", "2")]
+
+SYMBOLS: List[str] = [PAD, BOS, EOS, WORD_SEP] + PUNCTUATION + PHONEMES + STRESSED_VOWELS
 
 _SYMBOL_TO_ID: Dict[str, int] = {s: i for i, s in enumerate(SYMBOLS)}
 

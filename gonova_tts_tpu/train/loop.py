@@ -296,6 +296,11 @@ def train(
         }
         gen_state = tstep.init_state(gen_params, g_opt)
         disc_state = tstep.init_state(disc_params, d_opt)
+        if checkpoint_dir:
+            # The joint-phase EMA is the L1-only baseline the GAN result is graded
+            # against; persist it before the vocoder diverges.
+            path = save_params(checkpoint_dir, _serve_params(jax.device_get(ema)), step=steps)
+            logger.info("checkpoint_saved", path=path, kind="ema_pre_gan")
         logger.info("gan_phase_start", steps=n_gan, lr=gan_lr)
 
         def log_gan(step_no, gm, t0):
@@ -351,7 +356,10 @@ def train(
     if history:
         history.close()
     if checkpoint_dir:
-        path = save_params(checkpoint_dir, _serve_params(jax.device_get(ema)), step=steps)
+        final_step = steps + (n_gan if gan else 0)
+        path = save_params(
+            checkpoint_dir, _serve_params(jax.device_get(ema)), step=final_step
+        )
         logger.info("checkpoint_saved", path=path, kind="ema")
     return {k: float(v) for k, v in metrics.items()}
 

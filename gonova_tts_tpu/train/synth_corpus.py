@@ -142,6 +142,8 @@ def token_segment(
 ) -> np.ndarray:
     """Render one token's fixed-length audio segment. Deterministic per
     (symbol, speaker, quantized f0)."""
+    if symbol and symbol[-1] in "012":
+        symbol = symbol[:-1]  # stress-marked vowels render as their base vowel
     # zlib.crc32 (not hash(): string hashing is per-process randomized) keeps the
     # corpus byte-identical across runs.
     seed = zlib.crc32(f"{symbol}|{speaker.name}".encode())
@@ -187,6 +189,8 @@ def utterance_durations(ids: Sequence[int], text: str) -> List[int]:
     out = []
     for pos, tok in enumerate(ids):
         sym = SYMBOLS[tok]
+        if sym and sym[-1] in "012":
+            sym = sym[:-1]  # stress marks don't change the segment class
         jitter = zlib.crc32(f"{sym}|{pos}|{text}".encode())
         if sym in _VOWEL_FORMANTS:
             dur = 4 + jitter % 4  # 4-7: vowels longest

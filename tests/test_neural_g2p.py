@@ -129,3 +129,14 @@ def test_vendored_weights_decode_known_words():
     out = ng.predict_word("hello")
     assert out, "vendored weights must produce a nonempty pronunciation"
     assert all(p in set(ng._PHON_TO_ID) for p in out)
+
+
+def test_tree_skeleton_matches_init_structure():
+    """load_weights rebuilds the param tree from _tree_skeleton (init() costs ~30
+    XLA compiles — it tripped first-call service timeouts). The two must stay
+    structurally identical or vendored weights would unflatten into wrong slots."""
+    import jax
+
+    ref = jax.tree_util.tree_structure(ng.init(jax.random.PRNGKey(0)))
+    sk = jax.tree_util.tree_structure(ng._tree_skeleton())
+    assert ref == sk

@@ -72,17 +72,35 @@ def main() -> None:
     )
 
     # 2b. Neural G2P on the same held-out split (when vendored weights exist).
+    # Graded stressless AND with stress (vs the rule-derived stressed gold —
+    # text/stress.py documents the no-gold-stress-data caveat: this measures how
+    # well the model learned the stress RULES on unseen words).
     neural = None
+    neural_stress = None
     from gonova_tts_tpu.text import neural_g2p
+    from gonova_tts_tpu.text.stress import assign_stress, strip_stress
 
     if neural_g2p.available():
         # numpy inference path (backend-free; no jit compile through the TPU tunnel).
-        pairs = []
+        pairs, spairs = [], []
+        stress_base_ok = stress_full_ok = 0
         for w in sorted(held_out):
             pred = neural_g2p.predict_word(w)
-            if pred is not None:
-                pairs.append((pred, held_out[w]))
+            if pred is None:
+                continue
+            gold_s = assign_stress(w, held_out[w])
+            pred_plain = strip_stress(pred)
+            pairs.append((pred_plain, held_out[w]))
+            spairs.append((pred, gold_s))
+            if pred_plain == held_out[w]:
+                stress_base_ok += 1
+                stress_full_ok += pred == gold_s
         neural = grade(pairs)
+        if any(p and p[-1] in "012" for pred, _ in spairs for p in pred):
+            neural_stress = grade(spairs)
+            neural_stress["stress_acc_given_phonemes"] = round(
+                stress_full_ok / max(stress_base_ok, 1), 4
+            )
 
     # 3. Homograph spot checks.
     homo_cases = [
@@ -106,6 +124,7 @@ def main() -> None:
                 "full_pipeline": full,
                 "lts_held_out": lts,
                 "neural_held_out": neural,
+                "neural_held_out_with_stress": neural_stress,
                 "homographs_ok": f"{homo_ok}/{len(homo_cases)}",
             }
         )

@@ -102,11 +102,32 @@ def morph_derive(word: str, phons):
 
     # un- prefix (pronunciation is fully regular regardless of lexicality)
     out["un" + word] = ["AH", "N"] + phons
+    # re- prefix, same reasoning.
+    out["re" + word] = ["R", "IY"] + phons
+
+    # Derivational suffixes with invariant pronunciations.
+    out[word + "ful"] = phons + ["F", "UH", "L"]
+    out[word + "less"] = phons + ["L", "AH", "S"]
+    out[word + "ment"] = phons + ["M", "AH", "N", "T"]
+    if not word.endswith(("s", "sh", "ch", "e")):
+        out[word + "ish"] = phons + ["IH", "SH"]
+    # -est (superlative): same stem orthography as -er.
+    if word.endswith("e") and not word.endswith("ee"):
+        out[word + "st"] = phons + ["AH", "S", "T"]
+    elif word.endswith("y") and len(word) > 2 and word[-2] not in _VOWELS:
+        if last == "IY":
+            out[word[:-1] + "iest"] = phons[:-1] + ["IY", "AH", "S", "T"]
+    elif not _cvc_risky(word):
+        out[word + "est"] = phons + ["AH", "S", "T"]
+    # -able (drop final silent e).
+    able_stem = word[:-1] if word.endswith("e") and not word.endswith("ee") else word
+    if not _cvc_risky(word):
+        out[able_stem + "able"] = phons + ["AH", "B", "AH", "L"]
 
     return {w: p for w, p in out.items() if p is not None}
 
 
-def build_dataset(augment: bool = True):
+def build_dataset(augment: bool = True, stress: bool = True):
     gold = dict(VENDORED_LEXICON)
     merged = {**gold, **{w: p for w, p in LEXICON.items() if w not in gold}}
     # Encodability filter FIRST (matches tools/g2p_eval.py's universe): a word the
@@ -131,6 +152,18 @@ def build_dataset(augment: bool = True):
                 if dw not in merged and dw not in derived and dw not in held:
                     derived[dw] = dp
         train.update(derived)
+    if stress:
+        # Stress-marked targets (rule-derived — text/stress.py documents the
+        # no-gold-data caveat). Morphology above ran on stressless phones (its
+        # phoneme-class tables are stressless); marks go on LAST so the derived
+        # spellings get stress from their own full form.
+        from gonova_tts_tpu.text.stress import assign_stress
+
+        train = {w: assign_stress(w, p) for w, p in train.items()}
+        held = {w: assign_stress(w, p) for w, p in held.items()}
+        # Re-filter encodability: stress marks lengthen nothing, but the stressed
+        # ids must exist in the vocab (they do; belt and braces).
+        train = {w: p for w, p in train.items() if ng.encode_phonemes(p) is not None}
     train_x, train_y = [], []
     for w, phons in sorted(train.items()):
         cx, cy = ng.encode_word(w), ng.encode_phonemes(phons)
@@ -150,9 +183,11 @@ def main() -> None:
     ap.add_argument("--weight-decay", type=float, default=3e-3)
     ap.add_argument("--label-smooth", type=float, default=0.1)
     ap.add_argument("--no-save", action="store_true")
+    ap.add_argument("--no-stress", action="store_true",
+                    help="train stressless targets (pre-round-3 behavior)")
     args = ap.parse_args()
 
-    x, y, held = build_dataset()
+    x, y, held = build_dataset(stress=not args.no_stress)
     print(f"train pairs: {len(x)}, held-out: {len(held)}", flush=True)
 
     params = ng.init(jax.random.PRNGKey(args.seed))
@@ -200,9 +235,27 @@ def main() -> None:
     words = sorted(held)
     hx = np.stack([ng.encode_word(w) for w in words])
     pred_ids = np.asarray(ng.greedy_decode(params, jnp.asarray(hx)))
-    neural = grade([(ng.decode_ids(pred_ids[i]), held[w]) for i, w in enumerate(words)])
-    lts = grade([(_word_to_phonemes_lts(w.replace("'", "")), held[w]) for w in words])
-    print(json.dumps({"held_out_neural": neural, "held_out_lts": lts}), flush=True)
+    preds = [ng.decode_ids(pred_ids[i]) for i in range(len(words))]
+    neural = grade([(preds[i], held[w]) for i, w in enumerate(words)])
+    report = {"held_out_neural": neural}
+    if not args.no_stress:
+        from gonova_tts_tpu.text.stress import strip_stress
+
+        report["held_out_neural_stressless"] = grade(
+            [(strip_stress(preds[i]), strip_stress(held[w])) for i, w in enumerate(words)]
+        )
+        base_ok = [
+            i for i, w in enumerate(words)
+            if strip_stress(preds[i]) == strip_stress(held[w])
+        ]
+        report["stress_acc_given_phonemes"] = round(
+            sum(preds[i] == held[words[i]] for i in base_ok) / max(len(base_ok), 1), 4
+        )
+    lts_refs = {w: strip_stress(held[w]) for w in words} if not args.no_stress else held
+    report["held_out_lts_stressless"] = grade(
+        [(_word_to_phonemes_lts(w.replace("'", "")), lts_refs[w]) for w in words]
+    )
+    print(json.dumps(report), flush=True)
 
     if not args.no_save:
         ng.save_weights(params)
