@@ -6,14 +6,18 @@ from raw (text, audio) pairs. This module gives the in-repo FastPitch-class stac
 same capability: duration targets are EXTRACTED from the data rather than supplied by
 a manifest or an external forced aligner.
 
-Design (RAD-TTS / "One TTS Alignment To Rule Them All" style, built TPU-first):
+Design (Glow-TTS-style likelihood alignment; see log_probs for the measured
+failure analysis that drove it):
 
-  * a small convolutional text encoder (own token embedding — decoupled from the
-    acoustic encoder so the aligner cannot be starved by acoustic-loss gradients)
-    and mel encoder project both sides into one space; the alignment score is the
-    negative squared L2 distance, log-softmax-normalized over tokens per frame;
+  * a per-token MLP head (own token embedding — decoupled from the acoustic
+    encoder so the aligner cannot be starved by acoustic-loss gradients) predicts
+    a mel-space PROTOTYPE per token; the frame "query" is the CMN-normalized
+    short-window mel frame itself (data.py's `align_mel`, win = hop — no learned
+    mel encoder, no cross-frame blur); the alignment score is the negative
+    temperature-scaled squared distance plus a learnable normalized-position
+    diagonal term, log-softmax-normalized over tokens per frame;
   * `forward_sum_loss` — the differentiable CTC-like marginalization over all
-    monotonic paths — trains the projections;
+    monotonic paths — trains the prototypes;
   * `mas_durations` — Viterbi over the same scores — extracts hard per-token
     durations that supervise the duration predictor and drive the length regulator
     during training.
@@ -41,24 +45,52 @@ _NEG_INF = -1e9
 
 
 def init(rng, cfg: ModelConfig, dim: int = 128) -> Params:
-    """Text + mel projection stacks. `dim` is the shared alignment space.
+    """Token→mel-prototype head (Glow-TTS-style likelihood alignment).
 
-    The TEXT side is context-INDEPENDENT (kernel-1 convs — a per-token MLP over
-    the embedding): with context-sensitive keys the saturated softmax admits
-    degenerate solutions where "token x in context y" imitates a neighbor's
-    acoustics and MAS extracts a wrong segmentation at zero loss (measured on a
-    permuted-prototype toy: max duration error 5 frames with k=3 keys vs 2 — the
-    mel-side boundary blur — with k=1). Phoneme identity anchors the alignment
-    space; acoustic context stays on the mel side."""
-    ks = jax.random.split(rng, 6)
+    There is deliberately NO learned mel-side encoder (see log_probs: the frame
+    "query" is the CMN-normalized mel frame itself). `dim` is the hidden width
+    of the per-token prototype MLP; the TEXT side is context-INDEPENDENT
+    (kernel-1 convs — a per-token MLP over the embedding), so a symbol has one
+    prototype and alignment is anchored to phoneme identity."""
+    ks = jax.random.split(rng, 3)
     return {
         "embed": layers.embedding_init(ks[0], cfg.vocab_size, dim),
         "t_c1": layers.conv1d_init(ks[1], dim, dim, 1),
-        "t_c2": layers.conv1d_init(ks[2], dim, dim, 1),
-        "m_c1": layers.conv1d_init(ks[3], cfg.n_mels, dim * 2, 3),
-        "m_c2": layers.conv1d_init(ks[4], dim * 2, dim, 3),
-        "m_c3": layers.conv1d_init(ks[5], dim, dim, 1),
+        "t_c2": layers.conv1d_init(ks[2], dim, cfg.n_mels, 1),
+        # Learnable distance temperature (softplus'd): scores =
+        # -softplus(temp) * mean-squared CMN-mel distance.
+        "temp": jnp.asarray(1.0, jnp.float32),
+        # Learnable normalized-position diagonal coefficient (softplus'd in
+        # log_probs; init ~100 ↔ a Gaussian prior of width 0.07 in normalized
+        # coordinates). See log_probs for why this is load-bearing.
+        "diag": jnp.asarray(100.0, jnp.float32),
     }
+
+
+def diagonal_prior(
+    token_mask: jnp.ndarray,  # [B, L]
+    frame_mask: jnp.ndarray,  # [B, T]
+    sigma: float = 0.12,
+) -> jnp.ndarray:
+    """Static near-diagonal alignment prior, log-space, [B, T, L].
+
+    The forward-sum objective alone has strong off-diagonal local optima — with
+    random-init projections the soft alignment mass lands on arbitrary tokens and
+    the gradient reinforces whatever it lands on (measured here: dur_corr
+    plateaus ≈0.2 on the variable-duration corpus with no prior). RAD-TTS and
+    "One TTS Alignment To Rule Them All" solve this with a static 2D
+    near-diagonal prior over normalized positions, annealed away once the learned
+    scores carry the alignment. Gaussian in normalized coordinates (the
+    beta-binomial of the papers has the same shape; a Gaussian keeps it one fused
+    VPU expression): -0.5 * ((j+.5)/L_b - (t+.5)/T_b)^2 / sigma^2, per-sample
+    valid lengths from the masks. Added to the UNNORMALIZED scores (pre-softmax),
+    so the result stays a proper log-distribution over tokens."""
+    l_valid = jnp.maximum(jnp.sum(token_mask, axis=-1), 1.0)  # [B]
+    t_valid = jnp.maximum(jnp.sum(frame_mask, axis=-1), 1.0)  # [B]
+    t_pos = (jnp.arange(frame_mask.shape[1])[None, :] + 0.5) / t_valid[:, None]
+    j_pos = (jnp.arange(token_mask.shape[1])[None, :] + 0.5) / l_valid[:, None]
+    d = t_pos[:, :, None] - j_pos[:, None, :]  # [B, T, L]
+    return -0.5 * (d / sigma) ** 2
 
 
 def log_probs(
@@ -67,20 +99,68 @@ def log_probs(
     mel: jnp.ndarray,  # [B, T, n_mels]
     token_mask: jnp.ndarray,  # [B, L]
     dtype=jnp.float32,
+    prior: jnp.ndarray = None,  # [B, T, L] log-space (diagonal_prior), optional
+    frame_mask: jnp.ndarray = None,  # [B, T]; None = all frames valid
 ) -> jnp.ndarray:
-    """log p(token j | frame t): [B, T, L], log-softmax over valid tokens."""
+    """log p(token j | frame t): [B, T, L], log-softmax over valid tokens.
+
+    Scores = -softplus(temp) * mean-squared distance between the CMN-normalized
+    mel FRAME (the query is the data itself — no learned mel encoder) and a
+    per-token predicted mel PROTOTYPE, plus a learnable normalized-position
+    diagonal term. Both design points are load-bearing, established by measured
+    failures of the usual two-tower encoder design on the deterministic corpus:
+
+    * No mel encoder: with a learned conv encoder (RF 5) the forward-sum
+      objective is satisfied by ANY monotone segmentation the encoder can
+      memorize per utterance — it confidently (p~0.99, loss 0.06) learned a
+      systematically time-warped alignment (vowels absorbing 13-26 frames,
+      dur MAE 4.4, corr 0.23), and mel-noise + k=1 ablations didn't recover.
+      With the raw (CMN'd) frame as the query, a warped segment forces the
+      symbol's shared prototype to cover alien frames at real L2 cost, so the
+      true segmentation — the monotone, symbol-tied k-means optimum — is the
+      objective's minimum (Glow-TTS's likelihood-MAS argument with an
+      identity-covariance Gaussian per token).
+
+    * Position term: text keys are context-independent (identical symbols →
+      identical prototypes), so on content alone a correct frame scores at most
+      1/multiplicity under the per-frame softmax — on real sentences (8× "<sp>",
+      3× "S", ...) the TRUE alignment pays -log(multiplicity) per frame and
+      LOSES to parking ~all frames on one unique-symbol token at p~0.9 with
+      1-frame visits elsewhere (measured: dur MAE 4.8, corr 0.13, even with an
+      annealed static prior). (t/T - j/L) in the score makes each occurrence
+      distinct and far-off-diagonal hogging expensive; the coefficient is
+      learnable (softplus, init ~100 ≈ Gaussian width 0.07 normalized).
+
+    CMN (per-utterance cepstral mean subtraction over valid frames) removes the
+    speaker's average loudness/tilt so shared prototypes fit across speakers."""
     keys = layers.embedding(p["embed"], tokens, dtype)
     keys = layers.conv1d(p["t_c1"], keys, dtype=dtype)
-    keys = layers.conv1d(p["t_c2"], jax.nn.relu(keys), dtype=dtype)  # [B, L, D]
-    q = layers.conv1d(p["m_c1"], mel.astype(dtype), dtype=dtype)
-    q = layers.conv1d(p["m_c2"], jax.nn.relu(q), dtype=dtype)
-    q = layers.conv1d(p["m_c3"], jax.nn.relu(q), dtype=dtype)  # [B, T, D]
-    # -||q - k||^2 via the expanded form: three MXU/VPU-friendly contractions
-    # instead of materializing [B, T, L, D].
+    keys = layers.conv1d(p["t_c2"], jax.nn.relu(keys), dtype=dtype)  # [B, L, n_mels]
+    if frame_mask is None:
+        fm = jnp.ones(mel.shape[:2], dtype)
+    else:
+        fm = frame_mask.astype(dtype)
+    denom = jnp.maximum(jnp.sum(fm, axis=1, keepdims=True), 1.0)[..., None]
+    cmn = jnp.sum(mel.astype(dtype) * fm[:, :, None], axis=1, keepdims=True) / denom
+    q = mel.astype(dtype) - cmn  # [B, T, n_mels]
+    # ||q - k||^2 / n_mels via the expanded form — one MXU contraction, no
+    # [B, T, L, n_mels] materialization.
     qq = jnp.sum(q * q, axis=-1)[:, :, None]  # [B, T, 1]
     kk = jnp.sum(keys * keys, axis=-1)[:, None, :]  # [B, 1, L]
     qk = jnp.einsum("btd,bld->btl", q, keys, preferred_element_type=dtype)
-    scores = -(qq - 2.0 * qk + kk) / jnp.sqrt(jnp.asarray(q.shape[-1], dtype))
+    dist = (qq - 2.0 * qk + kk) / q.shape[-1]
+    scores = -jax.nn.softplus(p["temp"]).astype(dtype) * dist
+    l_valid = jnp.maximum(jnp.sum(token_mask, axis=-1), 1.0)  # [B]
+    if frame_mask is None:
+        t_valid = jnp.full((tokens.shape[0],), mel.shape[1], jnp.float32)
+    else:
+        t_valid = jnp.maximum(jnp.sum(frame_mask, axis=-1), 1.0)
+    t_pos = (jnp.arange(mel.shape[1])[None, :] + 0.5) / t_valid[:, None]
+    j_pos = (jnp.arange(tokens.shape[1])[None, :] + 0.5) / l_valid[:, None]
+    d = (t_pos[:, :, None] - j_pos[:, None, :]).astype(scores.dtype)
+    scores = scores - jax.nn.softplus(p["diag"]).astype(scores.dtype) * d * d
+    if prior is not None:
+        scores = scores + prior.astype(scores.dtype)
     scores = jnp.where(token_mask[:, None, :] > 0, scores, _NEG_INF)
     return jax.nn.log_softmax(scores.astype(jnp.float32), axis=-1)
 

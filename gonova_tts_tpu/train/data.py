@@ -45,6 +45,13 @@ class Example:
     ref_mel: Optional[np.ndarray] = None  # [T_ref, n_mels] reference-clip mel
     ref_frames: int = 0  # valid frames in ref_mel
     durations: Optional[np.ndarray] = None  # [L] int32 external-aligner durations
+    # Short-window mel for the MAS aligner (win = hop: zero cross-frame overlap).
+    # The synthesis mel's 1024-sample analysis window spans +-2 hops, so every
+    # boundary frame mixes both neighbors' audio and MAS hands blur frames to the
+    # louder class (measured: fricatives +1.04 frames, silence -1.12, dur_corr
+    # capped ~0.65 on the variable-duration corpus). Alignment needs temporal
+    # resolution, synthesis needs spectral smoothness — two different features.
+    align_mel: Optional[np.ndarray] = None  # [T, n_mels] f32
 
 
 def load_manifest(path: str) -> List[Dict[str, str]]:
@@ -78,6 +85,7 @@ def prepare_example(
     ref_path=None,
     ref_mel: bool = False,
     durations: Optional[str] = None,
+    align_features: bool = False,
 ) -> Example:
     """Speaker conditioning, two modes:
 
@@ -105,6 +113,23 @@ def prepare_example(
             fmax=cfg.fmax,
         )[0]
     )
+    amel = None
+    if align_features:
+        # win = hop: each aligner frame sees ONLY its own hop of audio (see the
+        # Example.align_mel comment). n_fft = hop keeps the bin count minimal.
+        amel = np.asarray(
+            mel_spectrogram(
+                jnp.asarray(wav)[None],
+                sr=cfg.sample_rate,
+                n_fft=cfg.hop_length,
+                hop_length=cfg.hop_length,
+                win_length=cfg.hop_length,
+                n_mels=cfg.n_mels,
+                fmin=cfg.fmin,
+                fmax=cfg.fmax,
+            )[0],
+            np.float32,
+        )
     f0 = estimate_f0(wav, cfg.sample_rate, cfg.hop_length, cfg.n_fft)
     tokens = np.asarray(text_to_ids(text), np.int32)
     speaker = None
@@ -141,6 +166,7 @@ def prepare_example(
         ref_mel=rmel,
         ref_frames=rframes,
         durations=dur,
+        align_mel=amel,
     )
 
 
@@ -241,6 +267,13 @@ def make_batch(
         batch["ref_mask"] = np.zeros((b, t_ref), np.float32)
     if learn_alignment:
         batch["pitch_frames"] = np.zeros((b, t_cap), np.float32)
+        # Only when every example carries the short-window feature (ManifestDataset
+        # does; direct make_batch callers without it fall back to the synthesis mel
+        # in the train step). log(eps) silence floor for padded frames.
+        if all(e.align_mel is not None for e in examples):
+            batch["align_mel"] = np.full(
+                (b, t_cap, cfg.n_mels), np.log(1e-5), np.float32
+            )
 
     for i, e in enumerate(examples):
         l = min(len(e.tokens), bucket)
@@ -265,6 +298,8 @@ def make_batch(
             batch["frame_mask"][i, :t] = 1.0
             batch["audio"][i, : t * hop] = e.audio[: t * hop]
             batch["pitch_frames"][i, :t] = e.pitch_frames[:t]
+            if "align_mel" in batch:
+                batch["align_mel"][i, :t] = e.align_mel[:t]
             continue
         if e.durations is not None:
             # External-aligner targets: clip per-token to the cap and truncate the
@@ -328,6 +363,7 @@ class ManifestDataset:
                 e["wav"], e["text"], self.cfg,
                 speaker_fn=self.speaker_fn, ref_path=e.get("ref"),
                 ref_mel=self.ref_mel, durations=e.get("durations"),
+                align_features=self.learn_alignment,
             )
             for e in self.entries
         ]

@@ -50,12 +50,22 @@ def init_state(params: Any, optimizer: optax.GradientTransformation) -> TrainSta
 # ---------------------------------------------------------------- joint TTS step
 
 
+# Diagonal-prior anneal for alignment learning (models/aligner.diagonal_prior):
+# full strength at step 0, linearly off by ALIGN_PRIOR_STEPS. Without the prior
+# the forward-sum objective stalls in off-diagonal optima (dur_corr ~0.2 on the
+# variable-duration corpus); by the time it anneals away the learned scores
+# carry the alignment.
+ALIGN_PRIOR_SIGMA = 0.12
+ALIGN_PRIOR_STEPS = 2000
+
+
 def tts_loss_fn(
     params: Any,
     batch: Dict[str, jnp.ndarray],
     cfg: ModelConfig,
     dtype=jnp.float32,
     learn_alignment: bool = False,
+    align_step: jnp.ndarray = None,  # traced scalar (TrainState.step); prior anneal
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Joint acoustic + vocoder loss on a supervised batch.
 
@@ -87,8 +97,18 @@ def tts_loss_fn(
     align_metrics: Dict[str, jnp.ndarray] = {}
     l_align = 0.0
     if learn_alignment:
+        if align_step is None:
+            w = 1.0
+        else:
+            w = jnp.clip(1.0 - align_step.astype(jnp.float32) / ALIGN_PRIOR_STEPS, 0.0, 1.0)
+        prior = w * aligner.diagonal_prior(
+            batch["token_mask"], batch["frame_mask"], sigma=ALIGN_PRIOR_SIGMA
+        )
         log_p = aligner.log_probs(
-            params["aligner"], batch["tokens"], batch["mel"], batch["token_mask"], dtype
+            params["aligner"], batch["tokens"],
+            batch.get("align_mel", batch["mel"]),  # short-window features (data.py)
+            batch["token_mask"], dtype,
+            prior=prior, frame_mask=batch["frame_mask"],
         )
         l_fs = aligner.forward_sum_loss(log_p, batch["token_mask"], batch["frame_mask"])
         durations = aligner.mas_durations(
@@ -146,7 +166,7 @@ def make_train_step(
     @jax.jit
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         (loss, metrics), grads = jax.value_and_grad(tts_loss_fn, has_aux=True)(
-            state.params, batch, cfg, dtype, learn_alignment
+            state.params, batch, cfg, dtype, learn_alignment, align_step=state.step
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -209,7 +229,7 @@ def make_sharded_train_step(
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
         (loss, metrics), grads = jax.value_and_grad(tts_loss_fn, has_aux=True)(
-            state.params, batch, cfg, dtype, learn_alignment
+            state.params, batch, cfg, dtype, learn_alignment, align_step=state.step
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -310,7 +330,7 @@ def make_resident_train_chunk(
 
     def one_step(state: TrainState, ema, batch):
         (loss, metrics), grads = jax.value_and_grad(tts_loss_fn, has_aux=True)(
-            state.params, batch, cfg, dtype, learn_alignment
+            state.params, batch, cfg, dtype, learn_alignment, align_step=state.step
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -179,6 +179,19 @@ def token_segment(
     return (1e-4 * rng.standard_normal(n)).astype(np.float32)
 
 
+def is_silence_symbol(symbol: str) -> bool:
+    """True for tokens the corpus renders as (near-)silence: <sp>, punctuation,
+    BOS/EOS/PAD. Splits BETWEEN adjacent silence tokens are acoustically
+    unobservable, so alignment evals report silence-excluded metrics alongside
+    the overall ones (tools/align_diag.py, tools/eval_checkpoint.py)."""
+    if symbol and symbol[-1] in "012":
+        symbol = symbol[:-1]
+    return not (
+        symbol in _VOWEL_FORMANTS or symbol in _SONORANT_FORMANTS
+        or symbol in _NOISE_RECIPES or symbol in _STOP_RECIPES
+    )
+
+
 def utterance_durations(ids: Sequence[int], text: str) -> List[int]:
     """Deterministic VARIABLE per-token frame counts (mean ≈ FRAMES_PER_TOKEN).
 

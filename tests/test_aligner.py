@@ -155,7 +155,7 @@ def test_aligner_learns_toy_alignment():
     @jax.jit
     def step(params, opt_state):
         def loss_fn(p):
-            lp = aligner.log_probs(p, tok, mel_j, tok_mask)
+            lp = aligner.log_probs(p, tok, mel_j, tok_mask, frame_mask=frm_mask)
             return aligner.forward_sum_loss(lp, tok_mask, frm_mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -168,7 +168,7 @@ def test_aligner_learns_toy_alignment():
         if i == 0:
             loss0 = float(loss)
     assert float(loss) < loss0
-    lp = aligner.log_probs(params, tok, mel_j, tok_mask)
+    lp = aligner.log_probs(params, tok, mel_j, tok_mask, frame_mask=frm_mask)
     dur = np.asarray(aligner.mas_durations(lp, tok_mask, frm_mask))
     true = np.stack([type_dur[seqs[i]] for i in range(b)])
     err = np.abs(dur - true)
