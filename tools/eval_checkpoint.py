@@ -164,7 +164,10 @@ def main() -> None:
                     # truth — the direct evidence that alignment was LEARNED (the
                     # manifest carries no durations; uniform spreading would score
                     # mae ≈ the jitter amplitude with ~zero correlation).
-                    from gonova_tts_tpu.train.synth_corpus import utterance_durations
+                    from gonova_tts_tpu.text.symbols import SYMBOLS
+                    from gonova_tts_tpu.train.synth_corpus import (
+                        is_silence_symbol, utterance_durations,
+                    )
 
                     ids = text_to_ids(text)
                     true_d = np.asarray(utterance_durations(ids, text), np.float64)
@@ -172,6 +175,20 @@ def main() -> None:
                     row["dur_mae_frames"] = float(np.abs(pred_d - true_d).mean())
                     if true_d.std() > 0 and pred_d.std() > 0:
                         row["dur_corr"] = float(np.corrcoef(pred_d, true_d)[0, 1])
+                    # Silence-excluded: splits between adjacent silence tokens are
+                    # acoustically unobservable (align_diag.py), so the MAS targets
+                    # the predictor learned from are arbitrary there.
+                    ns = np.asarray(
+                        [not is_silence_symbol(SYMBOLS[x]) for x in ids], bool
+                    )
+                    if ns.sum() >= 2:
+                        row["dur_mae_nonsil"] = float(
+                            np.abs(pred_d[ns] - true_d[ns]).mean()
+                        )
+                        if true_d[ns].std() > 0 and pred_d[ns].std() > 0:
+                            row["dur_corr_nonsil"] = float(
+                                np.corrcoef(pred_d[ns], true_d[ns])[0, 1]
+                            )
                 recon.append(row)
         agg = {
             "mel_l1": float(np.mean([r["mel_l1"] for r in recon])),
@@ -186,6 +203,12 @@ def main() -> None:
             corrs = [r["dur_corr"] for r in recon if "dur_corr" in r]
             if corrs:
                 agg["dur_corr"] = float(np.mean(corrs))
+            ns_mae = [r["dur_mae_nonsil"] for r in recon if "dur_mae_nonsil" in r]
+            if ns_mae:
+                agg["dur_mae_nonsil"] = float(np.mean(ns_mae))
+            ns_corr = [r["dur_corr_nonsil"] for r in recon if "dur_corr_nonsil" in r]
+            if ns_corr:
+                agg["dur_corr_nonsil"] = float(np.mean(ns_corr))
         return agg
 
     held_in = grade(range(args.sentences))
@@ -240,6 +263,11 @@ def main() -> None:
     if args.variable and "dur_mae_frames" in held_in:
         result["held_in_dur_mae_frames"] = round(held_in["dur_mae_frames"], 3)
         result["held_in_dur_corr"] = round(held_in.get("dur_corr", 0.0), 4)
+        if "dur_mae_nonsil" in held_in:
+            result["held_in_dur_mae_nonsil"] = round(held_in["dur_mae_nonsil"], 3)
+            result["held_in_dur_corr_nonsil"] = round(
+                held_in.get("dur_corr_nonsil", 0.0), 4
+            )
     if held_out is not None:
         result["held_out_mel_l1"] = round(held_out["mel_l1"], 4)
         result["held_out_mcd_db"] = round(held_out["mcd_db"], 3)
@@ -251,6 +279,13 @@ def main() -> None:
         if args.variable and "dur_mae_frames" in held_out:
             result["held_out_dur_mae_frames"] = round(held_out["dur_mae_frames"], 3)
             result["held_out_dur_corr"] = round(held_out.get("dur_corr", 0.0), 4)
+            if "dur_mae_nonsil" in held_out:
+                result["held_out_dur_mae_nonsil"] = round(
+                    held_out["dur_mae_nonsil"], 3
+                )
+                result["held_out_dur_corr_nonsil"] = round(
+                    held_out.get("dur_corr_nonsil", 0.0), 4
+                )
     print(json.dumps(result))
     sys.exit(0 if margin > 0 else 1)
 
