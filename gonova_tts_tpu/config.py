@@ -12,7 +12,7 @@ the reference honors, server.py:487-488) > config.yaml > defaults.
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import List, Literal, Optional
 
 import yaml
 from pydantic import BaseModel, ConfigDict, Field
@@ -67,6 +67,14 @@ class ModelConfig(_SectionModel):
     vocos_dim: int = 512
     vocos_ff: int = 1536
     vocos_layers: int = 8
+    # STFT-head parametrization (models/vocos.py):
+    #   "polar":     head emits (log-mag, phase); complex via mag*cos/sin(phase).
+    #   "cartesian": head emits (log-mag, x, y); complex via mag * (x,y)/|(x,y)|.
+    # cos/sin over [B, T, 513] is the serving profile's named VPU-bound segment
+    # (PERF.md vocos attribution); the cartesian head replaces both
+    # transcendentals with one rsqrt + multiplies. Must match the head the
+    # checkpoint was trained with (param shapes differ).
+    vocos_head: Literal["polar", "cartesian"] = "polar"
     # Run vocos ConvNeXt blocks through the fused Pallas kernel (TPU only;
     # ops/convnext_kernel.py). Off by default — enable per deployment after the
     # kernel-vs-XLA parity check on the target chip.

@@ -66,12 +66,14 @@ def _block_apply(p: Params, x: jnp.ndarray, dtype) -> jnp.ndarray:
 def init(rng, cfg: ModelConfig) -> Params:
     dim, ff, n_layers = cfg.vocos_dim, cfg.vocos_ff, cfg.vocos_layers
     n_bins = cfg.n_fft // 2 + 1
+    # polar: (log-mag, phase). cartesian: (log-mag, x, y) — see forward().
+    head_mult = {"polar": 2, "cartesian": 3}[cfg.vocos_head]
     ks = jax.random.split(rng, n_layers + 3)
     return {
         "embed": layers.conv1d_init(ks[0], cfg.n_mels, dim, 7),
         "blocks": [_block_init(ks[1 + i], dim, ff) for i in range(n_layers)],
         "ln_out": layers.layernorm_init(dim),
-        "head": layers.dense_init(ks[n_layers + 1], dim, 2 * n_bins),
+        "head": layers.dense_init(ks[n_layers + 1], dim, head_mult * n_bins),
     }
 
 
@@ -96,12 +98,27 @@ def forward(params: Params, mel: jnp.ndarray, cfg: ModelConfig, dtype=jnp.float3
         for blk in params["blocks"]:
             x = _block_apply(blk, x, dtype)
     x = layers.layernorm(params["ln_out"], x)
-    head = layers.dense(params["head"], x, dtype).astype(jnp.float32)  # [B, T, 2*bins]
+    head = layers.dense(params["head"], x, dtype).astype(jnp.float32)
 
-    log_mag, phase = head[..., :n_bins], head[..., n_bins:]
+    log_mag = head[..., :n_bins]
     mag = jnp.exp(jnp.clip(log_mag, -14.0, 6.0))
-    real = mag * jnp.cos(phase)
-    imag = mag * jnp.sin(phase)
+    if cfg.vocos_head == "cartesian":
+        # Direction-pair parametrization: phase as a normalized (x, y) vector.
+        # Same magnitude parametrization as polar (training parity); kills the
+        # cos+sin over [B, T, bins] — the serving profile's named VPU-bound
+        # segment — for one rsqrt + multiplies. (The original Vocos head is
+        # polar: github.com/gemelo-ai/vocos ISTFTHead; reference README's model
+        # family implies it via its iSTFT vocoder. The cartesian form is this
+        # rebuild's TPU reformulation; exactness pinned in tests.)
+        xdir = head[..., n_bins : 2 * n_bins]
+        ydir = head[..., 2 * n_bins :]
+        inv = jax.lax.rsqrt(xdir * xdir + ydir * ydir + 1e-12)
+        real = mag * xdir * inv
+        imag = mag * ydir * inv
+    else:
+        phase = head[..., n_bins:]
+        real = mag * jnp.cos(phase)
+        imag = mag * jnp.sin(phase)
     return istft_synthesis(real, imag, n_fft, hop)
 
 
@@ -122,8 +139,11 @@ def istft_synthesis(
     `forward` keeps f32; the split path stays for backends where f32 matmul is slow."""
     b, t, _ = real.shape
     icos, isin = idft_bases(n_fft)
-    # Same (R, I) convention as audio/stft.py's stft_ri/istft pair.
-    bases = jnp.concatenate([jnp.asarray(icos), -jnp.asarray(isin)], axis=0)  # [2*bins, n_fft]
+    # Same (R, I) convention as audio/stft.py's stft_ri/istft pair. The synthesis
+    # window is FOLDED into the bases (linear in the frame), which deletes the
+    # separate [B, T, n_fft] window-multiply pass after the matmul.
+    window = jnp.asarray(hann_window(n_fft))
+    bases = jnp.concatenate([jnp.asarray(icos), -jnp.asarray(isin)], axis=0) * window[None, :]
     coef = jnp.concatenate([real, imag], axis=-1)  # [B, T, 2*bins]
     if dtype == jnp.bfloat16:
         c_hi = coef.astype(jnp.bfloat16)
@@ -133,9 +153,7 @@ def istft_synthesis(
         mm = lambda a, w: jnp.einsum("btc,cn->btn", a, w, preferred_element_type=jnp.float32)
         frames = mm(c_hi, b_hi) + (mm(c_hi, b_lo) + mm(c_lo, b_hi))
     else:
-        frames = coef @ bases  # [B, T, n_fft]
-    window = jnp.asarray(hann_window(n_fft))
-    frames = frames * window
+        frames = coef @ bases  # [B, T, n_fft] (window already applied via bases)
 
     # frames[:, i, :] contributes to samples [i*hop - (n_fft-hop)/2 ... ) in the
     # stft.py convention (reflect pad (n_fft-hop)/2 trimmed). With n_fft = 4*hop:

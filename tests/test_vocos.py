@@ -121,3 +121,34 @@ def test_istft_split_bf16_matches_f32():
     scale = float(jnp.max(jnp.abs(f32))) + 1e-9
     err = float(jnp.max(jnp.abs(bf - f32))) / scale
     assert err < 3e-5, f"split-bf16 istft relative error {err}"
+
+
+def test_cartesian_head_shape_and_finite(cfg):
+    """vocos_head="cartesian" (PERF lead: kills the cos/sin VPU segment): 3x-bins
+    head, same output contract, finite audio."""
+    ccfg = ModelConfig(
+        d_model=64, n_heads=2, d_ff=128, encoder_layers=1, decoder_layers=1,
+        speaker_dim=32, vocab_size=64, vocoder_family="vocos",
+        vocos_dim=128, vocos_ff=256, vocos_layers=2, vocos_head="cartesian",
+    )
+    params = vocos.init(jax.random.PRNGKey(1), ccfg)
+    n_bins = ccfg.n_fft // 2 + 1
+    assert params["head"]["w"].shape[-1] == 3 * n_bins
+    mel = jnp.asarray(np.random.default_rng(0).standard_normal((2, 24, ccfg.n_mels)), jnp.float32)
+    wav = vocos.forward(params, mel, ccfg)
+    assert wav.shape == (2, 24 * 256)
+    assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_cartesian_head_equals_polar_on_matched_params(cfg):
+    """With the cartesian head's (x, y) columns derived as (cos, sin) of a polar
+    head's phase logits... not representable linearly — instead pin the algebra:
+    for a FIXED direction pair the cartesian complex equals mag*(cos, sin) of the
+    implied phase (the two parametrizations meet where |(x,y)| = 1)."""
+    rng = np.random.default_rng(2)
+    mag = np.exp(rng.uniform(-3, 1, (1, 8, 13))).astype(np.float32)
+    phase = rng.uniform(-np.pi, np.pi, (1, 8, 13)).astype(np.float32)
+    x, y = np.cos(phase), np.sin(phase)
+    inv = 1.0 / np.sqrt(x * x + y * y + 1e-12)
+    np.testing.assert_allclose(mag * x * inv, mag * np.cos(phase), rtol=2e-5)
+    np.testing.assert_allclose(mag * y * inv, mag * np.sin(phase), rtol=2e-5)

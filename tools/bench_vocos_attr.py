@@ -91,6 +91,31 @@ def main() -> None:
         return _v.istft_synthesis(mag * jnp.cos(phase), mag * jnp.sin(phase), cfg.n_fft, cfg.hop_length, dtype=jnp.bfloat16)
 
     results["head_istft_ms"] = round(timeit(head, x0), 3)
+    print(json.dumps(results), flush=True)
+
+    # 4b. cartesian head + iSTFT: rsqrt-normalized (x, y) direction instead of
+    # cos/sin(phase) — the candidate fix for the VPU-bound phase conversion.
+    cfg_c = ModelConfig(vocos_head="cartesian")
+    params_c = jax.jit(lambda k_: vocos.init(k_, cfg_c))(jax.random.PRNGKey(0))
+
+    def head_cart(x):
+        from gonova_tts_tpu.models import layers
+
+        h = layers.layernorm(params_c["ln_out"], x.astype(jnp.float32))
+        hd = layers.dense(params_c["head"], h, jnp.bfloat16).astype(jnp.float32)
+        n_bins = cfg.n_fft // 2 + 1
+        mag = jnp.exp(jnp.clip(hd[..., :n_bins], -14.0, 6.0))
+        xd, yd = hd[..., n_bins : 2 * n_bins], hd[..., 2 * n_bins :]
+        inv = jax.lax.rsqrt(xd * xd + yd * yd + 1e-12)
+        return _v.istft_synthesis(
+            mag * xd * inv, mag * yd * inv, cfg.n_fft, cfg.hop_length, dtype=jnp.bfloat16
+        )
+
+    results["head_istft_cartesian_ms"] = round(timeit(head_cart, x0), 3)
+
+    # Full forward with the cartesian head (end-to-end A/B).
+    ms = timeit(lambda m: vocos.forward(params_c, m, cfg_c, dtype=jnp.bfloat16), mel)
+    results["full_cartesian_ms"] = round(ms, 3)
     print(json.dumps(results))
 
 
