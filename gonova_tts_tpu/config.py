@@ -68,13 +68,16 @@ class ModelConfig(_SectionModel):
     vocos_ff: int = 1536
     vocos_layers: int = 8
     # STFT-head parametrization (models/vocos.py):
-    #   "polar":     head emits (log-mag, phase); complex via mag*cos/sin(phase).
     #   "cartesian": head emits (log-mag, x, y); complex via mag * (x,y)/|(x,y)|.
-    # cos/sin over [B, T, 513] is the serving profile's named VPU-bound segment
+    #   "polar":     head emits (log-mag, phase); complex via mag*cos/sin(phase).
+    # cos/sin over [B, T, 513] was the serving profile's named VPU-bound segment
     # (PERF.md vocos attribution); the cartesian head replaces both
-    # transcendentals with one rsqrt + multiplies. Must match the head the
-    # checkpoint was trained with (param shapes differ).
-    vocos_head: Literal["polar", "cartesian"] = "polar"
+    # transcendentals with one rsqrt + multiplies (measured 1.383 -> 1.243 ms
+    # full vocos pass on v5e-1, trained to identical eval grades — TRAIN_EVAL.md).
+    # Must match the head a checkpoint was trained with (param shapes differ);
+    # the engine infers this from the restored head width, so the setting only
+    # governs fresh inits/training. "polar" remains for back-compat checkpoints.
+    vocos_head: Literal["polar", "cartesian"] = "cartesian"
     # Run vocos ConvNeXt blocks through the fused Pallas kernel (TPU only;
     # ops/convnext_kernel.py). Off by default — enable per deployment after the
     # kernel-vs-XLA parity check on the target chip.
@@ -165,6 +168,15 @@ class MonitoringConfig(_SectionModel):
     enable_metrics_endpoint: bool = True
 
 
+class EncodingConfig(_SectionModel):
+    """Reference `encoding:` section (README.md:296-300 — promised there, never
+    implemented; audio/encode.py implements it here via the system codecs)."""
+
+    default_format: Literal["pcm", "wav", "mp3", "opus"] = "pcm"
+    mp3_bitrate: int = 192  # kbps
+    opus_bitrate: int = 64  # kbps
+
+
 class EngineConfig(_SectionModel):
     """TPU engine extension: bucketing, batching, streaming (no reference analog —
     replaces the serialized single worker, reference server.py:110-186)."""
@@ -197,15 +209,23 @@ class EngineConfig(_SectionModel):
     # Data-parallel serving: number of local devices to drive from this engine
     # (1 = single chip; 0 = all local devices). Params replicate, batch shards.
     data_parallel: int = 1
-    # Two-stage batch dispatch: run the acoustic graph, read back total_frames (one
-    # scalar round trip), and vocode at the smallest 64-aligned frame bucket that
-    # covers the batch (+ stream_context_frames for streaming-grade exactness)
+    # Two-stage batch dispatch: run the token-domain half (encoder + predictors —
+    # acoustic.encode), read back total_frames (one [B]-int32 round trip), then run
+    # length-regulate + decoder + vocoder at the smallest configured frame bucket
+    # covering the batch (+ stream_context_frames for streaming-grade exactness)
     # instead of the static worst case L*max_frames_per_token. Typical speech fills
-    # ~5/8 of the worst case, so this skips ~25-35% of vocoder compute. Default OFF:
-    # each new frame bucket is an extra compile, and on hosts with slow device
-    # round trips (this build env's ~30 ms tunnel) the readback costs more than the
-    # saved compute. Enable on production TPU hosts (sub-ms readback).
+    # ~5/8 of the worst case, so this skips ~35% of decoder AND vocoder compute
+    # (PERF.md "Two-stage dispatch"). Default OFF: on hosts with slow device round
+    # trips (this build env's ~30 ms tunnel) the readback costs more than the saved
+    # compute. Enable on production TPU hosts (sub-ms readback).
     two_stage_batch: bool = False
+    # Bounded frame-bucket set for the two-stage decode: the dispatch picks the
+    # smallest entry covering the batch, falling back to the worst case when none
+    # does — so compile count is capped at |buckets|+1 per batch bucket. Warmup
+    # precompiles these (for warmup_shapes' batch sizes) when two_stage_batch is on.
+    vocode_frame_buckets: List[int] = Field(
+        default_factory=lambda: [128, 192, 256, 320, 384, 448]
+    )
 
 
 class Config(_SectionModel):
@@ -217,6 +237,7 @@ class Config(_SectionModel):
     rate_limiting: RateLimitConfig = Field(default_factory=RateLimitConfig)
     logging: LoggingConfig = Field(default_factory=LoggingConfig)
     monitoring: MonitoringConfig = Field(default_factory=MonitoringConfig)
+    encoding: EncodingConfig = Field(default_factory=EncodingConfig)
     engine: EngineConfig = Field(default_factory=EngineConfig)
 
 

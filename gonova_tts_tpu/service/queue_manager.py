@@ -37,6 +37,7 @@ class SynthesisRequest:
     generation: int = 0  # cancel support: stale generations are skipped
     seq: int = 0  # per-connection send-order index (worker pool streams in order)
     metadata: bool = False  # opt-in synthesis_started frame (README-promised extension)
+    output_format: str = "pcm"  # pcm|wav|mp3|opus (encoding: config, audio/encode.py)
     cancelled: bool = field(default=False, compare=False)
 
 
@@ -116,6 +117,7 @@ class TTSQueueManager:
         generation: int = 0,
         metadata: bool = False,
         seq: int = 0,
+        output_format: str = "pcm",
     ) -> bool:
         request = SynthesisRequest(
             connection_id=connection_id,
@@ -128,6 +130,7 @@ class TTSQueueManager:
             generation=generation,
             metadata=metadata,
             seq=seq,
+            output_format=output_format,
         )
         try:
             await asyncio.wait_for(self.input_queue.put(request), timeout=timeout)

@@ -40,6 +40,7 @@ except ImportError:  # pragma: no cover - aiohttp is in the image; belt and brac
     web = None
     WSMsgType = None
 
+from ..audio import encode as encode_mod
 from ..config import Config, load_config
 from ..engine import DynamicBatcher, VoiceEmbeddingCache
 from ..text import segment_text
@@ -333,6 +334,16 @@ class TTSService:
             try:
                 speaker = await self._resolve_speaker(request.voice_id)
                 sentences = segment_text(request.text)
+                # Per-request streaming encoder (audio/encode.py): pcm is the
+                # byte-identical wire default; wav/mp3/opus produce encoded binary
+                # frames. Encoder state lives for the request, so codec frame
+                # boundaries span chunk boundaries correctly.
+                encoder = encode_mod.make_encoder(
+                    request.output_format,
+                    self.config.model.sample_rate,
+                    mp3_bitrate=self.config.encoding.mp3_bitrate,
+                    opus_bitrate=self.config.encoding.opus_bitrate,
+                )
                 if request.metadata:
                     # Opt-in extension (reference README.md:160-173, never
                     # shipped there): announce synthesis start without
@@ -350,11 +361,19 @@ class TTSService:
                     audio = await fut
                     if self._is_stale(request):
                         break
+                    payload = encoder.encode(audio.astype(np.float32))
+                    if not payload:
+                        # A codec may buffer a short chunk entirely; no frame to
+                        # send yet (never happens for pcm — parity preserved).
+                        continue
                     await self.queue_manager.enqueue_audio_chunk(
-                        request.connection_id,
-                        audio.astype(np.float32).tobytes(),
-                        chunk_id,
-                        is_final=False,
+                        request.connection_id, payload, chunk_id, is_final=False
+                    )
+                    chunk_id += 1
+                tail = encoder.flush()
+                if tail and not self._is_stale(request):
+                    await self.queue_manager.enqueue_audio_chunk(
+                        request.connection_id, tail, chunk_id, is_final=False
                     )
                     chunk_id += 1
                 await self.queue_manager.enqueue_audio_chunk(
@@ -504,6 +523,22 @@ class TTSService:
                     {"type": "error", "message": "Server shutting down"}
                 )
                 return
+            fmt = str(
+                data.get("format", self.config.encoding.default_format)
+            ).lower()
+            if fmt not in encode_mod.available_formats():
+                # Validate at admission: a mid-stream encoder failure would cost
+                # the client a full synthesis before learning the format is bad.
+                await ws.send_json(
+                    {
+                        "type": "error",
+                        "message": (
+                            f"Unsupported format {fmt!r}; supported: "
+                            + ", ".join(encode_mod.available_formats())
+                        ),
+                    }
+                )
+                return
             seq = self._conn_seq_alloc.get(conn_id, 0)
             self._conn_seq_alloc[conn_id] = seq + 1
             accepted = await self.queue_manager.enqueue_request(
@@ -518,6 +553,7 @@ class TTSService:
                 generation=self._cancel_generations.get(conn_id, 0),
                 metadata=data.get("metadata", False),
                 seq=seq,
+                output_format=fmt,
             )
             if not accepted:
                 # The slot was never admitted; don't let its seq hole stall later
@@ -666,22 +702,40 @@ async def rest_synthesize(request: web.Request) -> web.Response:
     if not svc.rate_limiter.check(client_ip):
         return web.json_response({"error": "Rate limit exceeded"}, status=429)
 
+    fmt = str(data.get("format", "wav")).lower()
+    sr = svc.config.model.sample_rate
+    if fmt not in encode_mod.available_formats():
+        return web.json_response(
+            {
+                "error": f"Unsupported format {fmt!r}",
+                "supported": encode_mod.available_formats(),
+            },
+            status=400,
+        )
     audio = await svc.synthesize_full(
         text,
         voice_id=data.get("voice_id", "default"),
         exaggeration=data.get("exaggeration", svc.config.synthesis.default_exaggeration),
     )
-    fmt = data.get("format", "wav")
-    sr = svc.config.model.sample_rate
     if fmt == "pcm":
         return web.Response(
             body=audio.astype(np.float32).tobytes(),
             content_type="application/octet-stream",
             headers={"X-Sample-Rate": str(sr)},
         )
-    buf = io.BytesIO()
-    write_wav(buf, audio, sr)
-    return web.Response(body=buf.getvalue(), content_type="audio/wav")
+    if fmt == "wav":
+        # Exact-size RIFF (utils.write_wav) — the REST payload is complete, so no
+        # streaming-header convention needed.
+        buf = io.BytesIO()
+        write_wav(buf, audio, sr)
+        return web.Response(body=buf.getvalue(), content_type="audio/wav")
+    enc = encode_mod.make_encoder(
+        fmt, sr,
+        mp3_bitrate=svc.config.encoding.mp3_bitrate,
+        opus_bitrate=svc.config.encoding.opus_bitrate,
+    )
+    body = enc.encode(audio) + enc.flush()
+    return web.Response(body=body, content_type=encode_mod.content_type(fmt))
 
 
 def create_app(config: Optional[Config] = None) -> web.Application:

@@ -131,6 +131,85 @@ def test_ws_synthesize_binary_then_complete(client_ctx):
     assert loop.run_until_complete(run())
 
 
+def test_ws_synthesize_encoded_formats(client_ctx):
+    """Per-request `format` (encoding: section, reference README.md:296-300):
+    mp3/opus binary frames carry the encoded stream; unknown format errors at
+    admission (before any synthesis)."""
+    from gonova_tts_tpu.audio import encode as enc
+
+    loop, client, srv = client_ctx
+
+    async def collect_bytes(ws):
+        blobs, final = [], None
+        while final is None:
+            msg = await asyncio.wait_for(ws.receive(), timeout=120)
+            if msg.type == WSMsgType.BINARY:
+                blobs.append(msg.data)
+            elif msg.type == WSMsgType.TEXT:
+                data = json.loads(msg.data)
+                if data.get("type") in ("synthesis_complete", "error"):
+                    final = data
+        return b"".join(blobs), final
+
+    async def run():
+        ws = await client.ws_connect("/v1/stream/tts")
+        if "mp3" in enc.available_formats():
+            await ws.send_json(
+                {"type": "synthesize", "text": "Encoded one. Encoded two.", "format": "mp3"}
+            )
+            blob, final = await collect_bytes(ws)
+            assert final["type"] == "synthesis_complete"
+            assert blob[0] == 0xFF and (blob[1] & 0xE0) == 0xE0  # MPEG sync
+        if "opus" in enc.available_formats():
+            await ws.send_json(
+                {"type": "synthesize", "text": "Opus check.", "format": "opus"}
+            )
+            blob, final = await collect_bytes(ws)
+            assert final["type"] == "synthesis_complete"
+            assert blob[:4] == b"OggS" and b"OpusHead" in blob[:64]
+        await ws.send_json({"type": "synthesize", "text": "Nope.", "format": "flac"})
+        msg = json.loads((await asyncio.wait_for(ws.receive(), timeout=30)).data)
+        assert msg["type"] == "error" and "Unsupported format" in msg["message"]
+        # The connection remains usable with the default (pcm) after the rejection.
+        await ws.send_json({"type": "synthesize", "text": "Still alive."})
+        chunks, final = await _collect_synthesis(ws)
+        assert len(chunks) == 1 and final["chunk_id"] == 1
+        await ws.close()
+        return True
+
+    assert loop.run_until_complete(run())
+
+
+def test_rest_synthesize_mp3_opus(client_ctx):
+    from gonova_tts_tpu.audio import encode as enc
+
+    loop, client, srv = client_ctx
+
+    async def run():
+        if "mp3" in enc.available_formats():
+            resp = await client.post(
+                "/v1/synthesize", json={"text": "Rest MP3.", "format": "mp3"}
+            )
+            assert resp.status == 200 and resp.content_type == "audio/mpeg"
+            body = await resp.read()
+            assert body[0] == 0xFF and (body[1] & 0xE0) == 0xE0
+        if "opus" in enc.available_formats():
+            resp = await client.post(
+                "/v1/synthesize", json={"text": "Rest Opus.", "format": "opus"}
+            )
+            assert resp.status == 200 and resp.content_type == "audio/ogg"
+            body = await resp.read()
+            assert body[:4] == b"OggS"
+        resp = await client.post(
+            "/v1/synthesize", json={"text": "Bad.", "format": "flac"}
+        )
+        assert resp.status == 400
+        assert "supported" in await resp.json()
+        return True
+
+    assert loop.run_until_complete(run())
+
+
 def test_ws_register_then_synthesize_with_voice(client_ctx):
     loop, client, srv = client_ctx
 
