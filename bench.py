@@ -14,11 +14,22 @@ predictor.  Full pipeline per pass: encoder → length regulate → decoder → 
 NovaVocos vocoder (iSTFT head; the flagship/config-default family) → 24 kHz waveform,
 bf16 on TPU.
 
-Measurement notes for this environment: the axon TPU backend's `block_until_ready` does
-not synchronize and host readbacks carry ~30 ms of tunnel latency, so the pipeline is
-iterated K times *inside* one jitted fori_loop (iterations data-dependent via the
-carry, so nothing folds away) and a single scalar is read back; the per-call
-dispatch+readback overhead is measured separately and subtracted.
+Two dispatch modes are measured and the better one is reported (both are the real
+production path — engine/engine.py):
+  * one-graph: the whole pipeline in one XLA graph at the static worst case
+    T = L*max_frames_per_token (512 frames for this workload's 320 real ones);
+  * two-stage: token-domain half, then length-regulate+decoder+vocoder at the
+    engine's frame bucket covering the workload (384 here) — the padding reclaim
+    promoted in round 3.  Timed as two chained device loops; the one [B]-int32
+    readback between the stages in live serving (~50 µs on production hosts, ~30 ms
+    through this environment's tunnel — an environment artifact, see PERF.md) is
+    excluded from the compute measurement and called out in PERF.md.
+
+Measurement notes for this environment: the axon TPU backend's `block_until_ready`
+does not synchronize and host readbacks carry ~30 ms of tunnel latency, so each
+pipeline is iterated K times *inside* one jitted fori_loop (iterations
+data-dependent via the carry, so nothing folds away) and a single scalar is read
+back; the per-call dispatch+readback overhead is measured separately and subtracted.
 """
 
 from __future__ import annotations
@@ -45,10 +56,11 @@ def main() -> None:
     except Exception:
         pass
 
-    from gonova_tts_tpu.config import ModelConfig
+    from gonova_tts_tpu.config import EngineConfig, ModelConfig
     from gonova_tts_tpu.models import acoustic, tts
 
     cfg = ModelConfig()
+    ecfg = EngineConfig()
     on_tpu = jax.default_backend() != "cpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
@@ -56,6 +68,12 @@ def main() -> None:
     frames_per_token = 5  # realistic speech pacing at hop 256 / 24 kHz
     sr = cfg.sample_rate
     hop = cfg.hop_length
+    t_full = bucket * cfg.max_frames_per_token  # 512: one-graph static worst case
+    # The engine's two-stage dispatch picks the smallest configured frame bucket
+    # covering total_frames + stream context (engine/engine.py synthesize_batch).
+    need = bucket * frames_per_token + ecfg.stream_context_frames
+    fb = min((x for x in ecfg.vocode_frame_buckets if x >= need), default=t_full)
+    fb = min(fb, t_full)
 
     params = jax.jit(lambda k: tts.init(k, cfg))(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
@@ -73,41 +91,66 @@ def main() -> None:
         wav = tts.vocode(params, ac["mel"], cfg, dtype=dtype)
         return wav
 
+    def encode_pass(params, speaker):
+        e = acoustic.encode(
+            params["acoustic"], tokens, mask, speaker, exagg, cfg,
+            durations=durations, dtype=dtype,
+        )
+        return e["enc"], e["spk"]
+
+    enc0, spk0 = jax.jit(encode_pass)(params, speaker)
+
+    def decode_pass(params, enc, spkp):
+        d = acoustic.decode(
+            params["acoustic"], enc, spkp, durations, mask, fb, cfg,
+            dtype=dtype, local_attention_from=t_full,
+        )
+        return tts.vocode(params, d["mel"], cfg, dtype=dtype)
+
     k = K_INNER if on_tpu else 2
 
-    @jax.jit
-    def bench_step(params, speaker):
-        def body(_, carry):
-            # Data-dependence through the carry keeps every pass live.
-            wav = one_pass(params, speaker + carry * 1e-12)
-            return jnp.mean(jnp.abs(wav)).astype(jnp.float32)
+    def chained(fn, *args):
+        """Median wall time of one fori_loop(k) device call running fn(*args),
+        with the carry keeping every pass live; returns seconds per call."""
 
-        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+        @jax.jit
+        def step(params, args):
+            def body(_, carry):
+                out = fn(params, *jax.tree_util.tree_map(lambda a: a + carry * 1e-12, args))
+                leaf = out[0] if isinstance(out, tuple) else out
+                return jnp.mean(jnp.abs(leaf.astype(jnp.float32)))
+
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+        float(step(params, args))  # compile
+        times = []
+        for _ in range(5 if on_tpu else 2):
+            t0 = time.perf_counter()
+            float(step(params, args))
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
 
     @jax.jit
     def noop(speaker):
         return jnp.sum(speaker) * 0.0 + 1.0
 
-    # Warm both graphs (pays compile; cached for later runs).
-    float(bench_step(params, speaker))
     float(noop(speaker))
-
-    # Dispatch+readback overhead of a timed call through the tunnel.
     overhead = min(
         (lambda t0=time.perf_counter(): (float(noop(speaker)), time.perf_counter() - t0)[1])()
         for _ in range(5)
     )
 
-    iters = 5 if on_tpu else 2
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        float(bench_step(params, speaker))
-        times.append(time.perf_counter() - t0)
+    wall_one = max(1e-9, chained(one_pass, speaker) - overhead)
+    wall_two = max(
+        1e-9,
+        (chained(encode_pass, speaker) - overhead)
+        + (chained(decode_pass, enc0, spk0) - overhead),
+    )
 
-    wall = max(1e-9, float(np.median(times)) - overhead)
     audio_sec = k * batch * bucket * frames_per_token * hop / sr
-    value = audio_sec / wall
+    v_one = audio_sec / wall_one
+    v_two = audio_sec / wall_two
+    value, mode = max((v_one, "one_graph"), (v_two, "two_stage"))
 
     print(
         json.dumps(
@@ -116,6 +159,9 @@ def main() -> None:
                 "value": round(value, 2),
                 "unit": "audio-seconds generated per wall-second per chip (batch 16, full pipeline, bf16)",
                 "vs_baseline": round(value / BASELINE_AUDIO_SEC_PER_SEC, 3),
+                "mode": mode,
+                "one_graph": round(v_one, 2),
+                "two_stage_compute": round(v_two, 2),
             }
         )
     )

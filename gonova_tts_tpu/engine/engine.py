@@ -98,6 +98,22 @@ class TTSEngine:
 
             self.params = restore_params(self.mcfg.model_path)
             logger.info("params_restored", path=self.mcfg.model_path)
+            # Checkpoints are bare param trees; the STFT-head flavor is encoded in
+            # the head width (2*bins polar, 3*bins cartesian — models/vocos.py).
+            # Infer it so a checkpoint always serves with the head it was trained
+            # with, regardless of what the config file says.
+            try:
+                head_w = int(self.params["vocoder"]["head"]["w"].shape[-1])
+                n_bins = self.mcfg.n_fft // 2 + 1
+                inferred = {2 * n_bins: "polar", 3 * n_bins: "cartesian"}.get(head_w)
+                if inferred is not None and inferred != self.mcfg.vocos_head:
+                    logger.info(
+                        "vocos_head_inferred", configured=self.mcfg.vocos_head,
+                        inferred=inferred, head_width=head_w,
+                    )
+                    self.mcfg = self.mcfg.model_copy(update={"vocos_head": inferred})
+            except (KeyError, TypeError, AttributeError):
+                pass  # non-vocos family or foreign tree layout — config rules
         else:
             # One jitted (and persistently cached) init graph: eager init would issue
             # ~100 separate random-normal dispatches, each paying a device round trip
@@ -125,6 +141,19 @@ class TTSEngine:
         def acoustic(params, tokens, mask, spk, exagg):
             return tts.acoustic_mel(params, tokens, mask, spk, exagg, mcfg, dtype=dtype)
 
+        def encode(params, tokens, mask, spk, exagg):
+            return tts.encode_acoustic(params, tokens, mask, spk, exagg, mcfg, dtype=dtype)
+
+        def decode_vocode(params, enc, spkp, dur, mask, max_frames, t_full):
+            # t_full (the one-graph frame count) drives the local-attention choice
+            # so the bucketed dispatch stays bit-exact vs the one-graph path.
+            out = tts.decode_vocode(
+                params, enc, spkp, dur, mask, max_frames, mcfg, dtype=dtype,
+                local_attention_from=t_full,
+            )
+            out["audio"] = pack(out["audio"])
+            return out
+
         def vocode(params, mel):
             return pack(tts.vocode(params, mel, mcfg, dtype=dtype))
 
@@ -137,6 +166,8 @@ class TTSEngine:
 
         self._synth = jax.jit(synth)
         self._acoustic = jax.jit(acoustic)
+        self._encode = jax.jit(encode)
+        self._decode_vocode = jax.jit(decode_vocode, static_argnums=(5, 6))
         self._vocode = jax.jit(vocode)
         self._embed = jax.jit(embed)
         self._probe = jax.jit(lambda x: x * 2.0 + 1.0)  # health-check op
@@ -160,19 +191,39 @@ class TTSEngine:
         logger.info("engine_loaded", seconds=round(time.time() - t0, 2))
 
     def warmup(self) -> None:
-        """Pre-compile the configured hot (batch, token-bucket) shapes."""
+        """Pre-compile the configured hot (batch, token-bucket) shapes.
+
+        In two_stage_batch mode the batch path runs the split graphs instead of
+        _synth, so warmup compiles encode for each (batch, bucket) plus
+        decode_vocode for every configured frame bucket that shape can dispatch —
+        a bounded |warmup_shapes| x (|vocode_frame_buckets|+1) set; a mid-request
+        compile is exactly what warmup exists to prevent."""
         for batch, bucket in self.ecfg.warmup_shapes:
             t0 = time.time()
             tokens = jnp.zeros((batch, bucket), jnp.int32)
             mask = jnp.ones((batch, bucket), jnp.float32)
             spk = jnp.zeros((batch, self.mcfg.speaker_dim), jnp.float32)
             exagg = jnp.zeros((batch,), jnp.float32)
-            out = self._synth(self.params, tokens, mask, spk, exagg)
-            # Force a host readback: on some backends (axon tunnel) compilation is
-            # lazy and block_until_ready does not synchronize — a scalar readback is
-            # the only reliable "compile finished" barrier.
-            np.asarray(out["total_samples"])
-            self.stats["compiles"] += 1
+            if self.ecfg.two_stage_batch:
+                e = self._encode(self.params, tokens, mask, spk, exagg)
+                # Force a host readback: on some backends (axon tunnel)
+                # compilation is lazy and block_until_ready does not synchronize —
+                # a readback is the only reliable "compile finished" barrier.
+                np.asarray(e["total_frames"])
+                self.stats["compiles"] += 1
+                t_full = bucket * self.mcfg.max_frames_per_token
+                fbs = [x for x in self.ecfg.vocode_frame_buckets if x < t_full]
+                for fb in fbs + [t_full]:
+                    out = self._decode_vocode(
+                        self.params, e["enc"], e["spk"], e["durations"], mask, fb, t_full
+                    )
+                    np.asarray(out["total_samples"])
+                    self._vocode_shapes_seen.add((batch, bucket, fb))
+                    self.stats["compiles"] += 1
+            else:
+                out = self._synth(self.params, tokens, mask, spk, exagg)
+                np.asarray(out["total_samples"])
+                self.stats["compiles"] += 1
             logger.info(
                 "warmup_compiled", batch=batch, bucket=bucket, seconds=round(time.time() - t0, 2)
             )
@@ -280,30 +331,41 @@ class TTSEngine:
             )
         with self._lock, timers.track("synth_batch_device"):
             if self.ecfg.two_stage_batch:
-                # Stage 1: acoustic graph; one host round trip for the frame counts.
-                ac = self._acoustic(
+                # Stage 1: token-domain half (encoder + predictors) — no
+                # frame-domain tensor exists yet; one [B]-int32 host round trip
+                # for the frame counts.
+                mask_j = jnp.asarray(mask)
+                e = self._encode(
                     self.params,
                     jnp.asarray(tokens),
-                    jnp.asarray(mask),
+                    mask_j,
                     jnp.asarray(spk),
                     jnp.asarray(exagg),
                 )
-                total_frames = np.asarray(ac["total_frames"])
-                t_full = int(ac["mel"].shape[1])
-                # Stage 2: vocode at the smallest 64-aligned frame bucket covering
-                # the batch plus the streaming context margin (>= vocoder receptive
-                # field, so the audio below each sequence's total_samples is exactly
-                # the one-graph result — same invariant the streaming tests pin).
+                total_frames = np.asarray(e["total_frames"])
+                t_full = int(bucket * self.mcfg.max_frames_per_token)
+                # Stage 2: length-regulate + decoder + vocoder at the smallest
+                # CONFIGURED frame bucket covering the batch plus the streaming
+                # context margin (>= vocoder receptive field + iSTFT overlap, so
+                # the audio below each sequence's total_samples is exactly the
+                # one-graph result — pinned by test_engine.py). The bounded bucket
+                # list caps compile churn; no cover -> the worst case (== the
+                # one-graph shape).
                 need = int(total_frames.max()) + self.ecfg.stream_context_frames
-                fb = min(t_full, -(-need // 64) * 64)
-                if (batch_bucket, fb) not in self._vocode_shapes_seen:
-                    # Each new frame bucket is a fresh _vocode compile — surface it
-                    # in compiled_shapes so operators can see the churn this mode
-                    # trades for padding savings.
-                    self._vocode_shapes_seen.add((batch_bucket, fb))
+                fb = min(
+                    (x for x in self.ecfg.vocode_frame_buckets if x >= need),
+                    default=t_full,
+                )
+                fb = min(fb, t_full)
+                if (batch_bucket, bucket, fb) not in self._vocode_shapes_seen:
+                    self._vocode_shapes_seen.add((batch_bucket, bucket, fb))
                     self.stats["compiles"] += 1
-                audio = self._unpack(self._vocode(self.params, ac["mel"][:, :fb]))
+                out = self._decode_vocode(
+                    self.params, e["enc"], e["spk"], e["durations"], mask_j, fb, t_full
+                )
+                audio = self._unpack(out["audio"])
                 total = total_frames * self.hop
+                # Padding accounting: decoder AND vocoder now both run at fb.
                 self.stats["vocode_frames_executed"] += int(fb * batch_bucket)
                 self.stats["vocode_frames_worstcase"] += int(t_full * batch_bucket)
             else:

@@ -184,7 +184,7 @@ def length_regulate(
     }
 
 
-def forward(
+def encode(
     params: Params,
     tokens: jnp.ndarray,  # [B, L] int32
     token_mask: jnp.ndarray,  # [B, L] 1 = valid
@@ -194,8 +194,14 @@ def forward(
     durations: Optional[jnp.ndarray] = None,  # teacher durations [B, L] (training)
     dtype=jnp.float32,
 ) -> Dict[str, jnp.ndarray]:
+    """Token-domain half: embedding → encoder → predictors → pitch conditioning.
+
+    Everything here is [B, L]-shaped (no frame-domain tensors), so the serving
+    engine can run it as its own graph, read back `total_frames` (a [B] int32 —
+    one tiny host round trip), and dispatch the frame-domain half at a right-sized
+    frame bucket instead of the L*max_frames_per_token worst case (engine
+    two_stage_batch; PERF.md structural-padding note)."""
     b, l = tokens.shape
-    max_frames = l * cfg.max_frames_per_token
     mask_f = token_mask.astype(dtype)
 
     x = layers.embedding(params["embed"], tokens, dtype)
@@ -224,11 +230,46 @@ def forward(
     enc = enc + layers.dense(params["pitch_embed"], pitch_scaled[..., None], dtype)
     enc = enc * mask_f[..., None]
 
-    reg = length_regulate(enc, dur, token_mask, max_frames)
+    return {
+        "enc": enc,
+        "spk": spk,
+        "durations": dur,
+        "log_durations": log_dur,
+        "pitch": pitch,
+        "total_frames": jnp.cumsum(dur, axis=-1)[:, -1],
+    }
+
+
+def decode(
+    params: Params,
+    enc: jnp.ndarray,  # [B, L, D] pitch-conditioned encoder output (encode()["enc"])
+    spk: jnp.ndarray,  # [B, D] projected speaker (encode()["spk"])
+    durations: jnp.ndarray,  # [B, L] int32 (already masked)
+    token_mask: jnp.ndarray,  # [B, L]
+    max_frames: int,
+    cfg: ModelConfig,
+    dtype=jnp.float32,
+    local_attention_from: Optional[int] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Frame-domain half: length regulate → decoder → mel.
+
+    Exactness under a smaller `max_frames`: the math for frames below each
+    sequence's total_frames is identical to the full-size graph as long as
+    max_frames >= total_frames.max() — padded frames are zeroed before the
+    decoder, attention is frame-masked, and the conv-FFN taps see the same zero
+    neighborhoods either way (pinned to one int16 LSB in tests/test_engine.py;
+    different-shaped XLA programs may fuse differently, so final-ULP f32
+    rounding can differ even though the arithmetic is the same).
+    `local_attention_from` makes the local-vs-full attention choice as if the
+    frame axis were that long (the engine passes the one-graph worst case, so a
+    frame-bucketed dispatch picks the same attention kind the one-graph shape
+    would — block-local attention is absolute-position-blocked, so the choice,
+    not the bucket, is what must match)."""
+    reg = length_regulate(enc, durations, token_mask, max_frames)
     dec_in = reg["frames"] + spk[:, None, :] * reg["frame_mask"][..., None]
     use_local = (
         cfg.decoder_attention_window is not None
-        and max_frames >= cfg.local_attention_min_frames
+        and (local_attention_from or max_frames) >= cfg.local_attention_min_frames
     )
     dec = _stack(
         params["decoder"], dec_in, reg["frame_mask"], cfg, dtype,
@@ -236,14 +277,39 @@ def forward(
     )
     mel = layers.dense(params["mel_out"], dec, dtype)  # [B, T, n_mels]
     mel = mel * reg["frame_mask"][..., None]
-
     return {
         "mel": mel,
         "frame_mask": reg["frame_mask"],
-        "durations": dur,
-        "log_durations": log_dur,
-        "pitch": pitch,
         "total_frames": reg["total_frames"],
+    }
+
+
+def forward(
+    params: Params,
+    tokens: jnp.ndarray,  # [B, L] int32
+    token_mask: jnp.ndarray,  # [B, L] 1 = valid
+    speaker: jnp.ndarray,  # [B, speaker_dim]
+    exaggeration: jnp.ndarray,  # [B]
+    cfg: ModelConfig,
+    durations: Optional[jnp.ndarray] = None,  # teacher durations [B, L] (training)
+    dtype=jnp.float32,
+) -> Dict[str, jnp.ndarray]:
+    l = tokens.shape[1]
+    e = encode(
+        params, tokens, token_mask, speaker, exaggeration, cfg,
+        durations=durations, dtype=dtype,
+    )
+    d = decode(
+        params, e["enc"], e["spk"], e["durations"], token_mask,
+        l * cfg.max_frames_per_token, cfg, dtype=dtype,
+    )
+    return {
+        "mel": d["mel"],
+        "frame_mask": d["frame_mask"],
+        "durations": e["durations"],
+        "log_durations": e["log_durations"],
+        "pitch": e["pitch"],
+        "total_frames": d["total_frames"],
     }
 
 

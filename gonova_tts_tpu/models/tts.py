@@ -89,6 +89,54 @@ def vocode(
     return _vocoder_forward(cfg)(params["vocoder"], mel, cfg, dtype=dtype)
 
 
+def encode_acoustic(
+    params: Params,
+    tokens: jnp.ndarray,
+    token_mask: jnp.ndarray,
+    spk_embedding: jnp.ndarray,
+    exaggeration: jnp.ndarray,
+    cfg: ModelConfig,
+    dtype=jnp.float32,
+) -> Dict[str, jnp.ndarray]:
+    """Token-domain half (acoustic.encode): everything that does not depend on the
+    frame count. The engine's two-stage path runs this, reads back total_frames,
+    then dispatches decode_vocode at a right-sized frame bucket."""
+    return acoustic.encode(
+        params["acoustic"], tokens, token_mask, spk_embedding, exaggeration, cfg, dtype=dtype
+    )
+
+
+def decode_vocode(
+    params: Params,
+    enc: jnp.ndarray,  # [B, L, D] from encode_acoustic
+    spk: jnp.ndarray,  # [B, D] from encode_acoustic
+    durations: jnp.ndarray,  # [B, L] int32 from encode_acoustic
+    token_mask: jnp.ndarray,  # [B, L]
+    max_frames: int,
+    cfg: ModelConfig,
+    dtype=jnp.float32,
+    local_attention_from: int = 0,
+) -> Dict[str, jnp.ndarray]:
+    """Frame-domain half: length regulate + decoder + vocoder at `max_frames`.
+    Audio below each sequence's total_samples equals the one-graph synthesize()
+    result to within one int16 PCM step whenever max_frames covers the batch and
+    local_attention_from is the one-graph frame count (pinned in
+    tests/test_engine.py; the two modes are different XLA programs, so fusion may
+    differ in final-ULP f32 rounding — the math is identical)."""
+    d = acoustic.decode(
+        params["acoustic"], enc, spk, durations, token_mask, max_frames, cfg,
+        dtype=dtype, local_attention_from=local_attention_from or None,
+    )
+    wav = _vocoder_forward(cfg)(params["vocoder"], d["mel"], cfg, dtype=dtype)
+    total_samples = d["total_frames"] * cfg.hop_length
+    sample_mask = jnp.arange(wav.shape[-1])[None, :] < total_samples[:, None]
+    return {
+        "audio": wav * sample_mask.astype(wav.dtype),
+        "total_samples": total_samples,
+        "total_frames": d["total_frames"],
+    }
+
+
 def acoustic_mel(
     params: Params,
     tokens: jnp.ndarray,

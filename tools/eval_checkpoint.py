@@ -64,7 +64,9 @@ def main() -> None:
         cfg.model.compute_dtype = "float32"
     engine = TTSEngine(cfg)
     engine.load(warmup=False)
-    mcfg = cfg.model
+    # Use the ENGINE's model config: load() infers checkpoint-determined knobs
+    # (e.g. vocos_head from the restored head width) on its own copy.
+    mcfg = engine.mcfg
 
     def mel_of(wav: np.ndarray) -> np.ndarray:
         return np.asarray(
