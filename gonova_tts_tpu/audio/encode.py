@@ -329,9 +329,9 @@ class OpusEncoder:
             frame, self._buf = self._buf[: self._frame], self._buf[self._frame :]
             pkt = self._encode_frame(frame)
             self._granule += self._g_per_frame
-            chunks.append(
-                _ogg_page(self._serial, self._seq, self._preskip48 + self._granule, pkt, 0x00)
-            )
+            # RFC 7845 §4: page granule = cumulative decoded sample count at
+            # 48 kHz (pre-skip included in the count, playback = granule - preskip).
+            chunks.append(_ogg_page(self._serial, self._seq, self._granule, pkt, 0x00))
             self._seq += 1
         return b"".join(chunks)
 
@@ -345,11 +345,22 @@ class OpusEncoder:
         # Final frame: zero-pad the partial remainder (or emit one silence frame —
         # Ogg packets must not be empty, RFC 7845 §3) and set the EOS page's
         # granule to the true end so the padding is trimmed on decode (§4.5).
+        # §4.5 also requires the EOS granule not to exceed the decodable total:
+        # when the remainder carries more real audio than (frame - preskip),
+        # pre-skip trimming would eat into it, so emit extra fully-trimmed
+        # silence frames until enough decoded samples exist past the true end.
         true_end48 = self._preskip48 + self._in_samples * (48000 // self._sr)
         frame = np.zeros((self._frame,), np.int16)
         if len(self._buf) > 0:
             frame[: len(self._buf)] = self._buf
+            self._buf = self._buf[:0]
         pkt = self._encode_frame(frame)
+        self._granule += self._g_per_frame
+        while self._granule < true_end48:
+            chunks.append(_ogg_page(self._serial, self._seq, self._granule, pkt, 0x00))
+            self._seq += 1
+            pkt = self._encode_frame(np.zeros((self._frame,), np.int16))
+            self._granule += self._g_per_frame
         chunks.append(_ogg_page(self._serial, self._seq, true_end48, pkt, 0x04))
         self._seq += 1
         self._lib.opus_encoder_destroy(self._enc)

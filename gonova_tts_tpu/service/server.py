@@ -243,6 +243,12 @@ class TTSService:
         The cursor only moves through seqs that have actually completed (or will
         never run) — jumping past an unfinished seq would let a later request pass
         the gate while an earlier one is still streaming."""
+        if conn_id not in self.queue_manager.output_queues:
+            # Connection already torn down: its cursor/done entries were popped in
+            # handle_connection's finally, and conn ids are never reused. Recording
+            # here (e.g. a worker's finally firing after client disconnect) would
+            # resurrect the dicts and leak an entry per aborted connection.
+            return
         nxt = self._conn_seq_next.get(conn_id, 0)
         if seq != nxt:
             self._conn_done.setdefault(conn_id, set()).add(seq)
@@ -687,7 +693,8 @@ async def metrics(request: web.Request) -> web.Response:
 
 
 async def rest_synthesize(request: web.Request) -> web.Response:
-    """POST /v1/synthesize {text, voice_id?, exaggeration?, format?: wav|pcm}."""
+    """POST /v1/synthesize {text, voice_id?, exaggeration?,
+    format?: pcm|wav|mp3|opus — defaults to encoding.default_format}."""
     svc = request.app.get("service") or service
     if not svc or not svc.synthesizer.is_loaded:
         return web.json_response({"error": "Model not loaded"}, status=503)
@@ -702,7 +709,9 @@ async def rest_synthesize(request: web.Request) -> web.Response:
     if not svc.rate_limiter.check(client_ip):
         return web.json_response({"error": "Rate limit exceeded"}, status=429)
 
-    fmt = str(data.get("format", "wav")).lower()
+    # Same configured default as the WS path (encoding.default_format) so the two
+    # entry points agree on what an unspecified format means.
+    fmt = str(data.get("format", svc.config.encoding.default_format)).lower()
     sr = svc.config.model.sample_rate
     if fmt not in encode_mod.available_formats():
         return web.json_response(

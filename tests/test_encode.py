@@ -185,6 +185,49 @@ def test_opus_round_trip_decode():
 
 
 @opus_available
+@pytest.mark.parametrize("n", [12479, 12240, 12000, 479, 200])
+def test_opus_eos_granule_never_exceeds_decodable(n):
+    """Regression: a final partial frame longer than (frame - preskip) used to
+    push the EOS granule past the decodable total, violating RFC 7845 §4.5 and
+    losing trailing audio. The encoder must pad with fully-trimmed silence
+    frames so every granule stays <= cumulative decoded samples and the exact
+    sample count round-trips."""
+    lib = enc._get_opus()
+    sr = 24000
+    rng = np.random.default_rng(n)
+    x = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    e = enc.make_encoder("opus", sr, opus_bitrate=64)
+    out = e.encode(x) + e.flush()
+    packets, granules = _parse_ogg_packets(out)
+    preskip48 = struct.unpack("<H", packets[0][10:12])[0]
+
+    lib.opus_decoder_create.restype = ctypes.c_void_p
+    lib.opus_decoder_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+    lib.opus_decode.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+    ]
+    err = ctypes.c_int(0)
+    dec = lib.opus_decoder_create(sr, 1, ctypes.byref(err))
+    assert err.value == 0
+    frame = sr * enc.OpusEncoder.FRAME_MS // 1000
+    decoded48 = 0
+    for pkt, g in zip(packets[2:], granules[2:]):
+        buf = np.zeros((frame * 3,), np.int16)
+        m = lib.opus_decode(dec, pkt, len(pkt), buf.ctypes.data_as(ctypes.c_void_p), len(buf), 0)
+        assert m > 0
+        decoded48 += m * (48000 // sr)
+        assert g <= decoded48, f"granule {g} exceeds decoded total {decoded48}"
+    lib.opus_decoder_destroy.argtypes = [ctypes.c_void_p]
+    lib.opus_decoder_destroy(dec)
+    # Exact length recovery from the EOS granule.
+    assert granules[-1] == preskip48 + n * (48000 // sr)
+    assert (granules[-1] - preskip48) // (48000 // sr) == n
+    # Monotone non-decreasing granules (Ogg requirement).
+    assert all(b >= a for a, b in zip(granules, granules[1:]))
+
+
+@opus_available
 def test_opus_empty_stream_valid():
     """Zero input still yields a spec-valid stream: headers + one fully-trimmed
     silence frame (packets must not be empty; the EOS granule trims it away)."""

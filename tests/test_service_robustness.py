@@ -3,6 +3,7 @@ long-form REST — degradation semantics must match the reference's (drop + surv
 
 import asyncio
 import json
+import types
 
 import numpy as np
 import pytest
@@ -113,7 +114,9 @@ def test_rest_long_form(client_ctx):
         article = (
             "The expedition started before dawn, when the valley was wrapped in mist. "
         ) * 30
-        resp = await client.post("/v1/synthesize", json={"text": article[:2500]})
+        resp = await client.post(
+            "/v1/synthesize", json={"text": article[:2500], "format": "wav"}
+        )
         assert resp.status == 200
         audio, sr = read_wav(await resp.read())
         assert sr == 24000
@@ -280,6 +283,7 @@ def test_seq_cursor_advances_contiguously():
     svc._conn_seq_next = {}
     svc._conn_done = {}
     svc._conn_parked = {}
+    svc.queue_manager = types.SimpleNamespace(output_queues={"c": object()})
 
     # seq 0 is in flight; seqs 1 and 3 are dropped at admission, seq 2 parked.
     svc._finish_seq("c", 1)
@@ -295,6 +299,32 @@ def test_seq_cursor_advances_contiguously():
     svc._finish_seq("c", 2)
     assert svc._conn_seq_next["c"] == 4
     assert svc._conn_done.get("c") == set()
+
+
+def test_finish_seq_after_teardown_does_not_resurrect_bookkeeping():
+    """Regression: a worker's finally-block _finish_seq firing after the
+    connection's teardown popped _conn_seq_next/_conn_done must not re-create
+    those entries — conn ids are never reused, so a resurrected entry is a
+    permanent per-aborted-connection memory leak."""
+    from gonova_tts_tpu.service.server import TTSService
+
+    svc = TTSService.__new__(TTSService)
+    svc._conn_seq_next = {}
+    svc._conn_done = {}
+    svc._conn_parked = {}
+    svc.queue_manager = types.SimpleNamespace(output_queues={"c": object()})
+
+    svc._finish_seq("c", 0)
+    assert svc._conn_seq_next["c"] == 1
+    # Teardown: connection unregistered, bookkeeping popped (handle_connection's
+    # finally), then a straggling worker finishes its request.
+    svc.queue_manager.output_queues.pop("c")
+    svc._conn_seq_next.pop("c", None)
+    svc._conn_done.pop("c", None)
+    svc._finish_seq("c", 1)  # in-order completion after teardown
+    svc._finish_seq("c", 5)  # out-of-order completion after teardown
+    assert "c" not in svc._conn_seq_next
+    assert "c" not in svc._conn_done
 
 
 @pytest.mark.slow

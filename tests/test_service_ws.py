@@ -315,7 +315,8 @@ def test_rest_synthesize_returns_wav(client_ctx):
 
     async def run():
         resp = await client.post(
-            "/v1/synthesize", json={"text": "Rest endpoint test. Two sentences here."}
+            "/v1/synthesize",
+            json={"text": "Rest endpoint test. Two sentences here.", "format": "wav"},
         )
         assert resp.status == 200
         assert resp.content_type == "audio/wav"
@@ -323,6 +324,33 @@ def test_rest_synthesize_returns_wav(client_ctx):
         audio, sr = read_wav(body)
         assert sr == 24000
         assert len(audio) > 0 and np.isfinite(audio).all()
+        return True
+
+    assert loop.run_until_complete(run())
+
+
+def test_rest_default_format_honors_config(client_ctx):
+    """A REST request without `format` must use encoding.default_format, the same
+    knob the WS path honors (regression: REST hardcoded wav, so the two entry
+    points disagreed about what an unspecified format means)."""
+    loop, client, srv = client_ctx
+
+    async def run():
+        svc = client.app["service"]
+        assert svc.config.encoding.default_format == "pcm"  # the shipped default
+        resp = await client.post("/v1/synthesize", json={"text": "Default format."})
+        assert resp.status == 200
+        assert resp.content_type == "application/octet-stream"  # pcm, not wav
+        audio = np.frombuffer(await resp.read(), dtype=np.float32)
+        assert len(audio) > 0 and np.isfinite(audio).all()
+
+        svc.config.encoding.default_format = "wav"
+        try:
+            resp = await client.post("/v1/synthesize", json={"text": "Now wav."})
+            assert resp.status == 200
+            assert resp.content_type == "audio/wav"
+        finally:
+            svc.config.encoding.default_format = "pcm"
         return True
 
     assert loop.run_until_complete(run())

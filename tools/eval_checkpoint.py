@@ -94,12 +94,22 @@ def main() -> None:
     from gonova_tts_tpu.models import tts as tmodel
     from gonova_tts_tpu.text import text_to_ids
 
+    from gonova_tts_tpu.text import pick_bucket
+
+    def _bucketed_tokens(ids):
+        # Same bucketing as the engine (engine.py synthesize paths) — a fixed 64
+        # would crash/mis-grade any sentence longer than 64 tokens. Clamp to the
+        # largest bucket as pad_to_bucket does (backstop, not the common path).
+        bucket = pick_bucket(len(ids), engine.ecfg.token_buckets)
+        ids = list(ids)[:bucket]
+        tokens = np.zeros((1, bucket), np.int32)
+        tokens[0, : len(ids)] = ids
+        mask = (np.arange(bucket)[None] < len(ids)).astype(np.float32)
+        return tokens, mask, len(ids)
+
     def acoustic_mel_pred(text: str, emb: np.ndarray) -> np.ndarray:
         ids = text_to_ids(text)
-        bucket = 64
-        tokens = np.zeros((1, bucket), np.int32)
-        tokens[0, : len(ids)] = ids[:bucket]
-        mask = (np.arange(bucket)[None] < len(ids)).astype(np.float32)
+        tokens, mask, _ = _bucketed_tokens(ids)
         out = tmodel.acoustic_mel(
             engine.params, jnp.asarray(tokens), jnp.asarray(mask),
             jnp.asarray(emb, jnp.float32)[None],
@@ -124,17 +134,14 @@ def main() -> None:
 
     def predicted_durations(text: str, emb: np.ndarray):
         ids = text_to_ids(text)
-        bucket = 64
-        tokens = np.zeros((1, bucket), np.int32)
-        tokens[0, : len(ids)] = ids[:bucket]
-        mask = (np.arange(bucket)[None] < len(ids)).astype(np.float32)
+        tokens, mask, n = _bucketed_tokens(ids)
         out = tmodel.acoustic_mel(
             engine.params, jnp.asarray(tokens), jnp.asarray(mask),
             jnp.asarray(emb, jnp.float32)[None],
             jnp.full((1,), 0.5, jnp.float32), mcfg,
             dtype=engine.compute_dtype,
         )
-        return np.asarray(out["durations"], np.int32)[0, : len(ids)]
+        return np.asarray(out["durations"], np.int32)[0, :n]
 
     def grade(sentence_indices):
         recon = []
