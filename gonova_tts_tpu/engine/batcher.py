@@ -139,21 +139,21 @@ class DynamicBatcher:
                         p.future.set_exception(RuntimeError("batcher stopped"))
                 raise asyncio.CancelledError
 
-            # Bucket-aware dispatch: the engine pads every request in a device pass
-            # to the pass's single token bucket, so a 5-token and a 40-token sentence
-            # sharing one pass both pay the 64-bucket. Group by bucket and issue one
-            # pass per group — ≤1 extra pass in the common two-length case, and the
-            # padded-token waste drops to the per-bucket minimum.
-            groups: Dict[int, List[_Pending]] = {}
-            for p in batch:
-                groups.setdefault(
-                    pick_bucket(p.n_tokens, self.engine.ecfg.token_buckets), []
-                ).append(p)
-            if len(groups) > 1:
-                self.metrics["bucket_splits"] += 1
-
             loop = asyncio.get_event_loop()
             try:
+                # Bucket-aware dispatch: the engine pads every request in a device pass
+                # to the pass's single token bucket, so a 5-token and a 40-token sentence
+                # sharing one pass both pay the 64-bucket. Group by bucket and issue one
+                # pass per group — ≤1 extra pass in the common two-length case, and the
+                # padded-token waste drops to the per-bucket minimum.
+                groups: Dict[int, List[_Pending]] = {}
+                for p in batch:
+                    groups.setdefault(
+                        pick_bucket(p.n_tokens, self.engine.ecfg.token_buckets), []
+                    ).append(p)
+                if len(groups) > 1:
+                    self.metrics["bucket_splits"] += 1
+
                 for group in groups.values():
                     try:
                         results = await loop.run_in_executor(
@@ -174,6 +174,9 @@ class DynamicBatcher:
                         for p in group:
                             if not p.future.done():
                                 p.future.set_exception(e)
+                self.metrics["batches"] += len(groups)
+                self.metrics["requests"] += len(batch)
+                self.metrics["max_batch_seen"] = max(self.metrics["max_batch_seen"], len(batch))
             except asyncio.CancelledError:
                 # stop() cancelled us mid-device-pass: CancelledError is a
                 # BaseException so the per-group handler above doesn't see it —
@@ -183,6 +186,12 @@ class DynamicBatcher:
                     if p.future is not None and not p.future.done():
                         p.future.set_exception(RuntimeError("batcher stopped"))
                 raise
-            self.metrics["batches"] += len(groups)
-            self.metrics["requests"] += len(batch)
-            self.metrics["max_batch_seen"] = max(self.metrics["max_batch_seen"], len(batch))
+            except Exception as e:  # noqa: BLE001 — the worker must outlive ANY batch
+                # An error in group assembly or metrics (outside the per-group
+                # guard) must not kill the worker task: a dead worker strands the
+                # current batch's futures and hangs every subsequent submit()
+                # forever with _stopped still False.
+                logger.error("batcher_worker_error", error=str(e), exc_info=True)
+                for p in batch:
+                    if p.future is not None and not p.future.done():
+                        p.future.set_exception(e)

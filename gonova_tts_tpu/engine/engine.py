@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 import threading
 import time
+from contextlib import contextmanager
 from typing import Iterator, List, Optional, Sequence
 
 import jax
@@ -61,6 +62,8 @@ class TTSEngine:
             jnp.bfloat16 if self.mcfg.compute_dtype == "bfloat16" else jnp.float32
         )
         self._lock = threading.Lock()  # device work is serialized per engine
+        self._stats_lock = threading.Lock()  # counters are updated off-device-lock
+        self._busy_since: float = 0.0  # wall time the current device section began
         self.stats = {
             "syntheses": 0,
             "total_latency": 0.0,
@@ -77,8 +80,22 @@ class TTSEngine:
             # static worst case (L × max_frames_per_token) the one-graph path pays.
             "vocode_frames_executed": 0,
             "vocode_frames_worstcase": 0,
+            # Oversize sentences cut to the largest token bucket (backstop path).
+            "truncated_sentences": 0,
         }
         self._vocode_shapes_seen: set = set()
+
+    @contextmanager
+    def _device_section(self):
+        """Device-lock holder that timestamps itself so health_check can tell
+        'busy serving' (ms-scale, healthy) from 'wedged on the device' (a hung
+        DMA/tunnel stall that would otherwise read as healthy forever)."""
+        with self._lock:
+            self._busy_since = time.time()
+            try:
+                yield
+            finally:
+                self._busy_since = 0.0
 
     # ------------------------------------------------------------ loading
 
@@ -88,7 +105,12 @@ class TTSEngine:
         # Persistent compile cache: service restarts (and this environment's slow
         # tunnel compiles) reuse binaries instead of recompiling every shape bucket.
         try:
-            cache_dir = os.path.join(os.getcwd(), ".jax_cache")
+            # TTS_JAX_CACHE_DIR pins the cache to a stable location; the cwd
+            # default means a service restarted from a different directory would
+            # silently re-pay every shape compile.
+            cache_dir = os.environ.get("TTS_JAX_CACHE_DIR") or os.path.join(
+                os.getcwd(), ".jax_cache"
+            )
             jax.config.update("jax_compilation_cache_dir", cache_dir)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         except Exception:  # noqa: BLE001 — cache is an optimization, never fatal
@@ -200,10 +222,23 @@ class TTSEngine:
         compile is exactly what warmup exists to prevent."""
         for batch, bucket in self.ecfg.warmup_shapes:
             t0 = time.time()
+            if self._dp is not None:
+                # Serving rounds the batch to a DP multiple and commits inputs
+                # with the 'data' sharding (synthesize_batch); jit specializes on
+                # (shape, sharding), so warmup must match or every first real
+                # request per shape pays a mid-request compile anyway.
+                batch = max(batch, self._dp.round_batch(batch))
             tokens = jnp.zeros((batch, bucket), jnp.int32)
             mask = jnp.ones((batch, bucket), jnp.float32)
             spk = jnp.zeros((batch, self.mcfg.speaker_dim), jnp.float32)
             exagg = jnp.zeros((batch,), jnp.float32)
+            if self._dp is not None:
+                tokens, mask, spk, exagg = (
+                    self._dp.place_batch(tokens),
+                    self._dp.place_batch(mask),
+                    self._dp.place_batch(spk),
+                    self._dp.place_batch(exagg),
+                )
             if self.ecfg.two_stage_batch:
                 e = self._encode(self.params, tokens, mask, spk, exagg)
                 # Force a host readback: on some backends (axon tunnel)
@@ -227,9 +262,24 @@ class TTSEngine:
             logger.info(
                 "warmup_compiled", batch=batch, bucket=bucket, seconds=round(time.time() - t0, 2)
             )
-        # Streaming vocoder window shape (stride + 2*context).
-        w = self.ecfg.stream_chunk_frames + 2 * self.ecfg.stream_context_frames
-        mel = jnp.zeros((1, w, self.mcfg.n_mels), jnp.float32)
+        # Streaming vocoder window shape — EXACTLY as _stream_sentence builds it:
+        # same context clamp (ctx <= stride) and the serving mel dtype (the
+        # acoustic stage emits compute_dtype; warming a float32 window under a
+        # bfloat16 config would leave the real shape uncompiled).
+        stride = self.ecfg.stream_chunk_frames
+        ctx = min(self.ecfg.stream_context_frames, stride)
+        rf = 3 * (self.mcfg.vocos_layers + 1)
+        if ctx < rf:
+            # The streamed==one-shot exactness guarantee needs the context to
+            # cover the vocoder receptive field; say so instead of failing quietly.
+            logger.warning(
+                "stream_context_below_receptive_field",
+                context=ctx,
+                configured=self.ecfg.stream_context_frames,
+                receptive_field=rf,
+            )
+        w = stride + 2 * ctx
+        mel = jnp.zeros((1, w, self.mcfg.n_mels), self.compute_dtype)
         np.asarray(self._vocode(self.params, mel))  # readback = compile barrier
         self.stats["compiles"] += 1
 
@@ -305,7 +355,27 @@ class TTSEngine:
         else:
             assert len(id_lists) == b
         tokens_np, lengths, bucket = batch_to_bucket(id_lists, self.ecfg.token_buckets)
+        truncated = sum(len(ids) > bucket for ids in id_lists)
+        if truncated:
+            # pick_bucket's largest-bucket backstop cuts oversize sentences; a
+            # silent cut would drop the tail of the audio with no trace.
+            with self._stats_lock:
+                self.stats["truncated_sentences"] += truncated
+            logger.warning(
+                "token_sequence_truncated",
+                count=truncated,
+                bucket=bucket,
+                longest=max(len(ids) for ids in id_lists),
+            )
         batch_bucket = pick_bucket(b, self.ecfg.batch_buckets)
+        if b > batch_bucket:
+            # Misconfiguration backstop (max_batch above the largest batch
+            # bucket): serve the odd shape (one extra compile) instead of
+            # crashing the whole group with a broadcast error.
+            logger.warning(
+                "batch_exceeds_largest_bucket", batch=b, largest=batch_bucket
+            )
+            batch_bucket = b
 
         if self._dp is not None:
             batch_bucket = max(batch_bucket, self._dp.round_batch(batch_bucket))
@@ -329,7 +399,7 @@ class TTSEngine:
                 self._dp.place_batch(spk),
                 self._dp.place_batch(exagg),
             )
-        with self._lock, timers.track("synth_batch_device"):
+        with self._device_section(), timers.track("synth_batch_device"):
             if self.ecfg.two_stage_batch:
                 # Stage 1: token-domain half (encoder + predictors) — no
                 # frame-domain tensor exists yet; one [B]-int32 host round trip
@@ -366,8 +436,9 @@ class TTSEngine:
                 audio = self._unpack(out["audio"])
                 total = total_frames * self.hop
                 # Padding accounting: decoder AND vocoder now both run at fb.
-                self.stats["vocode_frames_executed"] += int(fb * batch_bucket)
-                self.stats["vocode_frames_worstcase"] += int(t_full * batch_bucket)
+                with self._stats_lock:
+                    self.stats["vocode_frames_executed"] += int(fb * batch_bucket)
+                    self.stats["vocode_frames_worstcase"] += int(t_full * batch_bucket)
             else:
                 out = self._synth(
                     self.params,
@@ -381,12 +452,13 @@ class TTSEngine:
 
         results = [audio[i, : int(total[i])].astype(np.float32) for i in range(b)]
         dt = time.time() - t0
-        self.stats["batches"] += 1
-        self.stats["batched_requests"] += b
-        self.stats["syntheses"] += b
-        self.stats["total_latency"] += dt
-        self.stats["real_tokens"] += int(np.sum(lengths))
-        self.stats["padded_tokens"] += int(batch_bucket * bucket)
+        with self._stats_lock:  # executor threads race the streaming producer here
+            self.stats["batches"] += 1
+            self.stats["batched_requests"] += b
+            self.stats["syntheses"] += b
+            self.stats["total_latency"] += dt
+            self.stats["real_tokens"] += int(np.sum(lengths))
+            self.stats["padded_tokens"] += int(batch_bucket * bucket)
         return results
 
     # ------------------------------------------------------------ streaming synthesis
@@ -412,13 +484,16 @@ class TTSEngine:
             for sentence in sentences:
                 for chunk in self._stream_sentence(sentence, speaker, exaggeration):
                     if first:
-                        self.stats["first_chunk_latency"] += time.time() - t0
+                        with self._stats_lock:
+                            self.stats["first_chunk_latency"] += time.time() - t0
                         first = False
                     yield chunk
-            self.stats["syntheses"] += 1
-            self.stats["total_latency"] += time.time() - t0
+            with self._stats_lock:
+                self.stats["syntheses"] += 1
+                self.stats["total_latency"] += time.time() - t0
         except Exception:
-            self.stats["errors"] += 1
+            with self._stats_lock:
+                self.stats["errors"] += 1
             raise
 
     def _stream_sentence(
@@ -434,7 +509,7 @@ class TTSEngine:
             spk[0] = speaker
         exagg = np.asarray([exaggeration], np.float32)
 
-        with self._lock, timers.track("acoustic_device"):
+        with self._device_section(), timers.track("acoustic_device"):
             ac = self._acoustic(
                 self.params, jnp.asarray(tokens), jnp.asarray(mask), jnp.asarray(spk), jnp.asarray(exagg)
             )
@@ -467,7 +542,7 @@ class TTSEngine:
             start = 0 if k == 0 else k * stride - ctx
             lead = 0 if k == 0 else ctx
             window = jax.lax.dynamic_slice_in_dim(mel, start, w, axis=1)
-            with self._lock, timers.track("vocode_window_device"):
+            with self._device_section(), timers.track("vocode_window_device"):
                 wav = self._unpack(self._vocode(self.params, window))[0]  # [w*hop]
             body = wav[lead * hop : (lead + stride) * hop]
             chunk = body[: max(0, total_samples - emitted)]
@@ -479,7 +554,7 @@ class TTSEngine:
 
     # ------------------------------------------------------------ health
 
-    def health_check(self, deadline_s: float = 5.0) -> dict:
+    def health_check(self, deadline_s: float = 5.0, stall_after_s: float = 300.0) -> dict:
         """Device liveness probe: run a trivial jitted op end-to-end with a deadline.
 
         The reference has no health-driven failure detection (SURVEY.md §5.3 — its
@@ -488,9 +563,21 @@ class TTSEngine:
         """
         if not self.is_loaded:
             return {"status": "unloaded"}
-        # Actively serving (lock held) means the device is alive — don't queue a probe
-        # behind real work and misreport load as ill health.
+        # Actively serving (lock held) usually means the device is alive — don't
+        # queue a probe behind real work and misreport load as ill health. But a
+        # device section stuck far beyond any legitimate pass (a hung DMA /
+        # tunnel stall — the most likely real TPU failure) must NOT read as
+        # healthy forever: bound it. The bound is generous because a cold-shape
+        # compile can legitimately take minutes on slow toolchains.
         if not self._lock.acquire(blocking=False):
+            since = self._busy_since
+            busy_for = (time.time() - since) if since else 0.0
+            if busy_for > stall_after_s:
+                return {
+                    "status": "degraded",
+                    "reason": "device section stalled",
+                    "busy_for_s": round(busy_for, 1),
+                }
             return {"status": "ok", "note": "busy serving"}
         t0 = time.time()
         try:

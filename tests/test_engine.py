@@ -353,3 +353,67 @@ def test_health_check(engine):
 
 def test_synthesize_batch_empty_list(engine):
     assert engine.synthesize_batch([]) == []
+
+
+def test_health_check_detects_stalled_device_section(engine):
+    """A device section holding the lock far beyond any legitimate pass must
+    report degraded, not 'ok busy serving' forever (regression: a wedged device
+    was permanently reported healthy)."""
+    import time as _time
+
+    assert engine._lock.acquire(blocking=False)
+    try:
+        engine._busy_since = _time.time() - 400.0
+        h = engine.health_check(stall_after_s=300.0)
+        assert h["status"] == "degraded"
+        assert h["busy_for_s"] > 300
+        # A fresh section is healthy-busy, not degraded.
+        engine._busy_since = _time.time()
+        assert engine.health_check(stall_after_s=300.0)["status"] == "ok"
+    finally:
+        engine._busy_since = 0.0
+        engine._lock.release()
+
+
+def test_batch_larger_than_biggest_bucket_served(engine):
+    """max_batch above the largest batch bucket must serve (odd-shape compile),
+    not crash with a broadcast error (regression)."""
+    texts = [f"Sentence number {i}." for i in range(9)]  # buckets top out at 8
+    outs = engine.synthesize_batch(texts)
+    assert len(outs) == 9
+    assert all(np.isfinite(w).all() and len(w) > 0 for w in outs)
+
+
+def test_overlong_sentence_truncation_is_counted(engine):
+    """Token sequences beyond the largest bucket are cut (backstop); the cut must
+    be visible in stats instead of silently dropping audio tail."""
+    before = engine.stats["truncated_sentences"]
+    # One id list longer than the largest bucket (192) via the id_lists seam.
+    ids = [5] * 250
+    outs = engine.synthesize_batch(["x"], id_lists=[ids])
+    assert len(outs) == 1
+    assert engine.stats["truncated_sentences"] == before + 1
+
+
+def test_batcher_worker_survives_assembly_error(engine):
+    """An exception OUTSIDE the per-group dispatch guard (e.g. bucket lookup on a
+    broken config) must fail the batch's futures and keep the worker alive —
+    not kill the task and hang every later submit() (regression)."""
+
+    async def run():
+        b = DynamicBatcher(engine, window_ms=1.0)
+        await b.start()
+        good = engine.ecfg.token_buckets
+        engine.ecfg.token_buckets = []  # pick_bucket -> IndexError in assembly
+        try:
+            with pytest.raises(Exception):
+                await asyncio.wait_for(b.submit("Boom."), 10)
+        finally:
+            engine.ecfg.token_buckets = good
+        # Worker must still be alive and serving.
+        out = await asyncio.wait_for(b.submit("Still alive."), 60)
+        assert np.isfinite(out).all() and len(out) > 0
+        await b.stop()
+        return True
+
+    assert asyncio.new_event_loop().run_until_complete(run())
