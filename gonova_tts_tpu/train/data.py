@@ -55,9 +55,11 @@ class Example:
 
 
 def load_manifest(path: str) -> List[Dict[str, str]]:
+    import re
+
     entries = []
     with open(path) as f:
-        for raw in f:
+        for lineno, raw in enumerate(f, 1):
             raw = raw.strip()
             if not raw or raw.startswith("#"):
                 continue
@@ -71,8 +73,19 @@ def load_manifest(path: str) -> List[Dict[str, str]]:
                     continue
                 if extra.startswith("ref="):
                     entry["ref"] = extra[4:]
-                else:
+                elif re.fullmatch(r"\d+(?:\s+\d+)*", extra):
+                    # Space-joined integer durations — the ONLY other field shape.
+                    # Anything else must fail here with a line number, not as a
+                    # confusing int() crash later (and a typo'd field must never be
+                    # silently consumed as durations, which would also flip the
+                    # run out of learned-alignment mode).
                     entry["durations"] = extra
+                else:
+                    raise ValueError(
+                        f"{path}:{lineno}: unrecognized manifest field {extra!r} "
+                        "(expected 'ref=<wav_path>' or space-separated integer "
+                        "durations)"
+                    )
             entries.append(entry)
     return entries
 
@@ -294,6 +307,18 @@ def make_batch(
                     f"alignment learning needs >= 1 frame per token "
                     f"({t} frames < {l} tokens)"
                 )
+            if e.mel.shape[0] > t_cap:
+                # Truncating audio while keeping all tokens would silently corrupt
+                # every MAS duration target for this utterance (text whose audio
+                # was cut gets crammed into the remaining frames). Fail loud like
+                # the short side above.
+                raise ValueError(
+                    f"utterance has {e.mel.shape[0]} frames but the bucket caps at "
+                    f"{t_cap} (= bucket {bucket} x max_frames_per_token "
+                    f"{cfg.max_frames_per_token}); split the utterance or raise "
+                    "max_frames_per_token — truncation would corrupt alignment "
+                    "targets"
+                )
             batch["mel"][i, :t] = e.mel[:t]
             batch["frame_mask"][i, :t] = 1.0
             batch["audio"][i, : t * hop] = e.audio[: t * hop]
@@ -342,8 +367,11 @@ class ManifestDataset:
         speaker_fn=None,
         ref_mel: bool = False,
         learn_alignment: bool = False,
+        entries: Optional[List[Dict[str, str]]] = None,
     ):
-        self.entries = load_manifest(manifest_path)
+        # `entries` lets a caller that already parsed the manifest (the train
+        # loop's alignment auto-detect / bucket sizing) avoid a re-read.
+        self.entries = entries if entries is not None else load_manifest(manifest_path)
         if not self.entries:
             raise ValueError(f"empty manifest: {manifest_path}")
         self.cfg = cfg

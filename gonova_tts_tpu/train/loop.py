@@ -129,15 +129,23 @@ def train(
             rounded = ((steps + chunk - 1) // chunk) * chunk
             logger.info("steps_rounded_to_chunk", requested=steps, actual=rounded)
             steps = rounded
-    if learn_alignment is None:
-        if manifest:
-            from .data import load_manifest
+    manifest_entries = None
+    if manifest:
+        from .data import load_manifest
 
-            learn_alignment = not any(
-                "durations" in e for e in load_manifest(manifest)
-            )
-        else:
-            learn_alignment = False  # synthetic batches carry durations
+        manifest_entries = load_manifest(manifest)  # parsed ONCE, reused below
+    if learn_alignment is None:
+        learn_alignment = manifest_entries is not None and not any(
+            "durations" in e for e in manifest_entries
+        )
+    elif learn_alignment and not manifest:
+        # Honoring the flag would crash at trace time on a missing
+        # batch["pitch_frames"] — synthetic batches carry duration targets and
+        # no audio-derived alignment features.
+        raise ValueError(
+            "--learn-alignment requires --manifest: alignment is learned from "
+            "(text, audio) pairs; synthetic batches have no audio features"
+        )
     # One jitted init graph (eager init = one device round trip per tensor).
     params = jax.jit(lambda k: tts.init(k, mcfg, with_aligner=learn_alignment))(
         jax.random.PRNGKey(seed)
@@ -154,10 +162,9 @@ def train(
         # that fits the corpus' longest sentence.
         if resident:
             from ..text import pick_bucket, text_to_ids
-            from .data import load_manifest
 
             longest = max(
-                len(text_to_ids(e["text"])) for e in load_manifest(manifest)
+                len(text_to_ids(e["text"])) for e in manifest_entries
             )
             buckets = (pick_bucket(longest, config.engine.token_buckets),)
         else:
@@ -167,6 +174,7 @@ def train(
             token_buckets=buckets, seed=seed,
             ref_mel=speaker_conditioning,
             learn_alignment=learn_alignment,
+            entries=manifest_entries,
         )
         logger.info("alignment_mode", learned=learn_alignment)
 
@@ -230,7 +238,9 @@ def train(
             mcfg, optimizer, epoch_batches, chunk=chunk, ema_decay=ema_decay,
             learn_alignment=learn_alignment,
         )
-        ema = tstep.ema_init(state.params)
+        # Zero-seeded debiased EMA: a params-seeded shadow would leave decay^t of
+        # the RANDOM INIT in every checkpoint (~37% after 1000 steps at 0.999).
+        ema = tstep.ema_init_zeros(state.params)
         t0 = time.time()
         done = 0
         metrics = {}
@@ -239,7 +249,8 @@ def train(
             done += chunk
             log_point(done, {k: v for k, v in metrics.items()}, t0)
             if checkpoint_dir and done % checkpoint_every < chunk and done < steps:
-                path = save_params(checkpoint_dir, _serve_params(jax.device_get(ema)), step=done)
+                snap = tstep.ema_debias(ema, ema_decay, done)
+                path = save_params(checkpoint_dir, _serve_params(jax.device_get(snap)), step=done)
                 logger.info("checkpoint_saved", path=path, kind="ema")
     else:
         use_mesh = (n_data or 0) > 1 or n_model > 1
@@ -256,7 +267,7 @@ def train(
                 mcfg, optimizer, learn_alignment=learn_alignment
             )
 
-        ema = tstep.ema_init(jax.device_get(state.params))
+        ema = tstep.ema_init_zeros(jax.device_get(state.params))
         ema_step = jax.jit(lambda e, p: tstep.ema_update(e, p, ema_decay))
 
         metrics = {}
@@ -269,8 +280,13 @@ def train(
             if (i + 1) % 50 == 0 or i == 0:
                 log_point(i + 1, metrics, t0)
             if checkpoint_dir and (i + 1) % checkpoint_every == 0:
-                path = save_params(checkpoint_dir, _serve_params(jax.device_get(ema)), step=i + 1)
+                snap = tstep.ema_debias(ema, ema_decay, i + 1)
+                path = save_params(checkpoint_dir, _serve_params(jax.device_get(snap)), step=i + 1)
                 logger.info("checkpoint_saved", path=path, kind="ema")
+
+    # From here on `ema` is read (baseline save, GAN merge, final save): convert
+    # the zero-seeded shadow to its bias-corrected form exactly once.
+    ema = tstep.ema_debias(ema, ema_decay, steps)
 
     if gan:
         if not manifest:
@@ -318,7 +334,7 @@ def train(
             run_gan, _ = tstep.make_resident_gan_chunk(
                 mcfg, g_opt, d_opt, epoch_batches, chunk=chunk, ema_decay=ema_decay
             )
-            ema_voc = tstep.ema_init(gen_state.params)
+            ema_voc = tstep.ema_init_zeros(gen_state.params)
             done = 0
             while done < n_gan:
                 gen_state, disc_state, ema_voc, gm = run_gan(
@@ -326,9 +342,18 @@ def train(
                 )
                 done += chunk
                 log_gan(done, gm, t0)
+            n_gan_updates = done
         else:
-            d_step, g_step = tstep.make_gan_steps(mcfg, g_opt, d_opt)
-            ema_voc = tstep.ema_init(gen_state.params)
+            if use_mesh:
+                # Same never-silently-drop-parallelism rule as the joint phase:
+                # the adversarial fine-tune shards over the mesh too.
+                d_step, g_step, gen_state, disc_state = tstep.make_sharded_gan_steps(
+                    mcfg, g_opt, d_opt, mesh, gen_state, disc_state
+                )
+                logger.info("gan_sharded", mesh=str(mesh.devices.shape))
+            else:
+                d_step, g_step = tstep.make_gan_steps(mcfg, g_opt, d_opt)
+            ema_voc = tstep.ema_init_zeros(gen_state.params)
             ema_step_g = jax.jit(lambda e, p: tstep.ema_update(e, p, ema_decay))
             for i, batch in enumerate(batches()):
                 if i >= n_gan:
@@ -344,10 +369,13 @@ def train(
                 gm = {"d": d_loss, **g_metrics}
                 if (i + 1) % 50 == 0 or i == 0:
                     log_gan(i + 1, gm, t0)
-        # The adversarially-trained vocoder EMA replaces the L1-phase vocoder in
-        # the serving weights.
+                n_gan_updates = i + 1
+        # The adversarially-trained vocoder EMA (debiased) replaces the L1-phase
+        # vocoder in the serving weights.
         ema = dict(ema)
-        ema["vocoder"] = jax.device_get(ema_voc)["vocoder"]
+        ema["vocoder"] = jax.device_get(
+            tstep.ema_debias(ema_voc, ema_decay, n_gan_updates)
+        )["vocoder"]
         metrics = {
             **{k: float(v) for k, v in metrics.items()},
             **{f"gan_{k}": float(v) for k, v in gm.items()},

@@ -119,7 +119,17 @@ def tts_loss_fn(
             batch["pitch_frames"], durations, batch["frame_mask"]
         )
         l_align = l_fs + 0.1 * l_bin
-        align_metrics = {"align_fs": l_fs, "align_bin": l_bin}
+        # Train/serve drift visibility: inference clamps predicted durations to
+        # max_frames_per_token (acoustic.encode), so MAS targets above the cap
+        # get clipped at serve time (audibly shortened pauses/long vowels) while
+        # training metrics look perfect. Report the affected-token fraction.
+        real_tok = batch["token_mask"] > 0
+        over_cap = jnp.logical_and(durations > cfg.max_frames_per_token, real_tok)
+        align_metrics = {
+            "align_fs": l_fs,
+            "align_bin": l_bin,
+            "dur_over_cap": jnp.sum(over_cap) / jnp.maximum(jnp.sum(real_tok), 1.0),
+        }
     else:
         durations = batch["durations"]
         pitch_tok = batch["pitch"]
@@ -362,14 +372,34 @@ def make_resident_train_chunk(
 
 def ema_init(params: Any) -> Any:
     """Exponential-moving-average shadow of the params (standard TTS practice:
-    the EMA weights, not the raw ones, are what gets served)."""
+    the EMA weights, not the raw ones, are what gets served).
+
+    Seeding the shadow from the live params biases every checkpoint toward
+    whatever the params were at phase start (decay^t worth — 37% of RANDOM INIT
+    after 1000 steps at 0.999). The train loop therefore uses the debiased pair
+    `ema_init_zeros` + `ema_debias`; this params-seeded variant remains for
+    callers that explicitly want a warm shadow."""
     return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def ema_init_zeros(params: Any) -> Any:
+    """Zero-seeded EMA shadow for the debiased scheme: update as usual, then read
+    through ema_debias(ema, decay, t) — the Adam-style 1/(1-decay^t) correction
+    removes the zero-init bias exactly, so checkpoints carry no phase-start
+    contamination at ANY step count."""
+    return jax.tree_util.tree_map(jnp.zeros_like, params)
 
 
 def ema_update(ema: Any, params: Any, decay: float = 0.999) -> Any:
     return jax.tree_util.tree_map(
         lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay), ema, params
     )
+
+
+def ema_debias(ema: Any, decay: float, num_updates: int) -> Any:
+    """Bias-corrected read of a zero-seeded EMA after `num_updates` updates."""
+    scale = 1.0 / (1.0 - decay ** max(int(num_updates), 1))
+    return jax.tree_util.tree_map(lambda e: e * scale, ema)
 
 
 # ---------------------------------------------------------------- GAN steps (vocoder)

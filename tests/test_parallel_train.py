@@ -312,3 +312,44 @@ def test_multihost_two_process_train_step():
     report = json.loads(proc.stdout.strip().splitlines()[-1])
     assert report["ok"] and report["ranks_agree"]
     assert report["hosts"] == 2 and report["global_devices"] == 8
+
+
+@pytest.mark.slow
+def test_train_loop_gan_phase_uses_mesh(tmp_path):
+    """Loop-level wiring: with n_data>1 the adversarial phase must run the
+    SHARDED gan steps (regression: the loop always built the unsharded pair,
+    silently dropping requested parallelism for the GAN fine-tune)."""
+    from unittest import mock
+
+    from gonova_tts_tpu.config import Config, ModelConfig
+    from gonova_tts_tpu.train import loop as tloop
+    from gonova_tts_tpu.utils import write_wav
+
+    sr = 24000
+    audio = 0.3 * np.sin(2 * np.pi * 150 * np.arange(sr) / sr).astype(np.float32)
+    path = str(tmp_path / "a.wav")
+    write_wav(path, audio, sr)
+    mpath = str(tmp_path / "m.txt")
+    with open(mpath, "w") as f:
+        f.write(f"{path}|Hello sharded world.\n{path}|Another line here.\n")
+
+    cfg = Config()
+    cfg.model = ModelConfig(
+        d_model=64, n_heads=2, d_ff=128, encoder_layers=1, decoder_layers=1,
+        speaker_dim=32, upsample_initial_channel=32, vocos_dim=128, vocos_ff=256,
+        vocos_layers=2, compute_dtype="float32",
+    )
+    with mock.patch.object(
+        tstep, "make_sharded_gan_steps", wraps=tstep.make_sharded_gan_steps
+    ) as sharded_spy, mock.patch.object(
+        tstep, "make_gan_steps", wraps=tstep.make_gan_steps
+    ) as plain_spy:
+        metrics = tloop.train(
+            config=cfg, manifest=mpath, steps=2, batch_size=2, lr=1e-4,
+            n_data=2, gan=True, gan_steps=2,
+        )
+    assert sharded_spy.call_count == 1
+    assert plain_spy.call_count == 0
+    for k in ("gan_d", "gan_adv"):
+        if k in metrics:
+            assert np.isfinite(metrics[k])

@@ -322,3 +322,72 @@ def test_partial_batch_pad_rows_are_masked(tmp_path):
     assert batch["token_mask"][0].sum() > 0
     assert batch["token_mask"][1:].sum() == 0
     assert batch["frame_mask"][1:].sum() == 0
+
+
+def test_manifest_rejects_unknown_extra_field(tmp_path):
+    """Regression: a typo'd extra field used to be silently consumed as the
+    durations column (flipping the run out of learned alignment, or crashing
+    far away in int()); it must fail at parse time with the line number."""
+    mpath = str(tmp_path / "bad.txt")
+    with open(mpath, "w") as f:
+        f.write("a.wav|Hello.|speaker=spk1\n")
+    with pytest.raises(ValueError, match="bad.txt:1"):
+        load_manifest(mpath)
+    # Space-joined integers still parse as durations.
+    with open(mpath, "w") as f:
+        f.write("a.wav|Hello.|3 4 5\n")
+    assert load_manifest(mpath)[0]["durations"] == "3 4 5"
+
+
+def test_make_batch_rejects_overlong_audio_for_alignment():
+    """Regression: audio beyond bucket*max_frames_per_token was silently cut
+    while all tokens stayed, corrupting every MAS duration target."""
+    from gonova_tts_tpu.train.data import Example
+
+    cfg = tiny_mcfg()
+    t_cap = 32 * cfg.max_frames_per_token
+    t = t_cap + 10
+    e = Example(
+        tokens=np.arange(1, 5, dtype=np.int32),
+        mel=np.zeros((t, cfg.n_mels), np.float32),
+        pitch_frames=np.zeros((t,), np.float32),
+        audio=np.zeros((t * cfg.hop_length,), np.float32),
+        align_mel=np.zeros((t, cfg.n_mels), np.float32),
+    )
+    with pytest.raises(ValueError, match="corrupt alignment"):
+        make_batch([e], cfg, token_buckets=(32,), learn_alignment=True)
+
+
+def test_learn_alignment_requires_manifest():
+    """Forcing --learn-alignment with synthetic batches must fail with a clear
+    message, not a KeyError deep in the loss at trace time."""
+    from gonova_tts_tpu.train.loop import train
+
+    cfg = Config()
+    cfg.model = tiny_mcfg()
+    with pytest.raises(ValueError, match="learn-alignment requires"):
+        train(config=cfg, steps=1, learn_alignment=True)
+
+
+def test_ema_debias_removes_init_bias():
+    """Zero-seeded EMA + debias must return exactly the (constant) params after
+    any number of updates; the old params-seeded shadow kept decay^t of the
+    phase-start weights in every checkpoint (~37% of RANDOM INIT at t=1000)."""
+    import jax.numpy as jnp
+
+    from gonova_tts_tpu.train import step as tstep
+
+    p = {"w": jnp.full((4,), 2.5)}
+    decay = 0.999
+    ema = tstep.ema_init_zeros(p)
+    for _ in range(50):
+        ema = tstep.ema_update(ema, p, decay)
+    fixed = tstep.ema_debias(ema, decay, 50)
+    np.testing.assert_allclose(np.asarray(fixed["w"]), 2.5, rtol=1e-5)
+    # The raw zero-seeded shadow alone is badly biased at small t...
+    assert float(ema["w"][0]) < 0.2
+    # ...and the old params-seeded scheme keeps decay^t of the init around.
+    legacy = tstep.ema_init({"w": jnp.zeros((4,))})
+    for _ in range(50):
+        legacy = tstep.ema_update(legacy, p, decay)
+    assert abs(float(legacy["w"][0]) - 2.5) > 0.1
