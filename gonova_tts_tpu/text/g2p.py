@@ -508,8 +508,11 @@ def word_to_phonemes(
         # Out-of-lexicon: the trained neural G2P (text/neural_g2p.py) outperforms
         # the LTS rules on the held-out split (tools/train_g2p.py numbers); used
         # when its vendored weights are present, with the rules as the
-        # always-available fallback.
-        raw = _neural_fallback(lower)
+        # always-available fallback. COPY the result — predict_word returns its
+        # cache-resident list, and every other path here hands out a fresh list;
+        # a caller mutating the return must not corrupt the memoized entry.
+        nr = _neural_fallback(lower)
+        raw = list(nr) if nr is not None else None
     if raw is None:
         raw = _word_to_phonemes_lts(lower.replace("'", ""))
     had_stress = any(p and p[-1] in "012" for p in raw)
@@ -534,7 +537,14 @@ def _neural_fallback(lower: str) -> Optional[List[str]]:
 def text_to_phonemes(text: str, with_stress: bool = False) -> List[str]:
     """Normalized text → flat phoneme/punctuation symbol sequence with word separators."""
     toks = _RE_TOKEN.findall(text)
-    words_lower = [t.lower() if (t[0].isalpha() or t[0] == "'") else "" for t in toks]
+    # Quotation apostrophes are NOT part of the word: "'hello'" must hit the
+    # lexicon as "hello", not reach the neural model as "'hello" (a guaranteed
+    # miss). Internal apostrophes ("don't") stay. A token that is nothing but
+    # apostrophes is dropped entirely (no phonemes, no word-separator churn).
+    cores = [t.strip("'") for t in toks]
+    words_lower = [
+        c.lower() if (c and c[0].isalpha()) else "" for c in cores
+    ]
     out: List[str] = []
     prev_was_word = False
     for i, tok in enumerate(toks):
@@ -544,10 +554,13 @@ def text_to_phonemes(text: str, with_stress: bool = False) -> List[str]:
             prev_w = words_lower[i - 1] if i > 0 else ""
             next_w = words_lower[i + 1] if i + 1 < len(toks) else ""
             out.extend(
-                word_to_phonemes(tok, prev=prev_w, nxt=next_w, with_stress=with_stress)
+                word_to_phonemes(
+                    cores[i], prev=prev_w, nxt=next_w, with_stress=with_stress
+                )
             )
             prev_was_word = True
-        else:
+        elif cores[i]:
             out.append(tok)
             prev_was_word = False
+        # else: bare apostrophe token — skip without breaking word adjacency.
     return out

@@ -309,7 +309,20 @@ def _np_ffn(p, x):
     return _np_dense(p["w2"], np.maximum(_np_dense(p["w1"], x), 0.0))
 
 
-def _np_predict(params, chars: np.ndarray, beam: int = 1) -> np.ndarray:
+def _prepare(params):
+    """One-time conversion of the weight pytree to float32 numpy plus the two
+    sinusoidal position tables — pure functions of the loaded weights that the
+    serving path must not recompute per OOV word."""
+    p = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float32), params)
+    d_model = p["char_embed"]["table"].shape[1]
+    return (
+        p,
+        layers.sinusoidal_positions(MAX_CHARS, d_model),
+        layers.sinusoidal_positions(MAX_PHONS, d_model),
+    )
+
+
+def _np_predict(params, chars: np.ndarray, beam: int = 1, prepared=None) -> np.ndarray:
     """chars [MAX_CHARS] int32 → phoneme ids [MAX_PHONS] (single word).
 
     beam=1 is exact greedy (parity-tested against the jax decoder); beam>1 runs a
@@ -317,20 +330,17 @@ def _np_predict(params, chars: np.ndarray, beam: int = 1) -> np.ndarray:
     beam 4 on the serving path. Dimensions come from the LOADED weights, so any
     vendored npz (old 128-d or current 192-d) runs regardless of the module's
     init-time constants."""
-    p = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float32), params)
-    d_model = p["char_embed"]["table"].shape[1]
+    p, pos_c, pos_p = prepared if prepared is not None else _prepare(params)
     mask = (chars != CHAR_PAD).astype(np.float32)
-    pos_c = layers.sinusoidal_positions(MAX_CHARS, d_model)
-    x = np.asarray(p["char_embed"]["table"], np.float32)[chars] + pos_c
+    x = p["char_embed"]["table"][chars] + pos_c
     for blk in p["enc"]:
         n = _np_ln(blk["ln1"], x)
         x = x + _np_attn(blk["self"], n, n, key_mask=mask)
         x = x + _np_ffn(blk["ffn"], _np_ln(blk["ln2"], x))
     enc = x
-    pos_p = layers.sinusoidal_positions(MAX_PHONS, d_model)
 
     def step_logp(ids):
-        y = np.asarray(p["phon_embed"]["table"], np.float32)[np.asarray(ids)] + pos_p[: len(ids)]
+        y = p["phon_embed"]["table"][np.asarray(ids)] + pos_p[: len(ids)]
         for blk in p["dec"]:
             n = _np_ln(blk["ln1"], y)
             y = y + _np_attn(blk["self"], n, n, causal=True)
@@ -339,15 +349,19 @@ def _np_predict(params, chars: np.ndarray, beam: int = 1) -> np.ndarray:
         logits = _np_dense(p["out"], _np_ln(p["ln_out"], y[-1:]))[0]
         return logits - np.log(np.exp(logits - logits.max()).sum()) - logits.max()
 
-    # Hypotheses: (decoder input ids incl BOS, summed logprob, finished).
-    hyps = [([P_BOS], 0.0, False)]
+    # Hypotheses: (decoder input ids incl BOS, summed logprob, finished,
+    # n_terms = number of logprob terms in the sum). Normalizing by n_terms —
+    # not by phoneme count — keeps EOS-finished hypotheses comparable with
+    # unfinished ones at the same prefix length (the EOS step's cost used to be
+    # added to the sum but not the length, biasing pruning against terminating).
+    hyps = [([P_BOS], 0.0, False, 0)]
     for _ in range(MAX_PHONS):
         if all(h[2] for h in hyps):
             break
         new = []
-        for ids, lp, done in hyps:
+        for ids, lp, done, nt in hyps:
             if done:
-                new.append((ids, lp, True))
+                new.append((ids, lp, True, nt))
                 continue
             logp = step_logp(ids)
             if beam == 1:
@@ -357,15 +371,14 @@ def _np_predict(params, chars: np.ndarray, beam: int = 1) -> np.ndarray:
             for nxt in top:
                 nl = lp + float(logp[nxt])
                 if nxt in (P_EOS, P_PAD):
-                    new.append((ids, nl, True))
+                    new.append((ids, nl, True, nt + 1))
                 else:
                     cand = ids + [int(nxt)]
                     # Reserve the final slot for EOS: cap output at MAX_PHONS-1.
-                    new.append((cand, nl, len(cand) - 1 >= MAX_PHONS - 1))
-        # Length-normalized pruning (|output| = len(ids) - 1 BOS).
-        new.sort(key=lambda h: h[1] / max(len(h[0]) - 1, 1), reverse=True)
+                    new.append((cand, nl, len(cand) - 1 >= MAX_PHONS - 1, nt + 1))
+        new.sort(key=lambda h: h[1] / max(h[3], 1), reverse=True)
         hyps = new[:beam]
-    best = max(hyps, key=lambda h: h[1] / max(len(h[0]) - 1, 1))
+    best = max(hyps, key=lambda h: h[1] / max(h[3], 1))
     out = best[0][1:] + [P_EOS]
     return np.asarray(out + [P_PAD] * (MAX_PHONS - len(out)), np.int32)
 
@@ -381,6 +394,7 @@ _LOCK = threading.Lock()
 _WORD_CACHE: Dict[str, Optional[List[str]]] = {}
 _WORD_CACHE_MAX = 4096
 _PARAMS: List[object] = []  # empty = not yet loaded; [None] = unavailable
+_PREPARED: List[object] = []  # _prepare(params) bundle, same lifecycle as _PARAMS
 
 
 def available() -> bool:
@@ -393,6 +407,7 @@ def _get_params() -> Optional[Params]:
     with _LOCK:
         if not _PARAMS:
             _PARAMS.append(load_weights(WEIGHTS_PATH) if available() else None)
+            _PREPARED.append(_prepare(_PARAMS[0]) if _PARAMS[0] is not None else None)
         return _PARAMS[0]
 
 
@@ -409,8 +424,14 @@ def predict_word(word: str) -> Optional[List[str]]:
     chars = encode_word(key)
     if chars is None:
         return None
-    beam = int(os.environ.get("TTS_G2P_BEAM", "4"))
-    phons = decode_ids(_np_predict(params, chars, beam=beam)) or None
+    try:
+        beam = int(os.environ.get("TTS_G2P_BEAM", "4"))
+    except ValueError:
+        beam = 4
+    beam = max(1, beam)  # 0/negative used to crash the decoder (argsort[-0:])
+    phons = decode_ids(
+        _np_predict(params, chars, beam=beam, prepared=_PREPARED[0])
+    ) or None
     with _LOCK:
         while len(_WORD_CACHE) >= _WORD_CACHE_MAX:
             _WORD_CACHE.pop(next(iter(_WORD_CACHE)))

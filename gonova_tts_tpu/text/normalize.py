@@ -145,7 +145,15 @@ def _expand_currency(match: re.Match) -> str:
 
 
 _RE_CURRENCY = re.compile(r"\$([0-9][0-9,]*(?:\.[0-9]+)?)")
-_RE_ORDINAL = re.compile(r"\b([0-9]+)(st|nd|rd|th)\b")
+# Comma-aware: "1,000th" must verbalize as one thousandth, not "one, zeroth"
+# (the plain \d+ used to match only the post-comma group "000th").
+_RE_ORDINAL = re.compile(r"\b([0-9]{1,3}(?:,[0-9]{3})+|[0-9]+)(st|nd|rd|th)\b")
+# Letter↔digit boundaries: "Room 101B" / "4x4" / "3km" leave the digits glued to
+# letters, where no \b-anchored number rule can reach them and the G2P tokenizer
+# then silently DROPS them. Split the seam — except digit→(ordinal suffix | plural
+# s), which the dedicated rules below handle in place.
+_RE_ALPHA_NUM = re.compile(r"(?<=[A-Za-z])(?=[0-9])")
+_RE_NUM_ALPHA = re.compile(r"(?<=[0-9])(?!(?:st|nd|rd|th|s)\b)(?=[A-Za-z])")
 _RE_DECIMAL = re.compile(r"\b([0-9]+)\.([0-9]+)\b")
 _RE_PERCENT = re.compile(r"\b([0-9][0-9,]*(?:\.[0-9]+)?)\s*%")
 _RE_YEAR = re.compile(r"\b(1[0-9]{3}|20[0-9]{2})s?\b")
@@ -153,6 +161,19 @@ _RE_COMMA_NUM = re.compile(r"\b[0-9]{1,3}(?:,[0-9]{3})+(?:\.[0-9]+)?\b")
 _RE_INT = re.compile(r"\b[0-9]+\b")
 _RE_ABBREV = re.compile(r"\b([A-Za-z]+)\.(?=\s|$)")
 _RE_WS = re.compile(r"\s+")
+
+
+def _expand_year(m: re.Match) -> str:
+    """Year or decade: '1984' → 'nineteen eighty four'; '1980s' → 'nineteen
+    eighties' (a plain +'s' would emit the non-word 'eightys', pushing a lexicon
+    word into the unconstrained neural-OOV path)."""
+    plural = m.group(0).endswith("s")
+    words = year_to_words(int(m.group(0).rstrip("s")))
+    if not plural:
+        return words
+    head, _, last = words.rpartition(" ")
+    last = last[:-1] + "ies" if last.endswith("y") else last + "s"
+    return (head + " " + last) if head else last
 
 
 def normalize_text(text: str) -> str:
@@ -180,14 +201,18 @@ def normalize_text(text: str) -> str:
 
     text = _RE_ABBREV.sub(abbrev_sub, text)
     text = _RE_CURRENCY.sub(_expand_currency, text)
+    text = _RE_ALPHA_NUM.sub(" ", text)
+    text = _RE_NUM_ALPHA.sub(" ", text)
     # Percent first but DECIMAL-AWARE ("3.5%" → "three point five percent"); then
     # comma-grouped numbers (which may carry a fraction) BEFORE the bare-decimal
     # rule so "1,234.56" isn't split at the comma.
     text = _RE_PERCENT.sub(lambda m: _numeric_words(m.group(1)) + " percent", text)
-    text = _RE_ORDINAL.sub(lambda m: ordinal_to_words(int(m.group(1))), text)
+    text = _RE_ORDINAL.sub(
+        lambda m: ordinal_to_words(int(m.group(1).replace(",", ""))), text
+    )
     text = _RE_COMMA_NUM.sub(lambda m: _numeric_words(m.group(0)), text)
     text = _RE_DECIMAL.sub(_expand_decimal, text)
-    text = _RE_YEAR.sub(lambda m: year_to_words(int(m.group(0).rstrip("s"))) + ("s" if m.group(0).endswith("s") else ""), text)
+    text = _RE_YEAR.sub(_expand_year, text)
     text = _RE_INT.sub(lambda m: number_to_words(int(m.group(0))), text)
     text = _RE_WS.sub(" ", text).strip()
     return text

@@ -358,3 +358,81 @@ def test_normalize_abbrev_period_rules():
     assert normalize_text("Dr. Smith went home") == "doctor Smith went home"
     out2 = normalize_text("We visited the dept. of records")
     assert "." not in out2
+
+
+# ---------------------------------------------------------------- round-3 review fixes
+
+
+def test_normalize_digits_glued_to_letters():
+    """Regression: '101B' / '4x4' / '3km' digits were unreachable by the
+    \\b-anchored number rules and then silently dropped by the G2P tokenizer."""
+    out = normalize_text("Room 101B and a 4x4 truck, 3km away")
+    assert "101" not in out and "4x4" not in out and "3km" not in out
+    assert "one hundred one" in out
+    assert "four x four" in out
+    assert "three km" in out
+    # Ordinal and plural suffixes stay glued (handled by their own rules).
+    assert normalize_text("the 3rd item") == "the third item"
+
+
+def test_normalize_comma_grouped_ordinal():
+    """Regression: '1,000th' verbalized as 'one, zeroth'."""
+    out = normalize_text("the 1,000th customer")
+    assert "thousandth" in out
+    assert "zeroth" not in out
+
+
+def test_normalize_decade_plural():
+    """Regression: '1980s' → 'nineteen eightys' (non-word, forced onto the
+    neural-OOV path); must pluralize properly."""
+    assert "eighties" in normalize_text("back in the 1980s")
+    assert "nineties" in normalize_text("music of the 1990s")
+    assert "eightys" not in normalize_text("back in the 1980s")
+
+
+def test_quoted_words_hit_lexicon():
+    """Regression: \"'hello'\" reached the neural model as \"'hello\" (guaranteed
+    lexicon miss) instead of looking up 'hello'."""
+    quoted = text_to_phonemes("'hello' she said.")
+    plain = text_to_phonemes("hello she said.")
+    assert quoted == plain
+
+
+def test_bare_apostrophe_token_skipped():
+    # An isolated apostrophe must neither emit symbols nor break word adjacency.
+    a = text_to_phonemes("rock ' roll")
+    b = text_to_phonemes("rock roll")
+    assert a == b
+
+
+def test_g2p_beam_env_zero_is_safe(monkeypatch):
+    """Regression: TTS_G2P_BEAM=0 crashed the numpy beam decoder (argsort[-0:])
+    on every OOV word; it must clamp to greedy."""
+    from gonova_tts_tpu.text import neural_g2p
+
+    if not neural_g2p.available():
+        pytest.skip("no vendored G2P weights")
+    monkeypatch.setenv("TTS_G2P_BEAM", "0")
+    neural_g2p._WORD_CACHE.clear()
+    out = neural_g2p.predict_word("zorblax")
+    assert out is None or len(out) > 0
+    monkeypatch.setenv("TTS_G2P_BEAM", "not_a_number")
+    neural_g2p._WORD_CACHE.clear()
+    out2 = neural_g2p.predict_word("zorblaxx")
+    assert out2 is None or len(out2) > 0
+
+
+def test_word_to_phonemes_neural_result_not_cache_aliased():
+    """Regression: the neural path returned the cache-resident list by
+    reference; a caller mutating it corrupted the memoized pronunciation."""
+    from gonova_tts_tpu.text import neural_g2p
+    from gonova_tts_tpu.text.g2p import word_to_phonemes
+
+    if not neural_g2p.available():
+        pytest.skip("no vendored G2P weights")
+    word = "flumbastic"  # OOV -> neural path
+    first = list(word_to_phonemes(word))
+    got = word_to_phonemes(word)
+    got.append("ZZ_MUTATION")
+    again = word_to_phonemes(word)
+    assert again == first

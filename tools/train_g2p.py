@@ -100,10 +100,28 @@ def morph_derive(word: str, phons):
     elif not _cvc_risky(word):
         out[word + "er"] = phons + ["ER"]
 
-    # un- prefix (pronunciation is fully regular regardless of lexicality)
-    out["un" + word] = ["AH", "N"] + phons
-    # re- prefix, same reasoning.
-    out["re" + word] = ["R", "IY"] + phons
+    # Prefixes with invariant pronunciations (fully regular regardless of
+    # lexicality — pronunciation-consistent pseudo-words are fine signal).
+    # Junction guards mirror compound_derive: skip seams where concatenation
+    # changes letter-to-sound rules — a doubled letter across the boundary
+    # ("non"+"name"), or a vowel-initial stem after a vowel-final prefix
+    # ("pre"+"end" would train 'ee' → IY-EH against the digraph rule).
+    def _pfx(prefix: str, pron: list) -> None:
+        if prefix[-1] == word[0]:
+            return
+        if prefix[-1] in _VOWELS and word[0] in _VOWELS:
+            return
+        out[prefix + word] = pron + phons
+
+    _pfx("un", ["AH", "N"])
+    _pfx("re", ["R", "IY"])
+    _pfx("dis", ["D", "IH", "S"])
+    _pfx("mis", ["M", "IH", "S"])
+    _pfx("non", ["N", "AA", "N"])
+    _pfx("pre", ["P", "R", "IY"])
+    _pfx("over", ["OW", "V", "ER"])
+    _pfx("under", ["AH", "N", "D", "ER"])
+    _pfx("out", ["AW", "T"])
 
     # Derivational suffixes with invariant pronunciations.
     out[word + "ful"] = phons + ["F", "UH", "L"]
@@ -124,10 +142,47 @@ def morph_derive(word: str, phons):
     if not _cvc_risky(word):
         out[able_stem + "able"] = phons + ["AH", "B", "AH", "L"]
 
+    # More invariant derivational suffixes.
+    out[word + "hood"] = phons + ["HH", "UH", "D"]
+    out[word + "ship"] = phons + ["SH", "IH", "P"]
+    out[word + "like"] = phons + ["L", "AY", "K"]
+    out[word + "wise"] = phons + ["W", "AY", "Z"]
+    out[word + "dom"] = phons + ["D", "AH", "M"]
+    out[word + "ward"] = phons + ["W", "ER", "D"]
+
     return {w: p for w, p in out.items() if p is not None}
 
 
-def build_dataset(augment: bool = True, stress: bool = True):
+def compound_derive(train: dict, n_pairs: int, seed: int = 0) -> dict:
+    """Sampled two-word closed compounds (sun+light → sunlight): concatenated
+    spelling and phones. English compound orthography/pronunciation is exactly
+    concatenation for the overwhelming majority of noun-noun compounds, so these
+    are pronunciation-consistent pseudo-words that teach the model to find
+    morpheme boundaries in long unseen spellings."""
+    words = sorted(
+        w for w, p in train.items()
+        if 3 <= len(w) <= 7 and w.isalpha() and 2 <= len(p) <= 6
+    )
+    rng = np.random.default_rng(seed)
+    out = {}
+    for _ in range(n_pairs * 3):  # oversample; collisions/filters eat some
+        if len(out) >= n_pairs:
+            break
+        a, b = words[rng.integers(len(words))], words[rng.integers(len(words))]
+        if a == b:
+            continue
+        w = a + b
+        # Skip junctions that change letter-to-sound rules at the seam: a silent
+        # final e (would read as a long-vowel marker for b's onset) or a doubled
+        # letter across the boundary.
+        if a.endswith("e") or a[-1] == b[0]:
+            continue
+        if w not in out:
+            out[w] = list(train[a]) + list(train[b])
+    return out
+
+
+def build_dataset(augment: bool = True, stress: bool = True, compounds: int = 0, seed: int = 0):
     gold = dict(VENDORED_LEXICON)
     merged = {**gold, **{w: p for w, p in LEXICON.items() if w not in gold}}
     # Encodability filter FIRST (matches tools/g2p_eval.py's universe): a word the
@@ -152,6 +207,10 @@ def build_dataset(augment: bool = True, stress: bool = True):
                 if dw not in merged and dw not in derived and dw not in held:
                     derived[dw] = dp
         train.update(derived)
+    if compounds:
+        for w, p in compound_derive(train, compounds, seed).items():
+            if w not in merged and w not in train and w not in held:
+                train[w] = p
     if stress:
         # Stress-marked targets (rule-derived — text/stress.py documents the
         # no-gold-data caveat). Morphology above ran on stressless phones (its
@@ -185,9 +244,15 @@ def main() -> None:
     ap.add_argument("--no-save", action="store_true")
     ap.add_argument("--no-stress", action="store_true",
                     help="train stressless targets (pre-round-3 behavior)")
+    ap.add_argument("--compounds", type=int, default=0,
+                    help="add N sampled two-word pseudo-compounds to the train set")
+    ap.add_argument("--avg-tail", type=float, default=0.0,
+                    help="Polyak-average the weights over the last FRACTION of steps")
     args = ap.parse_args()
 
-    x, y, held = build_dataset(stress=not args.no_stress)
+    x, y, held = build_dataset(
+        stress=not args.no_stress, compounds=args.compounds, seed=args.seed
+    )
     print(f"train pairs: {len(x)}, held-out: {len(held)}", flush=True)
 
     params = ng.init(jax.random.PRNGKey(args.seed))
@@ -213,11 +278,23 @@ def main() -> None:
 
     rng = np.random.default_rng(args.seed)
     n = len(x)
+    avg_sum, n_avg = None, 0
+    avg_from = int(args.steps * (1.0 - args.avg_tail))
     for i in range(args.steps):
         idx = rng.integers(0, n, size=min(args.batch, n))
         params, opt_state, l = step(params, opt_state, jnp.asarray(x[idx]), jnp.asarray(y[idx]))
-        if i % 500 == 0 or i == args.steps - 1:
+        if args.avg_tail > 0 and i >= avg_from and (i - avg_from) % 20 == 0:
+            avg_sum = (
+                jax.tree.map(jnp.copy, params)
+                if avg_sum is None
+                else jax.tree.map(jnp.add, avg_sum, params)
+            )
+            n_avg += 1
+        if i % 250 == 0 or i == args.steps - 1:
             print(f"step {i}: loss {float(l):.4f}", flush=True)
+    if n_avg:
+        params = jax.tree.map(lambda a: a / n_avg, avg_sum)
+        print(f"tail-averaged {n_avg} snapshots from step {avg_from}", flush=True)
 
     # Held-out grading: neural vs the LTS baseline (same split as tools/g2p_eval.py).
     def grade(pairs):
