@@ -78,10 +78,18 @@ class ModelConfig(_SectionModel):
     # the engine infers this from the restored head width, so the setting only
     # governs fresh inits/training. "polar" remains for back-compat checkpoints.
     vocos_head: Literal["polar", "cartesian"] = "cartesian"
-    # Run vocos ConvNeXt blocks through the fused Pallas kernel (TPU only;
-    # ops/convnext_kernel.py). Off by default — enable per deployment after the
-    # kernel-vs-XLA parity check on the target chip.
+    # Run the vocos ConvNeXt stack through the fused whole-stack Pallas kernel
+    # (ops/vocos_stack_kernel.py — the only Pallas variant that meets XLA; the
+    # per-block kernel measured slower and is not wired). Off by default — enable
+    # per deployment after the kernel-vs-XLA parity check on the target chip.
+    # Falls back to XLA automatically above the kernel's MAX_T frame budget.
     vocos_pallas: bool = False
+    # iSTFT inverse-DFT matmul accuracy. None (auto) = split-bf16 on TPU, plain
+    # f32 elsewhere: on TPU an f32 matmul at DEFAULT precision runs one-pass-bf16
+    # multiplies (~1e-3 relative error, above the int16 LSB), while the 3-pass
+    # split-bf16 form is ~f24 (<3e-5, below the LSB) for ~0.08 ms at B=16/T=320
+    # (PERF.md). True/False force the split/plain form.
+    istft_split_bf16: Optional[bool] = None
     # Run the acoustic encoder/decoder through the fused whole-stack Pallas kernel
     # (ops/transformer_stack_kernel.py): all layers in one pallas_call, activations
     # VMEM-resident, per-layer weights double-buffered. Inference-only (no VJP) —
@@ -186,7 +194,11 @@ class EngineConfig(_SectionModel):
     max_batch: int = 16
     batch_window_ms: float = 10.0  # admission window for dynamic batching
     stream_chunk_frames: int = 64  # mel frames emitted per streaming vocoder pass
-    stream_context_frames: int = 28  # context frames each side; >= vocos RF (3*(layers+1)) => exact streaming
+    # Context frames each side of a streaming window. Streamed == one-shot needs
+    # ctx >= vocos RF + 2 (RF = 3*(layers+1); the iSTFT overlap-add draws on
+    # frames up to 2 before / 1 after each emitted sample — measured: error hits
+    # the float-noise floor only from RF+2). Default = 29 for the 8-layer flagship.
+    stream_context_frames: int = 29
     warmup_shapes: List[List[int]] = Field(
         default_factory=lambda: [[1, 32], [4, 32], [1, 64], [4, 64], [8, 64], [16, 64]]
     )  # (batch, token_bucket) pairs compiled at startup — cover the hot buckets:

@@ -268,15 +268,18 @@ class TTSEngine:
         # bfloat16 config would leave the real shape uncompiled).
         stride = self.ecfg.stream_chunk_frames
         ctx = min(self.ecfg.stream_context_frames, stride)
-        rf = 3 * (self.mcfg.vocos_layers + 1)
-        if ctx < rf:
-            # The streamed==one-shot exactness guarantee needs the context to
-            # cover the vocoder receptive field; say so instead of failing quietly.
+        # Streamed == one-shot needs ctx >= RF + 2: the iSTFT's 1.5*hop lead trim
+        # means each emitted sample draws on frames up to 2 before / 1 after its
+        # own frame beyond the ConvNeXt receptive field (models/vocos.py;
+        # measured float-noise-floor agreement only from RF+2).
+        rf_exact = 3 * (self.mcfg.vocos_layers + 1) + 2
+        if ctx < rf_exact:
+            # Say so instead of quietly voiding the exactness guarantee.
             logger.warning(
-                "stream_context_below_receptive_field",
+                "stream_context_below_exactness_bound",
                 context=ctx,
                 configured=self.ecfg.stream_context_frames,
-                receptive_field=rf,
+                required=rf_exact,
             )
         w = stride + 2 * ctx
         mel = jnp.zeros((1, w, self.mcfg.n_mels), self.compute_dtype)

@@ -81,19 +81,39 @@ def forward(params: Params, mel: jnp.ndarray, cfg: ModelConfig, dtype=jnp.float3
     """mel [B, T, n_mels] → waveform [B, T * hop] (hop = n_fft // 4)."""
     n_fft, hop = cfg.n_fft, cfg.hop_length
     assert n_fft == 4 * hop, "NovaVocos assumes 4x-overlap framing (n_fft == 4*hop)"
+    assert cfg.win_length == n_fft, (
+        "NovaVocos synthesizes with the full n_fft Hann; a shorter win_length "
+        "would silently diverge from the analysis framing (audio/stft.py) and "
+        "break the constant-NOLA overlap-add"
+    )
     n_bins = n_fft // 2 + 1
     b, t, _ = mel.shape
 
     x = layers.conv1d(params["embed"], mel.astype(dtype), dtype=dtype)
+    use_stack_kernel = False
     if cfg.vocos_pallas:
-        from ..ops.convnext_kernel import convnext_block_pallas
+        from ..ops.vocos_stack_kernel import MAX_T, vocos_stack_pallas
 
-        for blk in params["blocks"]:
-            x = convnext_block_pallas(
-                x, blk["dw"], blk["dw_b"], blk["ln"]["g"], blk["ln"]["b"],
-                blk["pw1"]["w"], blk["pw1"]["b"], blk["pw2"]["w"], blk["pw2"]["b"],
-                blk["gamma"], bf16=(dtype == jnp.bfloat16),
-            )
+        # The whole-stack mega-kernel is the only Pallas variant that meets XLA
+        # (PERF.md; the per-block kernel measured slower and is not wired). XLA
+        # fallback above its VMEM frame budget, interpret mode on CPU.
+        use_stack_kernel = t <= MAX_T
+    if use_stack_kernel:
+        blks = params["blocks"]
+        x = vocos_stack_pallas(
+            x,
+            jnp.stack([blk["dw"] for blk in blks]),
+            jnp.stack([blk["dw_b"] for blk in blks]),
+            jnp.stack([blk["ln"]["g"] for blk in blks]),
+            jnp.stack([blk["ln"]["b"] for blk in blks]),
+            jnp.stack([blk["pw1"]["w"] for blk in blks]),
+            jnp.stack([blk["pw1"]["b"] for blk in blks]),
+            jnp.stack([blk["pw2"]["w"] for blk in blks]),
+            jnp.stack([blk["pw2"]["b"] for blk in blks]),
+            jnp.stack([blk["gamma"] for blk in blks]),
+            interpret=jax.default_backend() == "cpu",
+            bf16=(dtype == jnp.bfloat16),
+        )
     else:
         for blk in params["blocks"]:
             x = _block_apply(blk, x, dtype)
@@ -119,7 +139,16 @@ def forward(params: Params, mel: jnp.ndarray, cfg: ModelConfig, dtype=jnp.float3
         phase = head[..., n_bins:]
         real = mag * jnp.cos(phase)
         imag = mag * jnp.sin(phase)
-    return istft_synthesis(real, imag, n_fft, hop)
+    # iDFT accuracy (config.ModelConfig.istft_split_bf16): on TPU a plain f32
+    # matmul at DEFAULT precision runs one-pass-bf16 multiplies (~1e-3 relative —
+    # above the int16 LSB), so auto selects the 3-pass split-bf16 form (~f24,
+    # <3e-5) there and plain f32 on backends whose default matmul is full f32.
+    split = cfg.istft_split_bf16
+    if split is None:
+        split = jax.default_backend() == "tpu"
+    return istft_synthesis(
+        real, imag, n_fft, hop, dtype=jnp.bfloat16 if split else jnp.float32
+    )
 
 
 def istft_synthesis(
@@ -133,10 +162,12 @@ def istft_synthesis(
 
     dtype=bfloat16 selects a split-bf16 inverse-DFT (x = hi + lo on both operands,
     three bf16 MXU passes; ~f24-accurate, ~108 dB SNR — tests pin <3e-5 relative
-    error). **Measured negative result** (PERF.md round-2): on this chip the f32
-    matmul path is *faster* (0.320 vs 0.395 ms at B=16/T=320) — the stage is partly
-    memory-bound and f32 MXU rate here is not the assumed 4-8× penalty — so
-    `forward` keeps f32; the split path stays for backends where f32 matmul is slow."""
+    error). The round-2 A/B (PERF.md: 0.320 "f32" vs 0.395 ms split at B=16/T=320)
+    compared against the f32 matmul at jax's DEFAULT precision, which on TPU runs
+    ONE-pass bf16 multiplies — i.e. the cheaper path was also the ~1e-3-error one,
+    above the int16 LSB. `forward` therefore selects split-bf16 on TPU (the
+    accuracy floor PCM16 needs, at 3-pass cost) and plain f32 on backends whose
+    default matmul is genuinely f32 (CPU)."""
     b, t, _ = real.shape
     icos, isin = idft_bases(n_fft)
     # Same (R, I) convention as audio/stft.py's stft_ri/istft pair. The synthesis
@@ -168,7 +199,10 @@ def istft_synthesis(
     # fade-in/out (declick), and — crucially for streaming — the synthesis becomes
     # exactly composable: a window's interior output is independent of where the
     # clip boundary lies, so context-padded streaming windows reproduce the
-    # one-shot pass bit-for-bit (tests/test_engine.py streaming-exactness test).
+    # one-shot pass (tests/test_engine.py streaming-exactness test) PROVIDED the
+    # context covers the ConvNeXt receptive field PLUS 2 frames — the lead trim
+    # below means each emitted sample draws on frames up to 2 before / 1 after
+    # its own frame (measured: float-noise-floor agreement only from RF+2).
     out = out / 1.5
     # Trim the (n_fft - hop)/2 = 1.5*hop edge pad on each side to align sample 0 with
     # frame 0 (matching stft.py's centered framing).

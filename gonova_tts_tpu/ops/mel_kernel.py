@@ -110,6 +110,17 @@ def mel_spectrogram_pallas(
     """[B, T] audio (T % hop == 0) → [B, T // hop, n_mels] log-mel, fused on TPU."""
     if n_fft % hop_length != 0:
         raise ValueError("fused mel kernel requires n_fft % hop_length == 0")
+    if n_fft // hop_length - 1 > _ROW_PAD:
+        # The fixed _ROW_PAD row overhang only covers n_fft/hop <= _ROW_PAD + 1
+        # (each frame spans r hop-rows; a block must read FRAME_BLOCK + r - 1).
+        # Valid-but-unsupported framings (e.g. n_fft=1024, hop=64) fall back to
+        # the XLA mel rather than crash at trace time with a shape error.
+        from ..audio.mel import mel_spectrogram
+
+        return mel_spectrogram(
+            x, sr=sr, n_fft=n_fft, hop_length=hop_length, win_length=win_length,
+            n_mels=n_mels, fmin=fmin, fmax=fmax,
+        )
     squeeze = x.ndim == 1
     if squeeze:
         x = x[None]

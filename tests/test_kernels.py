@@ -110,21 +110,20 @@ def test_vocos_forward_with_pallas_flag(rng):
     params = vocos.init(jax.random.PRNGKey(2), cfg)
     mel = jnp.asarray(rng.standard_normal((1, 40, cfg.n_mels)).astype(np.float32))
     plain = np.asarray(vocos.forward(params, mel, cfg))
-    import gonova_tts_tpu.ops.convnext_kernel as ck
-    # Interpret-mode comparison of the full forward with the pallas path.
-    orig = ck.convnext_block_pallas
-    import functools as ft
-    def interp(*a, **kw):
-        kw["interpret"] = True
-        kw["bf16"] = False
-        return orig(*a, **kw)
-    ck.convnext_block_pallas = interp
-    try:
-        cfg2 = cfg.model_copy(update={"vocos_pallas": True})
-        fused = np.asarray(vocos.forward(params, mel, cfg2))
-    finally:
-        ck.convnext_block_pallas = orig
+    # vocos_pallas now routes to the whole-stack mega-kernel (the only Pallas
+    # variant that meets XLA); interpret mode auto-resolves on the CPU backend.
+    cfg2 = cfg.model_copy(update={"vocos_pallas": True})
+    fused = np.asarray(vocos.forward(params, mel, cfg2))
     np.testing.assert_allclose(fused, plain, atol=5e-4, rtol=1e-3)
+    # Above the kernel's VMEM frame budget the flag falls back to XLA (no crash).
+    from gonova_tts_tpu.ops.vocos_stack_kernel import MAX_T
+
+    long_mel = jnp.asarray(
+        rng.standard_normal((1, MAX_T + 8, cfg.n_mels)).astype(np.float32)
+    )
+    a = np.asarray(vocos.forward(params, long_mel, cfg2))
+    b = np.asarray(vocos.forward(params, long_mel, cfg))
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
 
 
 @pytest.mark.slow
@@ -234,3 +233,41 @@ def test_fused_transformer_stack_bf16_close(tstack, rng):
     err = float(jnp.max(jnp.abs(ours - ref)))
     scale = float(jnp.max(jnp.abs(ref))) + 1e-6
     assert err / scale < 0.05, f"bf16 relative error {err / scale}"
+
+
+def test_mel_pallas_unsupported_framing_falls_back(rng):
+    """Regression: n_fft/hop beyond the kernel's _ROW_PAD budget crashed at trace
+    time with an opaque shape error; it must fall back to the XLA mel."""
+    import jax.numpy as jnp
+
+    from gonova_tts_tpu.audio.mel import mel_spectrogram
+    from gonova_tts_tpu.ops.mel_kernel import mel_spectrogram_pallas
+
+    x = jnp.asarray(rng.standard_normal((1, 64 * 40)).astype(np.float32))
+    got = np.asarray(
+        mel_spectrogram_pallas(x, n_fft=1024, hop_length=64, interpret=True)
+    )
+    want = np.asarray(mel_spectrogram(x, n_fft=1024, hop_length=64))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_vocos_forward_istft_split_config(rng):
+    """istft_split_bf16 knob: forced-split output stays within the documented
+    <3e-5 relative error of the plain-f32 path through the full forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from gonova_tts_tpu.config import ModelConfig
+    from gonova_tts_tpu.models import vocos
+
+    cfg = ModelConfig(
+        vocos_dim=128, vocos_ff=256, vocos_layers=2, compute_dtype="float32",
+        istft_split_bf16=False,
+    )
+    params = vocos.init(jax.random.PRNGKey(3), cfg)
+    mel = jnp.asarray(rng.standard_normal((1, 24, cfg.n_mels)).astype(np.float32))
+    plain = np.asarray(vocos.forward(params, mel, cfg))
+    cfg_split = cfg.model_copy(update={"istft_split_bf16": True})
+    split = np.asarray(vocos.forward(params, mel, cfg_split))
+    scale = np.abs(plain).max()
+    assert np.abs(split - plain).max() / scale < 3e-5
