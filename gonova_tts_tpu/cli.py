@@ -61,11 +61,27 @@ def cmd_bench(args: argparse.Namespace) -> int:
     import runpy
     import os
 
-    sys.argv = ["bench.py"]
-    runpy.run_path(
+    # bench.py ships at the repo root, not inside the wheel: resolve the repo
+    # checkout (package parent) first, then the current directory, so
+    # `gonova-tts bench` degrades with a clear message on pip installs.
+    candidates = [
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"),
-        run_name="__main__",
-    )
+        os.path.join(os.getcwd(), "bench.py"),
+    ]
+    path = next((c for c in candidates if os.path.exists(c)), None)
+    if path is None:
+        print(
+            "bench.py not found (it lives at the repo root, not in the installed "
+            "package); run from a checkout or pass its directory as cwd",
+            file=sys.stderr,
+        )
+        return 1
+    saved_argv = sys.argv
+    sys.argv = ["bench.py"]
+    try:
+        runpy.run_path(path, run_name="__main__")
+    finally:
+        sys.argv = saved_argv
     return 0
 
 
@@ -75,6 +91,11 @@ def cmd_train(args: argparse.Namespace) -> int:
 
     manifest = args.manifest
     resident = args.resident
+    if args.demo_corpus and args.manifest:
+        # Silently training on the generated corpus while the user passed their
+        # own data would be a nasty surprise; make the conflict explicit.
+        print("--demo-corpus and --manifest are mutually exclusive", file=sys.stderr)
+        return 1
     if args.demo_corpus:
         # One-command training demo: generate the deterministic formant corpus
         # (train/synth_corpus.py) if absent and train device-resident on it.

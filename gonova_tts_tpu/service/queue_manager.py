@@ -161,6 +161,10 @@ class TTSQueueManager:
         except asyncio.QueueFull:
             self.input_queue.task_done()
             self.in_flight = max(0, self.in_flight - 1)
+            # This IS a drop (the caller discards the request with an error
+            # frame); without it received > processed + dropped forever and
+            # monitoring reads a stuck in-flight backlog.
+            self.metrics["requests_dropped"] += 1
             return False
         self.input_queue.task_done()
         self.in_flight = max(0, self.in_flight - 1)

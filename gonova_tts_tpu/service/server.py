@@ -212,6 +212,10 @@ class TTSService:
         cached = self.voice_embeddings.get(key)
         if cached is not None:
             return cached
+        # Snapshot the registration generation BEFORE embedding: if the voice is
+        # re-registered while the executor thread embeds the old file, caching
+        # that result afterwards would permanently re-install the stale voice.
+        gen = self.voice_manager.generation_of(key)
         path = await self.voice_manager.get_voice(voice_id)
         if path is None:
             logger.warning("voice_not_found", voice_id=voice_id)
@@ -220,7 +224,8 @@ class TTSService:
         emb = await loop.run_in_executor(
             None, self.synthesizer.engine.embed_voice_file, path
         )
-        self.voice_embeddings.put(key, emb)
+        if self.voice_manager.generation_of(key) == gen:
+            self.voice_embeddings.put(key, emb)
         return emb
 
     async def _send_error_frame(self, conn_id: str, message: str, chunk_id: int) -> None:
@@ -413,7 +418,9 @@ class TTSService:
             if pending:
                 await asyncio.gather(*pending, return_exceptions=True)
             self._finish_seq(conn, request.seq)
-        await self.queue_manager.mark_request_done()
+            # In the finally: a CancelledError mid-synthesis (shutdown cancelling
+            # workers) must not leak the in_flight/task_done accounting.
+            await self.queue_manager.mark_request_done()
         return self._pop_ready(conn)
 
     # ------------------------------------------------------------ WS connection

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import asyncio
 import threading
+import time
 from concurrent.futures import TimeoutError as FuturesTimeoutError
 from typing import AsyncGenerator, Optional, Union
 
@@ -64,6 +65,10 @@ class StreamingSynthesizer:
         text: str,
         voice_embedding: Optional[Union[str, np.ndarray]] = None,
         chunk_size: Optional[int] = None,  # kept for API compatibility, unused
+        # 0.25 is the REFERENCE CLASS default (core/synthesizer.py:227), kept for
+        # drop-in parity; the service layer passes config.synthesis
+        # .default_exaggeration (0.5) explicitly, exactly like the reference's
+        # server layer does (reference server.py:222).
         exaggeration: float = 0.25,
     ) -> AsyncGenerator[np.ndarray, None]:
         """Yield float32 audio chunks for `text` (sentence/window granularity)."""
@@ -83,10 +88,28 @@ class StreamingSynthesizer:
         def _put(item) -> bool:
             """Bounded cross-thread put that honors `stop` — a plain .result() would
             block the executor thread forever if the consumer is cancelled while
-            the 64-slot queue is full (early client disconnect)."""
+            the 64-slot queue is full (early client disconnect).
+
+            The did-it-go-in signal is an explicit Event set right after
+            queue.put returns (no suspension point in between, so a task
+            cancellation can never land between insert and set): cancelling the
+            chained concurrent future and re-reading its state can MISREPORT —
+            cancel() can win the future-state race after put_nowait already
+            inserted, and a retry would then duplicate the chunk in the stream.
+
+            A stall deadline bounds an ABANDONED consumer (generator dropped
+            without aclose and kept referenced): without it the producer would
+            spin cancel/retry cycles forever, pinning a default-executor thread."""
+            deadline = time.monotonic() + 120.0
             while not stop.is_set():
+                inserted = threading.Event()
+
+                async def _do_put():
+                    await queue.put(item)
+                    inserted.set()
+
                 try:
-                    fut = asyncio.run_coroutine_threadsafe(queue.put(item), loop)
+                    fut = asyncio.run_coroutine_threadsafe(_do_put(), loop)
                 except RuntimeError:  # loop closed
                     return False
                 try:
@@ -95,14 +118,17 @@ class StreamingSynthesizer:
                 except FuturesTimeoutError:
                     fut.cancel()
                     try:
-                        # Settle the race: the put may have completed between the
-                        # timeout and the cancel. CancelledError is a BaseException
-                        # on stock CPython >= 3.8 — catching only Exception would
-                        # let it escape the producer thread.
-                        fut.result(timeout=0.5)
+                        # Settle: wait for the task to finish or unwind. The
+                        # CancelledError is a BaseException on CPython >= 3.8.
+                        fut.result(timeout=5.0)
+                    except BaseException:  # noqa: BLE001 — cancelled or stuck
+                        pass
+                    if inserted.is_set():
                         return True
-                    except BaseException:  # noqa: BLE001 — cancelled or still stuck
-                        continue
+                    if time.monotonic() > deadline:
+                        logger.warning("stream_consumer_stalled_dropping_producer")
+                        return False
+                    continue
                 except BaseException:  # noqa: BLE001
                     return False
             return False

@@ -14,7 +14,9 @@ Uses the in-repo WAV codec (utils/wavio.py) — soundfile is not in this image.
 
 from __future__ import annotations
 
+import asyncio
 import base64
+import os
 import re
 import time
 from pathlib import Path
@@ -77,6 +79,9 @@ class VoiceManager:
         self.min_snr = min_snr
         self.voice_cache: Dict[str, str] = {}
         self.voice_metadata: Dict[str, dict] = {}
+        # Bumped on every (re-)registration: lets embedding-cache writers detect
+        # that the file changed under them mid-embed and drop the stale result.
+        self._generation: Dict[str, int] = {}
         self.stats = {"registrations": 0, "cache_hits": 0, "cache_misses": 0}
         logger.info("voice_manager_initialized", cache_dir=str(cache_dir))
 
@@ -86,26 +91,41 @@ class VoiceManager:
         """Validate + persist a cloning reference. Returns the stored WAV path.
         Raises ValueError on bad id, undecodable audio, or failed quality gate."""
         safe_id = sanitize_voice_id(voice_id)
-        try:
-            audio_bytes = base64.b64decode(reference_audio_b64)
-        except Exception as e:
-            raise ValueError(f"Invalid base64 audio: {e}") from e
-        try:
-            audio, sr = read_wav(audio_bytes)
-        except WavError as e:
-            raise ValueError(f"Invalid WAV payload: {e}") from e
-        if audio.ndim > 1:
-            audio = audio.mean(axis=1)
 
-        verdict = validate_reference_audio(
-            audio, sr, self.min_duration, self.max_duration, self.min_snr
+        def _decode_validate_persist():
+            # CPU + disk work OFF the event loop: the WS endpoint admits payloads
+            # up to 64 MB — decoding/validating inline would stall frame delivery
+            # for every connected client on this single-core host.
+            try:
+                audio_bytes = base64.b64decode(reference_audio_b64)
+            except Exception as e:
+                raise ValueError(f"Invalid base64 audio: {e}") from e
+            try:
+                audio, sr = read_wav(audio_bytes)
+            except WavError as e:
+                raise ValueError(f"Invalid WAV payload: {e}") from e
+            if audio.ndim > 1:
+                audio = audio.mean(axis=1)
+            verdict = validate_reference_audio(
+                audio, sr, self.min_duration, self.max_duration, self.min_snr
+            )
+            if not verdict["valid"]:
+                raise ValueError(f"Invalid reference audio: {verdict['reason']}")
+            voice_path = self.cache_dir / f"{safe_id}.wav"
+            # Atomic swap: concurrent executor-thread readers of the same path
+            # (speaker-embedding resolution) must see either the old or the new
+            # file, never a truncated in-place rewrite.
+            tmp = voice_path.with_suffix(".wav.tmp")
+            tmp.write_bytes(audio_bytes)
+            os.replace(tmp, voice_path)
+            return voice_path, audio, sr
+
+        loop = asyncio.get_event_loop()
+        voice_path, audio, sr = await loop.run_in_executor(
+            None, _decode_validate_persist
         )
-        if not verdict["valid"]:
-            raise ValueError(f"Invalid reference audio: {verdict['reason']}")
 
-        voice_path = self.cache_dir / f"{safe_id}.wav"
-        voice_path.write_bytes(audio_bytes)
-
+        self._generation[safe_id] = self._generation.get(safe_id, 0) + 1
         self.voice_cache[safe_id] = str(voice_path)
         self.voice_metadata[safe_id] = {
             "description": description,
@@ -135,6 +155,13 @@ class VoiceManager:
         voice_path = self.cache_dir / f"{safe_id}.wav"
         if voice_path.exists():
             self.voice_cache[safe_id] = str(voice_path)
+            # Disk-found entries get real metadata too: without a created_at they
+            # ranked as 0 in _cleanup_cache (always evicted first, regardless of
+            # recency), and without the cleanup call the documented max_cached
+            # bound never applied to lookup-heavy traffic.
+            self.voice_metadata.setdefault(safe_id, {})["created_at"] = time.time()
+            if len(self.voice_cache) > self.max_cached:
+                self._cleanup_cache()
             self.stats["cache_hits"] += 1
             return str(voice_path)
         self.stats["cache_misses"] += 1
@@ -172,6 +199,14 @@ class VoiceManager:
             del self.voice_cache[voice_id]
             self.voice_metadata.pop(voice_id, None)
             logger.debug("voice_evicted", voice_id=voice_id)
+
+    def generation_of(self, safe_id: str) -> int:
+        """Registration generation for a sanitized id (0 = never re-registered
+        this process). Embedding-cache writers snapshot this before embedding and
+        skip the cache insert if it moved — otherwise an embed of the OLD file
+        completing after a re-registration would permanently re-install the stale
+        voice."""
+        return self._generation.get(safe_id, 0)
 
     def get_stats(self) -> dict:
         stats = dict(self.stats)

@@ -322,3 +322,73 @@ def test_voice_manager_eviction_bounds_cache_and_metadata(tmp_path):
         return True
 
     assert asyncio.run(run())
+
+
+def test_voice_manager_generation_and_atomic_rewrite(tmp_path):
+    """Re-registration bumps the generation (stale-embedding guard) and replaces
+    the WAV atomically (no .tmp left behind, file always parseable)."""
+    async def run():
+        vm = VoiceManager(cache_dir=str(tmp_path / "voices"))
+        b64 = base64.b64encode(write_wav(None, _tone(), 24000)).decode()
+        assert vm.generation_of("bob") == 0
+        await vm.register_voice("bob", b64)
+        g1 = vm.generation_of("bob")
+        await vm.register_voice("bob", b64)
+        assert vm.generation_of("bob") == g1 + 1
+        leftovers = list((tmp_path / "voices").glob("*.tmp"))
+        assert leftovers == []
+        return True
+
+    assert asyncio.run(run())
+
+
+def test_voice_manager_disk_lookups_respect_cache_bound(tmp_path):
+    """Regression: disk-found voices were inserted into voice_cache without ever
+    triggering cleanup (unbounded growth) and with created_at=0 (always evicted
+    first regardless of recency)."""
+    async def run():
+        vdir = tmp_path / "voices"
+        vdir.mkdir()
+        wav_bytes = write_wav(None, _tone(), 24000)
+        for i in range(8):
+            (vdir / f"v{i}.wav").write_bytes(wav_bytes)
+        vm = VoiceManager(cache_dir=str(vdir), max_cached=4)
+        for i in range(8):
+            assert await vm.get_voice(f"v{i}") is not None
+        assert len(vm.voice_cache) <= 4
+        # Evicted-but-on-disk voices still resolve (disk fallback).
+        assert await vm.get_voice("v0") is not None
+        # Disk-loaded entries carry a real created_at (not the always-evict 0).
+        for vid in vm.voice_cache:
+            assert vm.voice_metadata[vid]["created_at"] > 0
+        return True
+
+    assert asyncio.run(run())
+
+
+def test_queue_requeue_full_counts_as_drop():
+    """Regression: the requeue-failure path (a genuine request drop) left
+    received > processed + dropped forever."""
+    async def run():
+        qm = TTSQueueManager(input_queue_size=1)
+        qm.register_connection("c")
+        assert await qm.enqueue_request(connection_id="c", text="a")
+        req = await qm.get_next_request()
+        # Fill the queue so the requeue must fail.
+        assert await qm.enqueue_request(connection_id="c", text="b")
+        assert not await qm.requeue(req)
+        m = qm.metrics
+        # b is still queued (received, not yet processed); a was dropped.
+        assert m["requests_dropped"] == 1
+        assert m["requests_received"] == m["requests_processed"] + m["requests_dropped"] + qm.input_queue.qsize()
+        return True
+
+    assert asyncio.run(run())
+
+
+def test_cli_demo_corpus_conflicts_with_manifest(tmp_path, capsys):
+    from gonova_tts_tpu import cli
+
+    rc = cli.main(["train", "--manifest", "m.txt", "--demo-corpus", str(tmp_path)])
+    assert rc == 1
+    assert "mutually exclusive" in capsys.readouterr().err
