@@ -1,4 +1,4 @@
-"""Frame-wise F0 estimation (autocorrelation method, YIN-style normalization).
+"""Frame-wise F0 estimation (unbiased-autocorrelation method, batched FFT).
 
 Host-side (numpy) — used by the training data pipeline to build pitch targets; not on
 the serving hot path.  The reference has no training pipeline at all (SURVEY.md §1);
@@ -26,32 +26,41 @@ def estimate_f0(
     x = np.pad(audio, (pad, pad + frame_length))
     lag_min = max(2, int(sr / fmax))
     lag_max = min(frame_length - 1, int(sr / fmin))
+    if lag_max < lag_min or n_frames == 0:
+        return np.zeros(n_frames, np.float32)
 
-    f0 = np.zeros(n_frames)
-    for i in range(n_frames):
-        frame = x[i * hop_length : i * hop_length + frame_length]
-        frame = frame - frame.mean()
-        energy = np.sum(frame * frame)
-        if energy < 1e-8:
-            continue
-        # Normalized autocorrelation via FFT.
-        spec = np.fft.rfft(frame, n=2 * frame_length)
-        ac = np.fft.irfft(spec * np.conj(spec))[:frame_length]
-        ac = ac / (ac[0] + 1e-12)
-        seg = ac[lag_min : lag_max + 1]
-        if len(seg) == 0:
-            continue
-        best = int(np.argmax(seg))
-        if seg[best] < threshold:
-            continue
-        lag = lag_min + best
-        # Parabolic interpolation around the peak for sub-sample lag.
-        if 0 < best < len(seg) - 1:
-            a, b, c = seg[best - 1], seg[best], seg[best + 1]
-            denom = a - 2 * b + c
-            if abs(denom) > 1e-12:
-                lag = lag + 0.5 * (a - c) / denom
-        f0[i] = sr / lag
+    # All frames in ONE FFT batch (the per-frame Python loop dominated corpus
+    # preprocessing wall time on single-core hosts).
+    idx = np.arange(frame_length)[None, :] + np.arange(n_frames)[:, None] * hop_length
+    fr = x[idx]
+    fr = fr - fr.mean(axis=1, keepdims=True)
+    energy = np.einsum("ij,ij->i", fr, fr)
+    spec = np.fft.rfft(fr, n=2 * frame_length, axis=1)
+    ac = np.fft.irfft(spec * np.conj(spec), axis=1)[:, : frame_length]
+    # UNBIASED autocorrelation: ac[lag] sums (N - lag) products, so the raw
+    # values carry an implicit (N - lag)/N taper that (a) tilts argmax toward
+    # the half-period peak — octave-up errors for low-pitched voices with
+    # strong 2nd harmonics — and (b) caps long-lag peaks below the voicing
+    # threshold (a clean 60 Hz tone could never exceed 0.61 normalized).
+    taper = (frame_length - np.arange(frame_length)).astype(np.float64)
+    norm = ac * (frame_length / taper)[None, :] / (ac[:, :1] + 1e-12)
+
+    seg = norm[:, lag_min : lag_max + 1]
+    best = np.argmax(seg, axis=1)
+    rows = np.arange(n_frames)
+    peak = seg[rows, best]
+    voiced = (peak >= threshold) & (energy >= 1e-8)
+
+    # Parabolic interpolation around interior peaks for sub-sample lag.
+    lag = (lag_min + best).astype(np.float64)
+    interior = (best > 0) & (best < seg.shape[1] - 1)
+    bi = np.where(interior, best, 1)  # safe index; masked below
+    a, b, c = seg[rows, bi - 1], seg[rows, bi], seg[rows, bi + 1]
+    denom = a - 2 * b + c
+    ok = interior & (np.abs(denom) > 1e-12)
+    lag = np.where(ok, lag + 0.5 * (a - c) / np.where(ok, denom, 1.0), lag)
+
+    f0 = np.where(voiced, sr / lag, 0.0)
     return f0.astype(np.float32)
 
 

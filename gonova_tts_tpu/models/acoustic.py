@@ -157,11 +157,14 @@ def length_regulate(
 ) -> Dict[str, jnp.ndarray]:
     """Expand per-token encodings to per-frame encodings with fully static shapes.
 
-    durations: [B, L] non-negative ints (padded tokens must have 0).
+    durations: [B, L] non-negative ints. Padded tokens are zeroed HERE via
+    token_mask — relying on callers to pre-zero them made the parameter dead and
+    the invariant silent.
     Frame t maps to the token j with cumsum(dur)[j-1] <= t < cumsum(dur)[j], via a
     branch-free searchsorted-style comparison (O(L*T) mask matmul — tiny vs attention,
     and perfectly MXU/VPU friendly; no dynamic shapes, no scatter).
     """
+    durations = durations * token_mask.astype(durations.dtype)
     cum = jnp.cumsum(durations, axis=-1)  # [B, L]
     total = cum[:, -1]  # [B]
     t_idx = jnp.arange(max_frames)[None, :, None]  # [1, T, 1]

@@ -174,7 +174,10 @@ def local_mha(
     materializes O(T²) logits per head — ~600 MB/layer at the largest bucket — while
     frame-level dependencies after length regulation are local.  Blocked local
     attention is O(T · 3w · d), MXU-shaped ([w, 3w] logit tiles), and numerically
-    equals full attention when 3*window ≥ T (pinned by tests).
+    equals full attention when T ≤ 2*window (every block reaches every
+    block; pinned by tests). In (2w, 3w] the two DIFFER — edge blocks
+    cannot reach the far block — so dispatch must not substitute full
+    there.
 
     x: [B, T, D] with T % window == 0; mask: [B, T] (1 = valid).
     """
@@ -240,7 +243,13 @@ def transformer_block(
     local attention (see local_mha) instead of full attention."""
     mask_f = None if mask is None else mask[..., None].astype(x.dtype)
     normed = layernorm(p["ln1"], x)
-    if attention_window is not None and 3 * attention_window < x.shape[1]:
+    # Threshold is 2*window, NOT 3*window: for T <= 2w every block attends every
+    # block, so block-local == full and the cheaper full kernel is safe. In
+    # (2w, 3w] they genuinely differ (edge blocks can't reach the far block) —
+    # dispatching full there would silently change the attended-key sets between
+    # two shapes of the SAME request (the two-stage engine re-runs the decoder at
+    # a smaller frame bucket and relies on shape-independent semantics).
+    if attention_window is not None and 2 * attention_window < x.shape[1]:
         attended = local_mha(p["attn"], normed, n_heads, attention_window, mask, dtype)
     else:
         attended = mha(p["attn"], normed, n_heads, mask, dtype)

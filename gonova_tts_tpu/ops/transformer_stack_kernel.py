@@ -170,7 +170,9 @@ def _stack_kernel(
     dh_pad = wo_ref.shape[-2] // n_heads
     hp = n_heads * dh_pad
     scale = 1.0 / math.sqrt(dh)
-    local = window is not None and 3 * window < t_len
+    # 2*window threshold — see layers.transformer_block: in (2w, 3w] local
+    # and full genuinely differ, and the dispatch must be shape-independent.
+    local = window is not None and 2 * window < t_len
     w = window if local else 0
     kv_len = t_len + 2 * w  # zero halo in local mode
 
@@ -368,7 +370,7 @@ def _transformer_stack_pallas(
                 rows_per_step = cand
                 break
     rows = rows_per_step
-    local = window is not None and 3 * window < t
+    local = window is not None and 2 * window < t
     if local and t % window != 0:
         raise ValueError(f"T={t} must be a multiple of window={window}")
 

@@ -18,6 +18,10 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..utils import get_logger
+
+logger = get_logger("gonova.parallel")
+
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
@@ -65,6 +69,13 @@ def init_distributed(
     coordinator_address = coordinator_address or os.environ.get("TTS_COORDINATOR")
     if coordinator_address is None:
         return False
+    try:  # idempotent: the train loop auto-initializes, tools may have already
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            return True
+    except Exception:  # noqa: BLE001 — private-module layout drift
+        pass
     if num_processes is None and "TTS_NUM_PROCESSES" in os.environ:
         num_processes = int(os.environ["TTS_NUM_PROCESSES"])
     if process_id is None and "TTS_PROCESS_ID" in os.environ:
@@ -187,12 +198,22 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
 
     def leaf_sharding(key_path, leaf):
         spec = param_spec(_path_str(key_path))
-        # Validate divisibility; degrade to replicated if violated.
+        # Validate divisibility; degrade to replicated if violated — but SAY SO:
+        # a dim mismatch across the whole tree silently drops the requested
+        # tensor parallelism (N× param+optimizer memory, zero tp collectives)
+        # and is otherwise only detectable by profiling.
         axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
         for dim, axis in enumerate(spec):
             if axis is None:
                 continue
             if dim >= leaf.ndim or leaf.shape[dim] % axis_sizes[axis] != 0:
+                logger.warning(
+                    "param_sharding_degraded_to_replicated",
+                    param=_path_str(key_path),
+                    shape=list(leaf.shape),
+                    wanted=str(spec),
+                    axis_size=axis_sizes[axis],
+                )
                 return NamedSharding(mesh, P())
         return NamedSharding(mesh, spec)
 

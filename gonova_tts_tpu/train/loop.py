@@ -102,6 +102,13 @@ def train(
     its EMA replaces the vocoder in the saved checkpoint."""
     config = config or load_config()
     mcfg = config.model
+    # Multi-host bring-up FIRST (before anything touches the backend): a no-op
+    # unless TTS_COORDINATOR/TTS_NUM_PROCESSES/TTS_PROCESS_ID are set (the env
+    # contract in parallel/mesh.py). With multiple processes the mesh below is
+    # built DCN×ICI so the 'model' axis never crosses a host boundary.
+    from ..parallel import init_distributed
+
+    distributed = init_distributed()
     try:  # persistent compile cache — tunnel compiles cost minutes, reruns seconds
         import os as _os
 
@@ -114,7 +121,7 @@ def train(
     except Exception:
         pass
     if resident:
-        if (n_data or 0) > 1 or n_model > 1:
+        if (n_data or 0) > 1 or n_model > 1 or distributed:
             # Never silently drop requested parallelism: the resident chunk runner
             # is single-device by construction (sharded training is the non-resident
             # path via make_sharded_train_step).
@@ -253,10 +260,15 @@ def train(
                 path = save_params(checkpoint_dir, _serve_params(jax.device_get(snap)), step=done)
                 logger.info("checkpoint_saved", path=path, kind="ema")
     else:
-        use_mesh = (n_data or 0) > 1 or n_model > 1
+        use_mesh = (n_data or 0) > 1 or n_model > 1 or distributed
         example = next(iter(batches()))
         if use_mesh:
-            mesh = make_mesh(n_data=n_data, n_model=n_model)
+            if distributed and jax.process_count() > 1:
+                from ..parallel import make_hybrid_mesh
+
+                mesh = make_hybrid_mesh(n_model=n_model)
+            else:
+                mesh = make_mesh(n_data=n_data, n_model=n_model)
             step_fn, state = tstep.make_sharded_train_step(
                 mcfg, optimizer, mesh, state, example,
                 learn_alignment=learn_alignment,

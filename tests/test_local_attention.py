@@ -74,3 +74,47 @@ def test_decoder_uses_local_attention_at_large_buckets():
     cfg_full = cfg.model_copy(update={"decoder_attention_window": None})
     out_full = acoustic.forward(params, tokens, mask, spk, jnp.asarray([0.5]), cfg_full)
     assert np.isfinite(np.asarray(out_full["mel"])).all()
+
+
+def test_decode_shape_independent_in_2w_3w_band():
+    """Regression: for frame buckets T in (2*window, 3*window] the decoder used
+    to silently flip from block-local to FULL attention (the '3w < T' dispatch
+    re-check), so the SAME request produced different audio at different
+    dispatch shapes. With valid frames > 2w the attended-key sets genuinely
+    differ between the kinds, so this pins shape-independence exactly where the
+    old threshold broke it."""
+    import jax
+    import jax.numpy as jnp
+
+    from gonova_tts_tpu.config import ModelConfig
+    from gonova_tts_tpu.models import tts
+
+    cfg = ModelConfig(
+        d_model=64, n_heads=2, d_ff=128, encoder_layers=1, decoder_layers=1,
+        speaker_dim=32, upsample_initial_channel=32, vocos_dim=128, vocos_ff=256,
+        vocos_layers=2, compute_dtype="float32",
+        decoder_attention_window=32, local_attention_min_frames=256,
+    )
+    params = jax.jit(lambda k: tts.init(k, cfg))(jax.random.PRNGKey(0))
+    L = 16
+    tokens = jnp.asarray(np.arange(1, L + 1, dtype=np.int32))[None]
+    mask = jnp.ones((1, L), jnp.float32)
+    spk = jnp.zeros((1, cfg.speaker_dim), jnp.float32)
+    exagg = jnp.full((1,), 0.5, jnp.float32)
+    e = tts.encode_acoustic(params, tokens, mask, spk, exagg, cfg)
+    # Controlled durations: 80 valid frames — inside (2w, 3w] = (64, 96].
+    dur = jnp.full((1, L), 5, jnp.int32)  # 16 * 5 = 80
+    t_full = 512  # the one-graph shape (>= min_frames -> local attention)
+    ref = tts.decode_vocode(
+        params, e["enc"], e["spk"], dur, mask, t_full, cfg,
+        local_attention_from=t_full,
+    )
+    out = tts.decode_vocode(
+        params, e["enc"], e["spk"], dur, mask, 96, cfg,
+        local_attention_from=t_full,
+    )
+    n = int(np.asarray(ref["total_samples"])[0])
+    assert n == 80 * cfg.hop_length
+    a = np.asarray(ref["audio"], np.float32)[0, :n]
+    b = np.asarray(out["audio"], np.float32)[0, :n]
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=0)

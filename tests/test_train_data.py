@@ -391,3 +391,29 @@ def test_ema_debias_removes_init_bias():
     for _ in range(50):
         legacy = tstep.ema_update(legacy, p, decay)
     assert abs(float(legacy["w"][0]) - 2.5) > 0.1
+
+
+def test_f0_no_octave_doubling_with_strong_second_harmonic():
+    """Regression: the biased (lag-tapered) autocorrelation tilted argmax toward
+    the half-period peak — an 80 Hz voice with a strong 2nd harmonic read as
+    160 Hz, corrupting every training pitch target."""
+    sr = 24000
+    t = np.arange(3 * sr) / sr
+    x = 0.5 * np.sin(2 * np.pi * 80 * t) + 0.45 * np.sin(2 * np.pi * 160 * t)
+    f0 = estimate_f0(x, sr)
+    v = f0[f0 > 0]
+    assert len(v) > 0.8 * len(f0)
+    assert abs(np.median(v) - 80.0) < 4.0
+
+
+def test_f0_low_pitch_is_voiced():
+    """Regression: the implicit (N-lag)/N taper capped a clean 60 Hz tone's
+    normalized peak at ~0.61-with-noise-below-threshold, so low-pitched frames
+    were systematically marked unvoiced."""
+    sr = 24000
+    t = np.arange(2 * sr) / sr
+    y = 0.5 * np.sin(2 * np.pi * 60 * t)
+    f0 = estimate_f0(y, sr)
+    v = f0[f0 > 0]
+    assert len(v) > 0.8 * len(f0)
+    assert abs(np.median(v) - 60.0) < 3.0
