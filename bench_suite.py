@@ -58,9 +58,16 @@ def _engine(tiny: bool):
             speaker_dim=32, upsample_initial_channel=32, vocos_dim=128, vocos_ff=256,
             vocos_layers=2, compute_dtype="float32",
         )
-        cfg.engine = EngineConfig(warmup_shapes=[[1, 64], [8, 64]], batch_buckets=[1, 4, 8, 16])
+        cfg.engine = EngineConfig(
+            warmup_shapes=[[1, 64], [4, 64], [8, 64], [16, 128], [16, 192]],
+            batch_buckets=[1, 4, 8, 16],
+        )
     else:
-        cfg.engine.warmup_shapes = [[1, 64], [8, 64], [16, 64]]
+        # Cover every shape the timed regions below actually hit: [4,64] for
+        # streaming_qps admission groups, [16,128]/[16,192] for the long-form
+        # sentence buckets — otherwise first-run walls silently include full
+        # XLA compiles (minutes through this environment's tunnel).
+        cfg.engine.warmup_shapes = [[1, 64], [4, 64], [8, 64], [16, 64], [16, 128], [16, 192]]
     eng = TTSEngine(cfg)
     eng.load(warmup=True)
     return eng
@@ -161,6 +168,10 @@ def bench_streaming_qps(eng, qps: float = 4.0, n_requests: int = 12) -> None:
         return ttfas
 
     ttfas = asyncio.run(run())
+    # TTFA here is honest ONLY because SHORT_TEXTS are single sentences: through
+    # the real service one sentence = one batcher submit = the request's first
+    # (and only) audio chunk, so submit-completion time IS time-to-first-audio.
+    # For multi-sentence requests this would be completion latency instead.
     _emit("streaming_qps", qps=qps, requests=n_requests,
           p50_ttfa_ms=float(np.percentile(ttfas, 50)) * 1000,
           p90_ttfa_ms=float(np.percentile(ttfas, 90)) * 1000)

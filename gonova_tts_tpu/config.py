@@ -97,6 +97,11 @@ class ModelConfig(_SectionModel):
     # when serving on the TPU backend (EngineConfig.acoustic_pallas).
     acoustic_pallas: bool = False
 
+    # Discriminator (MPD/MSD) channel-width multiplier for adversarial training:
+    # 1.0 = HiFi-GAN paper capacity. Training-only (discriminators never enter
+    # serving checkpoints); tests and tiny-corpus demos use fractions.
+    disc_width: float = 1.0
+
     # --- vocoder (HiFi-GAN generator class) ---
     upsample_rates: List[int] = Field(default_factory=lambda: [8, 8, 2, 2])
     upsample_kernels: List[int] = Field(default_factory=lambda: [16, 16, 4, 4])

@@ -104,17 +104,9 @@ class TTSEngine:
         t0 = time.time()
         # Persistent compile cache: service restarts (and this environment's slow
         # tunnel compiles) reuse binaries instead of recompiling every shape bucket.
-        try:
-            # TTS_JAX_CACHE_DIR pins the cache to a stable location; the cwd
-            # default means a service restarted from a different directory would
-            # silently re-pay every shape compile.
-            cache_dir = os.environ.get("TTS_JAX_CACHE_DIR") or os.path.join(
-                os.getcwd(), ".jax_cache"
-            )
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        except Exception:  # noqa: BLE001 — cache is an optimization, never fatal
-            pass
+        from ..utils import enable_compile_cache
+
+        enable_compile_cache()  # TTS_JAX_CACHE_DIR > cwd/.jax_cache
         if self.mcfg.model_path:
             from ..train.checkpoint import restore_params
 

@@ -28,10 +28,15 @@ def dense_init(rng, in_dim: int, out_dim: int, scale: Optional[float] = None) ->
     return {"w": w, "b": jnp.zeros((out_dim,), dtype=jnp.float32)}
 
 
-def conv1d_init(rng, in_ch: int, out_ch: int, kernel: int, scale: Optional[float] = None) -> Params:
+def conv1d_init(
+    rng, in_ch: int, out_ch: int, kernel: int, scale: Optional[float] = None,
+    groups: int = 1,
+) -> Params:
+    if in_ch % groups or out_ch % groups:
+        raise ValueError(f"groups={groups} must divide in_ch={in_ch} and out_ch={out_ch}")
     if scale is None:
-        scale = math.sqrt(2.0 / (kernel * in_ch + out_ch))
-    w = jax.random.normal(rng, (kernel, in_ch, out_ch), dtype=jnp.float32) * scale
+        scale = math.sqrt(2.0 / (kernel * in_ch // groups + out_ch))
+    w = jax.random.normal(rng, (kernel, in_ch // groups, out_ch), dtype=jnp.float32) * scale
     return {"w": w, "b": jnp.zeros((out_ch,), dtype=jnp.float32)}
 
 
@@ -72,8 +77,10 @@ def conv1d(
     dilation: int = 1,
     padding: str = "SAME",
     dtype=jnp.float32,
+    groups: int = 1,
 ) -> jnp.ndarray:
-    """x: [B, T, C_in] (NWC) → [B, T', C_out]."""
+    """x: [B, T, C_in] (NWC) → [B, T', C_out]. groups>1 = grouped conv (the weight
+    must come from conv1d_init(..., groups=...): shape [k, C_in//groups, C_out])."""
     y = jax.lax.conv_general_dilated(
         x.astype(dtype),
         p["w"].astype(dtype),
@@ -81,6 +88,7 @@ def conv1d(
         padding=padding,
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
         preferred_element_type=dtype,
     )
     return y + p["b"].astype(dtype)

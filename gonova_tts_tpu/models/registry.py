@@ -49,12 +49,12 @@ register(
     )
 )
 def _novagan_forward(params, mel, cfg, dtype=None):
-    """Honors cfg.hifigan_folded (same routing as tts.vocode for this family)."""
-    from . import vocoder_folded
+    """Honors cfg.hifigan_folded via tts.hifigan_forward_fn — the one routing rule
+    shared with the pipeline, so the two call paths cannot drift."""
+    from . import tts
 
-    mod = vocoder_folded if cfg.hifigan_folded else vocoder
     kw = {} if dtype is None else {"dtype": dtype}
-    return mod.forward(params, mel, cfg, **kw)
+    return tts.hifigan_forward_fn(cfg)(params, mel, cfg, **kw)
 
 
 register(

@@ -25,11 +25,18 @@ def _vocoder_mod(cfg: ModelConfig):
     raise ValueError(f"unknown vocoder_family {cfg.vocoder_family!r}")
 
 
+def hifigan_forward_fn(cfg: ModelConfig):
+    """SINGLE source of truth for the HiFi-GAN folded-vs-plain routing — used by
+    both the pipeline (_vocoder_forward) and the registry's 'novagan' family, so
+    the rule can never drift between the two."""
+    return vocoder_folded.forward if cfg.hifigan_folded else vocoder.forward
+
+
 def _vocoder_forward(cfg: ModelConfig):
     """Forward fn for the configured family; hifigan routes through the lane-folded
     layout (vocoder_folded.py — numerically identical, MXU-shaped) unless disabled."""
-    if cfg.vocoder_family == "hifigan" and cfg.hifigan_folded:
-        return vocoder_folded.forward
+    if cfg.vocoder_family == "hifigan":
+        return hifigan_forward_fn(cfg)
     return _vocoder_mod(cfg).forward
 
 

@@ -105,17 +105,40 @@ def upsample_factor(cfg: ModelConfig) -> int:
 _MPD_PERIODS = (2, 3, 5, 7, 11)
 
 
-def mpd_init(rng) -> Params:
-    """Multi-period discriminator: one conv stack per period."""
+def _width_fn(width: float):
+    """Channel scaler for the discriminator width knob: multiples of 16 (grouped
+    convs need divisibility; MXU lanes like it), floor 16."""
+
+    def w(c: int) -> int:
+        return max(16, int(round(c * width / 16.0)) * 16)
+
+    return w
+
+
+def mpd_init(rng, width: float = 1.0) -> Params:
+    """Multi-period discriminator: one conv stack per period.
+
+    Paper topology (HiFi-GAN §3 / official repo DiscriminatorP): five k=5 conv
+    levels — 1→32→128→512→1024 at stride 3, then 1024→1024 at stride 1 — before
+    the k=3 post conv. The final stride-1 level doubles the deepest receptive
+    field and is a feature-matching tap; omitting it (pre-round-3 bug) trained
+    the generator against a weaker critic than documented.
+
+    `width` scales every channel count (structure/strides/taps unchanged):
+    1.0 = paper capacity; tests and tiny-corpus runs use fractions to keep
+    compile/step cost proportionate. Discriminators never enter serving
+    checkpoints, so the knob cannot drift a served model."""
     subs = []
+    w = _width_fn(width)
     for i, _period in enumerate(_MPD_PERIODS):
         ks = jax.random.split(jax.random.fold_in(rng, i), 6)
-        chans = [(1, 32), (32, 128), (128, 512), (512, 1024)]
+        chans = [(1, w(32)), (w(32), w(128)), (w(128), w(512)), (w(512), w(1024)),
+                 (w(1024), w(1024))]
         convs = [layers.conv1d_init(ks[j], cin, cout, 5) for j, (cin, cout) in enumerate(chans)]
         subs.append(
             {
                 "convs": convs,
-                "conv_post": layers.conv1d_init(ks[5], 1024, 1, 3),
+                "conv_post": layers.conv1d_init(ks[5], w(1024), 1, 3),
             }
         )
     return {"subs": subs}
@@ -126,8 +149,10 @@ def _mpd_sub_apply(p: Params, x2d: jnp.ndarray, dtype=jnp.float32) -> Tuple[jnp.
     b, t, period = x2d.shape
     h = x2d.transpose(0, 2, 1).reshape(b * period, t, 1)
     feats = []
-    for c in p["convs"]:
-        h = layers.conv1d(c, h, stride=3, dtype=dtype)
+    for j, c in enumerate(p["convs"]):
+        # Paper strides: 3 for the channel-growing levels, 1 for the final
+        # 1024→1024 level.
+        h = layers.conv1d(c, h, stride=3 if j < len(p["convs"]) - 1 else 1, dtype=dtype)
         h = layers.leaky_relu(h, LRELU_SLOPE)
         feats.append(h)
     out = layers.conv1d(p["conv_post"], h, dtype=dtype)
@@ -147,24 +172,55 @@ def mpd_apply(p: Params, wav: jnp.ndarray, dtype=jnp.float32):
     return outs
 
 
-def msd_init(rng) -> Params:
-    """Multi-scale discriminator: conv stacks on 1x, 2x, 4x average-pooled audio."""
+# MSD conv schedule — the paper's (MelGAN-derived) DiscriminatorS:
+# (in, out, kernel, stride, groups). Grouped k=41 convs carry most of the
+# capacity; the k=5 penultimate level is the deepest feature-matching tap.
+_MSD_SCHEDULE = (
+    (1, 128, 15, 1, 1),
+    (128, 128, 41, 2, 4),
+    (128, 256, 41, 2, 16),
+    (256, 512, 41, 4, 16),
+    (512, 1024, 41, 4, 16),
+    (1024, 1024, 41, 1, 16),
+    (1024, 1024, 5, 1, 1),
+)
+
+
+def msd_init(rng, width: float = 1.0) -> Params:
+    """Multi-scale discriminator on 1x, 2x, 4x average-pooled audio.
+
+    Paper topology (official repo DiscriminatorS): the grouped-conv schedule in
+    _MSD_SCHEDULE per scale, AvgPool1d(4, stride 2) between scales. The
+    pre-round-3 stack (five ungrouped stride-4 convs, pool k=2) had a
+    substantially smaller receptive field than the topology the training docs
+    claim. Grouped convs are slow on TPU for GENERATOR-sized workloads
+    (PERF.md HiFi-GAN diagnosis) but these run only in the training step, where
+    fidelity to the published objective outranks step time. `width` as in
+    mpd_init (group counts unchanged — the 16-multiple floor keeps them valid)."""
     subs = []
+    w = _width_fn(width)
     for i in range(3):
-        ks = jax.random.split(jax.random.fold_in(rng, 100 + i), 7)
-        chans = [(1, 64), (64, 128), (128, 256), (256, 512), (512, 1024)]
+        ks = jax.random.split(jax.random.fold_in(rng, 100 + i), len(_MSD_SCHEDULE) + 1)
         convs = [
-            layers.conv1d_init(ks[j], cin, cout, 15 if j == 0 else 41)
-            for j, (cin, cout) in enumerate(chans)
+            layers.conv1d_init(
+                ks[j], cin if cin == 1 else w(cin), w(cout), k, groups=g
+            )
+            for j, (cin, cout, k, _s, g) in enumerate(_MSD_SCHEDULE)
         ]
-        subs.append({"convs": convs, "conv_post": layers.conv1d_init(ks[6], 1024, 1, 3)})
+        subs.append(
+            {"convs": convs, "conv_post": layers.conv1d_init(ks[-1], w(1024), 1, 3)}
+        )
     return {"subs": subs}
 
 
-def _avg_pool1d(x: jnp.ndarray, k: int) -> jnp.ndarray:
+def _avg_pool1d(x: jnp.ndarray, k: int, stride: int, pad: int) -> jnp.ndarray:
+    """torch AvgPool1d(k, stride, pad) with count_include_pad=True (the default
+    the reference topology uses): zero-pad both sides, mean over k."""
     b, t = x.shape
-    t2 = t - t % k
-    return x[:, :t2].reshape(b, t2 // k, k).mean(axis=-1)
+    xp = jnp.pad(x, ((0, 0), (pad, pad)))
+    n = (t + 2 * pad - k) // stride + 1
+    idx = jnp.arange(n)[:, None] * stride + jnp.arange(k)[None, :]
+    return xp[:, idx].mean(axis=-1)
 
 
 def msd_apply(p: Params, wav: jnp.ndarray, dtype=jnp.float32):
@@ -172,11 +228,11 @@ def msd_apply(p: Params, wav: jnp.ndarray, dtype=jnp.float32):
     x = wav
     for i, sub in enumerate(p["subs"]):
         if i > 0:
-            x = _avg_pool1d(x, 2)
+            x = _avg_pool1d(x, 4, 2, 2)
         h = x[..., None]
         feats = []
-        for c in sub["convs"]:
-            h = layers.conv1d(c, h, stride=4, dtype=dtype)
+        for c, (_ci, _co, _k, stride, groups) in zip(sub["convs"], _MSD_SCHEDULE):
+            h = layers.conv1d(c, h, stride=stride, dtype=dtype, groups=groups)
             h = layers.leaky_relu(h, LRELU_SLOPE)
             feats.append(h)
         out = layers.conv1d(sub["conv_post"], h, dtype=dtype)

@@ -109,17 +109,13 @@ def train(
     from ..parallel import init_distributed
 
     distributed = init_distributed()
-    try:  # persistent compile cache — tunnel compiles cost minutes, reruns seconds
-        import os as _os
+    # Persistent compile cache — tunnel compiles cost minutes, reruns seconds.
+    import os as _os
 
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.dirname(
-                _os.path.abspath(__file__)))), ".jax_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    from ..utils import enable_compile_cache
+
+    _repo_root = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    enable_compile_cache(_os.path.join(_repo_root, ".jax_cache"))
     if resident:
         if (n_data or 0) > 1 or n_model > 1 or distributed:
             # Never silently drop requested parallelism: the resident chunk runner
@@ -319,8 +315,8 @@ def train(
         # them toward zero for the whole phase.
         gen_params = {"vocoder": jax.device_get(state.params)["vocoder"]}
         disc_params = {
-            "mpd": voc_mod.mpd_init(jax.random.PRNGKey(seed + 101)),
-            "msd": voc_mod.msd_init(jax.random.PRNGKey(seed + 102)),
+            "mpd": voc_mod.mpd_init(jax.random.PRNGKey(seed + 101), width=mcfg.disc_width),
+            "msd": voc_mod.msd_init(jax.random.PRNGKey(seed + 102), width=mcfg.disc_width),
         }
         gen_state = tstep.init_state(gen_params, g_opt)
         disc_state = tstep.init_state(disc_params, d_opt)

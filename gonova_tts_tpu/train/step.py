@@ -278,7 +278,7 @@ def make_sharded_gan_steps(
 
     def d_step(disc_state: TrainState, gen_params, mel, audio_real):
         loss, grads = jax.value_and_grad(d_loss_fn)(
-            disc_state.params, gen_params, mel, audio_real
+            disc_state.params, gen_params, mel, audio_real, disc_state.step
         )
         updates, opt_state = d_opt.update(grads, disc_state.opt_state, disc_state.params)
         params = optax.apply_updates(disc_state.params, updates)
@@ -286,7 +286,7 @@ def make_sharded_gan_steps(
 
     def g_step(gen_state: TrainState, disc_params, mel, audio_real, frame_mask):
         (loss, metrics), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            gen_state.params, disc_params, mel, audio_real, frame_mask
+            gen_state.params, disc_params, mel, audio_real, frame_mask, gen_state.step
         )
         updates, opt_state = g_opt.update(grads, gen_state.opt_state, gen_state.params)
         params = optax.apply_updates(gen_state.params, updates)
@@ -405,11 +405,37 @@ def ema_debias(ema: Any, decay: float, num_updates: int) -> Any:
 # ---------------------------------------------------------------- GAN steps (vocoder)
 
 
-def _gan_loss_fns(cfg: ModelConfig, dtype=jnp.float32):
-    """(d_loss_fn, g_loss_fn) shared by the plain and sharded GAN steps."""
+GAN_SEGMENT_SAMPLES = 8192  # HiFi-GAN trains its discriminators on ~0.34 s crops
 
-    def d_loss_fn(disc_params, gen_params, mel, audio_real):
+
+def _gan_loss_fns(cfg: ModelConfig, dtype=jnp.float32):
+    """(d_loss_fn, g_loss_fn) shared by the plain and sharded GAN steps.
+
+    Adversarial and feature-matching terms run on a per-step random
+    GAN_SEGMENT_SAMPLES crop (paper-style segment training): the paper-faithful
+    grouped MSD at stride 1 over a full multi-second utterance would cost GBs of
+    activations for no fidelity gain, and the discriminators' receptive fields
+    are far below the segment length. The mel-reconstruction term stays
+    full-length (better than paper — it is also the eval metric). The crop
+    offset derives deterministically from the step counter, so replicas/shards
+    and the resident fori_loop all see the same crop."""
+
+    def _crop_pair(real, fake, step):
+        t = real.shape[1]
+        seg = min(GAN_SEGMENT_SAMPLES, t)
+        if seg == t:
+            return real, fake
+        off = jax.random.randint(
+            jax.random.fold_in(jax.random.PRNGKey(77), step), (), 0, t - seg + 1
+        )
+        return (
+            jax.lax.dynamic_slice_in_dim(real, off, seg, axis=1),
+            jax.lax.dynamic_slice_in_dim(fake, off, seg, axis=1),
+        )
+
+    def d_loss_fn(disc_params, gen_params, mel, audio_real, step):
         audio_fake = jax.lax.stop_gradient(tts.vocode(gen_params, mel, cfg, dtype=dtype))
+        audio_real, audio_fake = _crop_pair(audio_real, audio_fake, step)
         loss = 0.0
         for apply_fn, key in ((vocoder.mpd_apply, "mpd"), (vocoder.msd_apply, "msd")):
             real_outs = apply_fn(disc_params[key], audio_real, dtype=dtype)
@@ -417,13 +443,14 @@ def _gan_loss_fns(cfg: ModelConfig, dtype=jnp.float32):
             loss = loss + losses.lsgan_discriminator_loss(real_outs, fake_outs)
         return loss
 
-    def g_loss_fn(gen_params, disc_params, mel, audio_real, frame_mask):
+    def g_loss_fn(gen_params, disc_params, mel, audio_real, frame_mask, step):
         audio_fake = tts.vocode(gen_params, mel, cfg, dtype=dtype)
         adv = 0.0
         fm = 0.0
+        real_seg, fake_seg = _crop_pair(audio_real, audio_fake, step)
         for apply_fn, key in ((vocoder.mpd_apply, "mpd"), (vocoder.msd_apply, "msd")):
-            real_outs = apply_fn(disc_params[key], audio_real, dtype=dtype)
-            fake_outs = apply_fn(disc_params[key], audio_fake, dtype=dtype)
+            real_outs = apply_fn(disc_params[key], real_seg, dtype=dtype)
+            fake_outs = apply_fn(disc_params[key], fake_seg, dtype=dtype)
             adv = adv + losses.lsgan_generator_loss(fake_outs)
             fm = fm + losses.feature_matching_loss(real_outs, fake_outs)
         # HiFi-GAN eq(7): L_G = L_adv + λ_fm·L_fm + λ_mel·L_mel (λ_fm=2, λ_mel=45);
@@ -445,7 +472,7 @@ def make_gan_steps(cfg: ModelConfig, g_opt: optax.GradientTransformation, d_opt:
 
     @jax.jit
     def d_step(disc_state: TrainState, gen_params, mel, audio_real):
-        loss, grads = jax.value_and_grad(d_loss_fn)(disc_state.params, gen_params, mel, audio_real)
+        loss, grads = jax.value_and_grad(d_loss_fn)(disc_state.params, gen_params, mel, audio_real, disc_state.step)
         updates, opt_state = d_opt.update(grads, disc_state.opt_state, disc_state.params)
         params = optax.apply_updates(disc_state.params, updates)
         return TrainState(params, opt_state, disc_state.step + 1), loss
@@ -453,7 +480,7 @@ def make_gan_steps(cfg: ModelConfig, g_opt: optax.GradientTransformation, d_opt:
     @jax.jit
     def g_step(gen_state: TrainState, disc_params, mel, audio_real, frame_mask):
         (loss, metrics), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            gen_state.params, disc_params, mel, audio_real, frame_mask
+            gen_state.params, disc_params, mel, audio_real, frame_mask, gen_state.step
         )
         updates, opt_state = g_opt.update(grads, gen_state.opt_state, gen_state.params)
         params = optax.apply_updates(gen_state.params, updates)
@@ -491,7 +518,8 @@ def make_resident_gan_chunk(
 
     def one_pair(gen_state: TrainState, disc_state: TrainState, ema, batch):
         d_loss, d_grads = jax.value_and_grad(d_loss_fn)(
-            disc_state.params, gen_state.params, batch["mel"], batch["audio"]
+            disc_state.params, gen_state.params, batch["mel"], batch["audio"],
+            disc_state.step,
         )
         d_updates, d_opt_state = d_opt.update(
             d_grads, disc_state.opt_state, disc_state.params
@@ -503,7 +531,7 @@ def make_resident_gan_chunk(
         )
         (g_loss, g_metrics), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             gen_state.params, disc_state.params, batch["mel"], batch["audio"],
-            batch["frame_mask"],
+            batch["frame_mask"], gen_state.step,
         )
         g_updates, g_opt_state = g_opt.update(
             g_grads, gen_state.opt_state, gen_state.params

@@ -239,8 +239,8 @@ def test_resident_gan_chunk_runs():
     params = tts.init(jax.random.PRNGKey(0), cfg)
     gen_params = {"vocoder": params["vocoder"]}
     disc_params = {
-        "mpd": vocoder.mpd_init(jax.random.PRNGKey(1)),
-        "msd": vocoder.msd_init(jax.random.PRNGKey(2)),
+        "mpd": vocoder.mpd_init(jax.random.PRNGKey(1), width=0.25),
+        "msd": vocoder.msd_init(jax.random.PRNGKey(2), width=0.25),
     }
     g_opt = optax.adam(1e-4)
     d_opt = optax.adam(1e-4)

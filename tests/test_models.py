@@ -200,11 +200,11 @@ def test_vocoder_locality(cfg, params):
 @pytest.mark.slow
 def test_discriminators_run(cfg, params):
     wav = jnp.asarray(np.random.default_rng(0).standard_normal((2, 4096)), jnp.float32)
-    mpd = vocoder.mpd_init(jax.random.PRNGKey(3))
+    mpd = vocoder.mpd_init(jax.random.PRNGKey(3), width=0.25)
     for logits, feats in vocoder.mpd_apply(mpd, wav):
         assert np.isfinite(np.asarray(logits)).all()
-        assert len(feats) == 5
-    msd = vocoder.msd_init(jax.random.PRNGKey(4))
+        assert len(feats) == 6  # 5 conv levels + post (paper topology)
+    msd = vocoder.msd_init(jax.random.PRNGKey(4), width=0.25)
     for logits, feats in vocoder.msd_apply(msd, wav):
         assert np.isfinite(np.asarray(logits)).all()
 

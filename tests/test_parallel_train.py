@@ -167,8 +167,8 @@ def test_gan_steps_run(cfg, params):
     d_opt = tstep.make_optimizer(lr=2e-4, warmup=1)
     d_step, g_step = tstep.make_gan_steps(cfg, g_opt, d_opt)
     disc_params = {
-        "mpd": vocoder.mpd_init(jax.random.PRNGKey(1)),
-        "msd": vocoder.msd_init(jax.random.PRNGKey(2)),
+        "mpd": vocoder.mpd_init(jax.random.PRNGKey(1), width=0.25),
+        "msd": vocoder.msd_init(jax.random.PRNGKey(2), width=0.25),
     }
     gen_state = tstep.init_state(params, g_opt)
     disc_state = tstep.init_state(disc_params, d_opt)
@@ -191,8 +191,8 @@ def test_sharded_gan_steps_match_single_device(cfg, params):
     audio = jnp.asarray(0.1 * rng.standard_normal((4, 16 * 256)), jnp.float32)
     fmask = jnp.ones((4, 16), jnp.float32)
     disc_params = {
-        "mpd": vocoder.mpd_init(jax.random.PRNGKey(1)),
-        "msd": vocoder.msd_init(jax.random.PRNGKey(2)),
+        "mpd": vocoder.mpd_init(jax.random.PRNGKey(1), width=0.25),
+        "msd": vocoder.msd_init(jax.random.PRNGKey(2), width=0.25),
     }
 
     def run_single():
@@ -337,7 +337,7 @@ def test_train_loop_gan_phase_uses_mesh(tmp_path):
     cfg.model = ModelConfig(
         d_model=64, n_heads=2, d_ff=128, encoder_layers=1, decoder_layers=1,
         speaker_dim=32, upsample_initial_channel=32, vocos_dim=128, vocos_ff=256,
-        vocos_layers=2, compute_dtype="float32",
+        vocos_layers=2, compute_dtype="float32", disc_width=0.25,
     )
     with mock.patch.object(
         tstep, "make_sharded_gan_steps", wraps=tstep.make_sharded_gan_steps
