@@ -2,18 +2,23 @@
 
 Why: the rule-based LTS path (g2p.py) is the pronunciation ceiling for
 out-of-lexicon words (43.7% exact on the held-out split — tools/g2p_eval.py). This
-model learns the lexicon's regularities instead: a 2-layer transformer encoder over
-characters + a 2-layer autoregressive decoder over stressless-ARPAbet phonemes,
-trained on the vendored lexicon (tools/train_g2p.py) with the *same* deterministic
-held-out split the eval harness uses, so the numbers are honest.
+model learns the lexicon's regularities instead: a 3-layer transformer encoder over
+characters + a 3-layer autoregressive decoder over ARPAbet phonemes (optionally
+stress-marked), trained on the vendored lexicon (tools/train_g2p.py) with the
+*same* deterministic held-out split the eval harness uses, so the numbers are
+honest.
 
-Measured (tools/g2p_eval.py, vendored f16 weights, serving numpy path): held-out
-53.1% exact / 0.163 PER (f16 serving path; 53.8%/0.160 pre-quantization) vs the LTS rules' 43.7% / 0.180 — the neural path wins on
-both and is used for lexicon misses; hyperparameters were dev-selected on this
+Measured (tools/g2p_eval.py, vendored f16 weights, serving numpy path, beam 4):
+held-out **58.1% exact / 0.130 PER** stressless (56.3% / 0.150 with stress marks,
+stress accuracy 96.9% given correct phonemes) vs the LTS rules' 43.7% / 0.180 —
+the neural path wins on both and is used for lexicon misses. (The round-3
+beam-scoring fix — count the EOS term in the length normalization — alone lifted
+the SAME weights from 53.1% to 58.1%.) Hyperparameters were dev-selected on this
 same split (no third split at 2.5k-word scale). Training data = the non-held-out
-lexicon plus ~14k regular morphological derivations of it (tools/train_g2p.py
-`morph_derive`: -s/-ed/-ing/-ly/-ness/-er/un- with standard voicing assimilation
-and orthography), which taught the model inflectional morphology it could not get
+lexicon plus tens of thousands of regular morphological derivations
+(tools/train_g2p.py `morph_derive`: inflections, junction-guarded prefixes, and
+invariant suffixes with standard voicing assimilation and orthography; optional
+sampled two-word compounds), which taught the model morphology it could not get
 from 2.3k base forms.
 
 Everything is the repo's plain functional JAX style (params = pytrees, static
