@@ -167,6 +167,9 @@ class Mp3Encoder:
             )
 
     def encode(self, pcm: np.ndarray) -> bytes:
+        if self._gfp is None:
+            # Calling into lame with a NULL handle would SIGSEGV the process.
+            raise RuntimeError("mp3: encoder already flushed")
         pcm = _as_int16(pcm)
         n = len(pcm)
         if n == 0:
@@ -318,9 +321,15 @@ class OpusEncoder:
         return out.raw[:n]
 
     def encode(self, pcm: np.ndarray) -> bytes:
+        if self._enc is None:
+            raise RuntimeError("opus: encoder already flushed")
         pcm = _as_int16(pcm)
         self._in_samples += len(pcm)
-        self._buf = np.concatenate([self._buf, pcm]) if len(self._buf) else pcm
+        # COPY when adopting the caller's array: a reused/refilled input buffer
+        # must not mutate samples still queued for the next frame boundary.
+        self._buf = (
+            np.concatenate([self._buf, pcm]) if len(self._buf) else pcm.copy()
+        )
         chunks = []
         if self._header is None:
             self._header = self._headers()

@@ -51,14 +51,17 @@ def estimate_f0(
     peak = seg[rows, best]
     voiced = (peak >= threshold) & (energy >= 1e-8)
 
-    # Parabolic interpolation around interior peaks for sub-sample lag.
+    # Parabolic interpolation around interior peaks for sub-sample lag
+    # (skipped entirely when the lag-search window is too narrow to have an
+    # interior point — seg[., bi+1] would index out of bounds).
     lag = (lag_min + best).astype(np.float64)
-    interior = (best > 0) & (best < seg.shape[1] - 1)
-    bi = np.where(interior, best, 1)  # safe index; masked below
-    a, b, c = seg[rows, bi - 1], seg[rows, bi], seg[rows, bi + 1]
-    denom = a - 2 * b + c
-    ok = interior & (np.abs(denom) > 1e-12)
-    lag = np.where(ok, lag + 0.5 * (a - c) / np.where(ok, denom, 1.0), lag)
+    if seg.shape[1] >= 3:
+        interior = (best > 0) & (best < seg.shape[1] - 1)
+        bi = np.where(interior, best, 1)  # safe index; masked below
+        a, b, c = seg[rows, bi - 1], seg[rows, bi], seg[rows, bi + 1]
+        denom = a - 2 * b + c
+        ok = interior & (np.abs(denom) > 1e-12)
+        lag = np.where(ok, lag + 0.5 * (a - c) / np.where(ok, denom, 1.0), lag)
 
     f0 = np.where(voiced, sr / lag, 0.0)
     return f0.astype(np.float32)

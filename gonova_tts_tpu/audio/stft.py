@@ -77,6 +77,13 @@ def frame_signal(x: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
     training losses' multi-resolution STFT.
     """
     pad = (n_fft - hop_length) // 2
+    if x.shape[-1] <= pad:
+        # Reflect padding needs T > pad. Clips shorter than that (possible for
+        # the multi-resolution training losses' larger n_fft on tail chunks)
+        # zero-extend first — the analysis of a near-empty clip is near-silence
+        # either way, and crashing beats nothing but this.
+        deficit = pad + 1 - x.shape[-1]
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, deficit)])
     x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
     total = x.shape[-1]
     n_frames = 1 + (total - n_fft) // hop_length

@@ -77,6 +77,15 @@ def configure(level: str = "INFO", stream: Any = None, logfile: Optional[str] = 
 
 
 def get_logger(name: str) -> BoundLogger:
+    global _configured
     if not _configured:
-        configure()
+        # Library-safe implicit setup: only claim the root logger if the HOST
+        # application hasn't configured it — stripping someone else's handlers
+        # from inside a get_logger call would silently kill their log files /
+        # pytest captures. Explicit configure() (the service entrypoint) still
+        # replaces handlers, which is what a process that owns logging wants.
+        if logging.getLogger().handlers:
+            _configured = True
+        else:
+            configure()
     return BoundLogger(logging.getLogger(name))

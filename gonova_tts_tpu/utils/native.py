@@ -117,8 +117,13 @@ def audio_stats(audio: np.ndarray) -> Tuple[float, float]:
 
 
 def declick(audio: np.ndarray, n_fade: int = 64) -> np.ndarray:
-    """Half-Hann fade-in/out in place (returns the same array)."""
-    audio = np.ascontiguousarray(audio, np.float32)
+    """Half-Hann fade-in/out. Mutates in place WHEN the input is a writable
+    contiguous float32 array (and returns it); otherwise operates on a copy and
+    returns that — callers must use the return value. The writability check
+    matters: np.frombuffer(bytes) arrays are read-only views of the underlying
+    bytes object, and writing through the native pointer would silently corrupt
+    every other reference to those bytes."""
+    audio = np.require(audio, np.float32, ["C", "W"])
     lib = _lib()
     if lib is None:
         n_fade = min(n_fade, len(audio) // 2)

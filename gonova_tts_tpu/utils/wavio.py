@@ -151,6 +151,13 @@ def write_wav(
         payload = (clipped * 32767.0).round().astype("<i2").tobytes()
     else:
         raise WavError(f"unsupported target dtype: {dtype}")
+    if len(payload) + 36 > 0xFFFFFFFF or channels > 0xFFFF or sample_rate > 0xFFFFFFFF:
+        # RIFF size fields are 32/16-bit; overflowing them used to escape as a
+        # bare struct.error AFTER materializing the multi-GiB payload.
+        raise WavError(
+            f"WAV limits exceeded (payload {len(payload)} bytes, {channels} ch, "
+            f"{sample_rate} Hz): RIFF caps at 4 GiB / 65535 channels"
+        )
 
     block_align = channels * bits // 8
     byte_rate = sample_rate * block_align

@@ -216,3 +216,24 @@ def test_resample_length_contract_all_ratios():
     for orig, new, n in [(8000, 24000, 1000), (22050, 48000, 1234), (16000, 24000, 511)]:
         y = resample_np(rng.standard_normal(n).astype(np.float32), orig, new)
         assert len(y) == -(-n * new // orig), (orig, new, len(y))
+
+
+def test_f0_tiny_lag_window_no_crash():
+    """Regression: a lag-search window of width <= 2 crashed the vectorized
+    parabolic interpolation with an IndexError."""
+    from gonova_tts_tpu.audio.pitch import estimate_f0
+
+    x = np.sin(2 * np.pi * 470 * np.arange(8000) / 8000).astype(np.float32)
+    f0 = estimate_f0(x, sr=8000, fmin=450, fmax=500)
+    assert np.isfinite(f0).all()
+
+
+def test_mel_short_clip_no_reflect_crash():
+    """Regression: clips shorter than the reflect pad crashed jnp.pad instead of
+    returning the (near-empty) analysis."""
+    import jax.numpy as jnp
+
+    from gonova_tts_tpu.audio import mel_spectrogram
+
+    m = np.asarray(mel_spectrogram(jnp.zeros((1, 100), jnp.float32)))
+    assert np.isfinite(m).all()

@@ -238,3 +238,30 @@ def test_opus_empty_stream_valid():
     assert len(packets) == 3 and len(packets[2]) > 0
     preskip48 = struct.unpack("<H", packets[0][10:12])[0]
     assert granules[-1] == preskip48  # true end = 0 samples
+
+
+def test_encode_after_flush_raises_not_segfaults():
+    """Regression: encode() after flush() passed a NULL codec handle into the C
+    library — SIGSEGV instead of a catchable error."""
+    for fmt in ("mp3", "opus"):
+        if fmt not in enc.available_formats():
+            continue
+        e = enc.make_encoder(fmt, 24000)
+        e.encode(tone(24000, 0.1))
+        e.flush()
+        with pytest.raises(RuntimeError):
+            e.encode(tone(24000, 0.1))
+
+
+@opus_available
+def test_opus_encode_does_not_alias_caller_buffer():
+    """Regression: a contiguous int16 input was adopted by reference; a caller
+    refilling its chunk buffer corrupted samples queued for the next frame."""
+    e = enc.make_encoder("opus", 24000)
+    buf = (np.sin(np.arange(100) / 10.0) * 1000).astype(np.int16)  # < frame: queued
+    e.encode(buf)
+    assert not np.shares_memory(e._buf, buf)
+    queued = e._buf.copy()
+    buf[:] = 0  # caller reuses its buffer
+    np.testing.assert_array_equal(e._buf, queued)
+    e.flush()

@@ -132,3 +132,15 @@ def test_malformed_wavs_raise_waverror_not_raw_exceptions():
     )
     audio, sr = read_wav(odd)
     assert sr == 24000 and len(audio) == 1
+
+
+def test_write_wav_rejects_riff_overflow_cleanly():
+    """Regression: size-field overflow escaped as a bare struct.error (and only
+    after materializing the payload); it must be a WavError with limits named."""
+    import numpy as np
+    import pytest
+
+    from gonova_tts_tpu.utils.wavio import WavError, write_wav
+
+    with pytest.raises(WavError, match="65535 channels|WAV limits"):
+        write_wav(None, np.zeros((4, 70000), np.float32), 24000)

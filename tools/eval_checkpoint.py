@@ -156,11 +156,19 @@ def main() -> None:
                 t = min(len(m_gt), len(m_out))
                 ta = min(len(m_gt), len(m_ac))
                 d = m_out[:t] - m_gt[:t]
+                from gonova_tts_tpu.audio.mel import mcd as cepstral_mcd
+
                 row = {
                     "mel_l1": float(np.abs(d).mean()),
                     "mel_mse": float((d**2).mean()),
-                    # MCD over log-mel (dB-scaled L2 per frame, standard 10/ln10·√2)
-                    "mcd_db": float(
+                    # TRUE cepstral MCD (DCT-II, drop c0, 13 coeffs — audio/mel.mcd;
+                    # the literature-comparable number).
+                    "mcd_db": float(cepstral_mcd(m_out[:t], m_gt[:t])),
+                    # The pre-round-3b metric: dB-scaled L2 over ALL 80 log-mel bins
+                    # incl. the energy component — inflated ~sqrt(80/12)x vs
+                    # cepstral MCD. Kept under an honest name so older TRAIN_EVAL
+                    # tables (recorded at this scale) remain comparable.
+                    "logmel_dist_db": float(
                         (10.0 / np.log(10.0))
                         * np.sqrt(2.0 * (d**2).sum(-1)).mean()
                     ),
@@ -181,6 +189,10 @@ def main() -> None:
                     ids = text_to_ids(text)
                     true_d = np.asarray(utterance_durations(ids, text), np.float64)
                     pred_d = predicted_durations(text, ref_embs[spk.name]).astype(np.float64)
+                    # Bucket truncation backstop: grade the overlapping prefix
+                    # (a >largest-bucket sentence used to crash the whole eval).
+                    n_cmp = min(len(true_d), len(pred_d))
+                    true_d, pred_d, ids = true_d[:n_cmp], pred_d[:n_cmp], list(ids)[:n_cmp]
                     row["dur_mae_frames"] = float(np.abs(pred_d - true_d).mean())
                     if true_d.std() > 0 and pred_d.std() > 0:
                         row["dur_corr"] = float(np.corrcoef(pred_d, true_d)[0, 1])

@@ -81,13 +81,21 @@ async def run(args) -> dict:
                 if data.get("type") == "synthesis_complete":
                     final = data
                     break
+                if data.get("type") == "error":
+                    # Surface the server's error instead of masking it behind a
+                    # zero-chunk np.concatenate crash below.
+                    raise AssertionError(f"server error frame: {data.get('message')}")
             else:
                 raise AssertionError(f"unexpected WS message: {msg.type}")
         total = time.perf_counter() - t0
         await ws.close()
 
+        if not chunks:
+            raise AssertionError(
+                f"no audio chunks received (final frame: {final})"
+            )
         audio = np.concatenate(chunks)
-        secs = len(audio) / 24000.0
+        secs = len(audio) / args.sr
         report.update(
             {
                 "sentences": args.sentences,
@@ -105,7 +113,7 @@ async def run(args) -> dict:
         if args.out:
             from gonova_tts_tpu.utils import write_wav
 
-            write_wav(args.out, audio, 24000)
+            write_wav(args.out, audio, args.sr)
             report["wav"] = args.out
     finally:
         await client.close()
@@ -119,6 +127,8 @@ def main() -> None:
     ap.add_argument("--sentences", type=int, default=3)
     ap.add_argument("--voices-dir", default="/tmp/ws_smoke_voices")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--sr", type=int, default=24000,
+                    help="served model sample rate (audio_s/realtime_x math + output WAV)")
     args = ap.parse_args()
     print(json.dumps(asyncio.run(run(args))))
 
