@@ -372,6 +372,11 @@ class TTSService:
                     audio = await fut
                     if self._is_stale(request):
                         break
+                    if conn not in self.queue_manager.output_queues:
+                        # Client disconnected mid-request: teardown popped the
+                        # cancel generation, so _is_stale can never trip — stop
+                        # burning device batch slots synthesizing for nobody.
+                        break
                     payload = encoder.encode(audio.astype(np.float32))
                     if not payload:
                         # A codec may buffer a short chunk entirely; no frame to
@@ -449,6 +454,15 @@ class TTSService:
                                 connection_id=conn_id,
                                 error=str(e),
                             )
+                            try:
+                                # Best-effort reply: a client whose request died
+                                # here (malformed JSON, handler error) must not
+                                # hang awaiting a response that will never come.
+                                await ws.send_json(
+                                    {"type": "error", "message": f"Bad request: {e}"}
+                                )
+                            except Exception:  # noqa: BLE001 — socket already gone
+                                pass
                     elif msg.type in (WSMsgType.CLOSE, WSMsgType.ERROR, WSMsgType.CLOSING):
                         break
             except asyncio.CancelledError:
@@ -502,13 +516,19 @@ class TTSService:
         recv_task = asyncio.create_task(receive_requests())
         send_task = asyncio.create_task(send_audio())
         try:
-            done, pending = await asyncio.wait(
+            await asyncio.wait(
                 [recv_task, send_task], return_when=asyncio.FIRST_COMPLETED
             )
-            for t in pending:
-                t.cancel()
-            await asyncio.gather(*pending, return_exceptions=True)
         finally:
+            # Cancellation of the pending task lives in the FINALLY: if this
+            # handler itself is cancelled (server shutdown with live sockets,
+            # aiohttp handler_cancellation), skipping it would leak both tasks
+            # past the state teardown below — send_audio would then KeyError on
+            # the popped connection entry and die as an unretrieved exception.
+            for t in (recv_task, send_task):
+                if not t.done():
+                    t.cancel()
+            await asyncio.gather(recv_task, send_task, return_exceptions=True)
             self.queue_manager.unregister_connection(conn_id)
             self.connections.pop(conn_id, None)
             self._cancel_generations.pop(conn_id, None)
@@ -598,6 +618,16 @@ class TTSService:
                     await ws.send_json(
                         {"type": "error", "message": f"Voice registration failed: {e}"}
                     )
+            else:
+                # Never leave the client awaiting voice_registered: missing or
+                # empty fields must answer like every other invalid input here.
+                await ws.send_json(
+                    {
+                        "type": "error",
+                        "message": "Voice registration failed: voice_id and "
+                        "reference_audio are required",
+                    }
+                )
         elif mtype == "list_voices":
             await ws.send_json(
                 {"type": "voice_list", "voices": self.voice_manager.list_voices()}
@@ -712,6 +742,10 @@ async def rest_synthesize(request: web.Request) -> web.Response:
     text = data.get("text", "")
     if not text.strip():
         return web.json_response({"error": "Missing 'text'"}, status=400)
+    if svc.is_draining or svc.is_shutting_down:
+        # Same rejection contract as the WS path: work admitted mid-drain is
+        # invisible to the queue accounting and gets killed by batcher.stop().
+        return web.json_response({"error": "Server shutting down"}, status=503)
     client_ip = request.remote or "unknown"
     if not svc.rate_limiter.check(client_ip):
         return web.json_response({"error": "Rate limit exceeded"}, status=429)
@@ -770,15 +804,18 @@ def create_app(config: Optional[Config] = None) -> web.Application:
     app.router.add_post("/v1/synthesize", rest_synthesize)
 
     async def on_startup(app: web.Application) -> None:
-        await service.start()
+        # app["service"], NOT the module global: a second create_app() call
+        # rebinds the global, and resolving it at fire time would start/stop the
+        # WRONG service (the exact cross-wiring the handlers already avoid).
+        await app["service"].start()
 
     async def on_shutdown(app: web.Application) -> None:
         # aiohttp's run_app handles SIGTERM/SIGINT itself and fires on_shutdown
         # before closing connections — installing our own signal handler here would
         # shadow aiohttp's and leave the process alive after the service drained
         # (found driving the real server on TPU).
-        if not service.is_shutting_down:
-            await service.shutdown()
+        if not app["service"].is_shutting_down:
+            await app["service"].shutdown()
 
     app.on_startup.append(on_startup)
     app.on_shutdown.append(on_shutdown)

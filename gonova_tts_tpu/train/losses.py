@@ -101,11 +101,15 @@ def lsgan_generator_loss(fake_outs: List) -> jnp.ndarray:
 
 
 def feature_matching_loss(real_outs: List, fake_outs: List) -> jnp.ndarray:
-    """HiFi-GAN eq(3): L1 between real/fake intermediate discriminator features."""
+    """HiFi-GAN eq(3): L1 between real/fake intermediate discriminator features.
+
+    SUM over (sub-discriminator × layer) terms, exactly as the paper/official
+    repo define it — λ_fm=2 in the generator objective is calibrated against
+    that sum. Normalizing by the ~30-term count here (the pre-round-3b bug)
+    silently ran the generator with a ~25–30× weaker feature-matching term than
+    the recipe both docstrings cite."""
     loss = 0.0
-    n = 0
     for (_, real_feats), (_, fake_feats) in zip(real_outs, fake_outs):
         for rf, ff in zip(real_feats, fake_feats):
             loss = loss + jnp.mean(jnp.abs(rf - ff))
-            n += 1
-    return loss / max(n, 1)
+    return loss

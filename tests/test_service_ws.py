@@ -482,3 +482,57 @@ def test_metadata_optin_synthesis_started(client_ctx):
         return True
 
     assert loop.run_until_complete(run())
+
+
+def test_register_voice_missing_fields_answers(client_ctx):
+    """Regression: register_voice without reference_audio sent NO response,
+    stranding the client awaiting voice_registered."""
+    loop, client, srv = client_ctx
+
+    async def run():
+        ws = await client.ws_connect("/v1/stream/tts")
+        await ws.send_json({"type": "register_voice", "voice_id": "nobody"})
+        msg = json.loads((await asyncio.wait_for(ws.receive(), 30)).data)
+        assert msg["type"] == "error" and "required" in msg["message"]
+        await ws.close()
+        return True
+
+    assert loop.run_until_complete(run())
+
+
+def test_malformed_json_gets_error_frame(client_ctx):
+    """Regression: invalid JSON was swallowed with only a server log; the client
+    hung awaiting a response."""
+    loop, client, srv = client_ctx
+
+    async def run():
+        ws = await client.ws_connect("/v1/stream/tts")
+        await ws.send_str("{not json")
+        msg = json.loads((await asyncio.wait_for(ws.receive(), 30)).data)
+        assert msg["type"] == "error"
+        # The connection stays usable afterwards.
+        await ws.send_json({"type": "list_voices"})
+        msg2 = json.loads((await asyncio.wait_for(ws.receive(), 30)).data)
+        assert msg2["type"] == "voice_list"
+        await ws.close()
+        return True
+
+    assert loop.run_until_complete(run())
+
+
+def test_rest_rejected_during_drain(client_ctx):
+    """Regression: REST synthesize admitted work mid-drain that the queue
+    accounting could not see and batcher.stop() then killed with a 500."""
+    loop, client, srv = client_ctx
+
+    async def run():
+        svc = client.app["service"]
+        svc.is_draining = True
+        try:
+            resp = await client.post("/v1/synthesize", json={"text": "Nope."})
+            assert resp.status == 503
+        finally:
+            svc.is_draining = False
+        return True
+
+    assert loop.run_until_complete(run())
