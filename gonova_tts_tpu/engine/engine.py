@@ -219,7 +219,7 @@ class TTSEngine:
                 # with the 'data' sharding (synthesize_batch); jit specializes on
                 # (shape, sharding), so warmup must match or every first real
                 # request per shape pays a mid-request compile anyway.
-                batch = max(batch, self._dp.round_batch(batch))
+                batch = self._dp.round_batch(batch)  # >= batch by construction
             tokens = jnp.zeros((batch, bucket), jnp.int32)
             mask = jnp.ones((batch, bucket), jnp.float32)
             spk = jnp.zeros((batch, self.mcfg.speaker_dim), jnp.float32)
@@ -373,7 +373,7 @@ class TTSEngine:
             batch_bucket = b
 
         if self._dp is not None:
-            batch_bucket = max(batch_bucket, self._dp.round_batch(batch_bucket))
+            batch_bucket = self._dp.round_batch(batch_bucket)  # >= input by construction
         tokens = np.zeros((batch_bucket, bucket), np.int32)
         tokens[:b] = tokens_np
         mask = (np.arange(bucket)[None, :] < np.concatenate([lengths, np.zeros(batch_bucket - b, np.int32)])[:, None]).astype(np.float32)

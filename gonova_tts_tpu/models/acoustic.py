@@ -109,15 +109,23 @@ def _stack(
     cfg: ModelConfig,
     dtype,
     window=None,
+    as_if_len=None,
 ) -> jnp.ndarray:
     """Transformer stack dispatch: fused whole-stack Pallas kernel when
     cfg.acoustic_pallas (inference-only — no VJP), else the pure-XLA path.
     Long-form frame buckets (T > 768) keep XLA: the kernel's per-sequence f32
-    FFN tap accumulator would exceed the 16 MB VMEM budget there."""
+    FFN tap accumulator would exceed the 16 MB VMEM budget there.
+
+    `as_if_len` (the one-graph worst-case frame count, same idea as
+    local_attention_from): the kernel-vs-XLA choice must be SHAPE-INDEPENDENT —
+    the kernel's bf16 staging differs from XLA's f32 path by far more than the
+    1-int16-LSB bound the two-stage dispatch is pinned to, so a request must
+    take the same numeric path at every dispatch shape."""
     if (
         cfg.acoustic_pallas
         and dtype in (jnp.float32, jnp.bfloat16)
         and x.shape[1] <= 768
+        and (as_if_len or x.shape[1]) <= 768
         and cfg.conv_kernel == 3  # the fused kernel hardcodes 3 conv-FFN taps
     ):
         from ..ops.transformer_stack_kernel import (
@@ -277,6 +285,7 @@ def decode(
     dec = _stack(
         params["decoder"], dec_in, reg["frame_mask"], cfg, dtype,
         window=cfg.decoder_attention_window if use_local else None,
+        as_if_len=local_attention_from or max_frames,
     )
     mel = layers.dense(params["mel_out"], dec, dtype)  # [B, T, n_mels]
     mel = mel * reg["frame_mask"][..., None]

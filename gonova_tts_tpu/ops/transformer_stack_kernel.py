@@ -363,12 +363,21 @@ def _transformer_stack_pallas(
         # The FFN runs per sequence, so the binding VMEM terms are the act/kv/attn
         # scratch and the per-seq f32 [T, F] tap accumulator; short sequences
         # (encoder) can afford more rows per grid step than long ones (decoder).
-        want = 8 if t <= 128 else 2
+        # Above T=512 even rows=2 oversubscribes the ~16 MB budget at the default
+        # widths (act+kv+attn ~6 MB/row at T=768 plus ~8.4 MB of weight slots),
+        # so long buckets drop to one row per step.
+        want = 8 if t <= 128 else (2 if t <= 512 else 1)
         rows_per_step = 1
         for cand in (want, want // 2, 2):
             if cand >= 1 and b % cand == 0:
                 rows_per_step = cand
                 break
+    elif b % rows_per_step != 0:
+        # A non-divisor would silently TRUNCATE the grid: rows beyond
+        # (b // rows_per_step) * rows_per_step would be returned uninitialized.
+        raise ValueError(
+            f"rows_per_step={rows_per_step} must divide batch {b} (or pass 0 = auto)"
+        )
     rows = rows_per_step
     local = window is not None and 2 * window < t
     if local and t % window != 0:

@@ -254,16 +254,29 @@ def generate_corpus(
     speaker held out — the generalization split the training eval reports."""
     cfg = cfg or ModelConfig()
     os.makedirs(out_dir, exist_ok=True)
+    for text in sentences:
+        if "|" in text:
+            # '|' is the manifest field separator; writing it through would
+            # silently mis-split the train/holdout partition and then fail
+            # load_manifest with a confusing unrecognized-field error.
+            raise ValueError(f"sentence text must not contain '|': {text!r}")
     lines = []
     heldout_texts = set(sentences[-holdout:]) if holdout > 0 else set()
+    # Reference-clip sentences must come from the TRAIN side: the ref WAV
+    # conditions every training example, so embedding a held-out sentence's
+    # audio in it would contaminate the generalization eval.
+    train_idx = [i for i, t in enumerate(sentences) if t not in heldout_texts]
+    if len(train_idx) < 1:
+        raise ValueError("holdout leaves no training sentences for the ref clip")
+    ref_idx = (train_idx[0], train_idx[len(train_idx) // 2])
     for spk in speakers:
         # Reference clip (two concatenated sentences, >3 s): the per-speaker
         # conditioning audio for BOTH training (`ref=` manifest column) and cloning
         # eval — the model must key on this fixed embedding, exactly as serving does.
         ref = np.concatenate(
             [
-                synthesize_utterance(sentences[j % len(sentences)], spk, cfg, variable)[0]
-                for j in (0, 4)
+                synthesize_utterance(sentences[j], spk, cfg, variable)[0]
+                for j in ref_idx
             ]
         )
         ref_path = os.path.join(out_dir, f"ref_{spk.name}.wav")

@@ -417,3 +417,15 @@ def test_f0_low_pitch_is_voiced():
     v = f0[f0 > 0]
     assert len(v) > 0.8 * len(f0)
     assert abs(np.median(v) - 60.0) < 3.0
+
+
+def test_generate_corpus_guards():
+    """Holdout-leak + separator guards: the ref clip must never embed held-out
+    audio (it conditions every training example), and '|' in sentence text would
+    silently mis-split the manifest."""
+    from gonova_tts_tpu.train.synth_corpus import DEFAULT_SENTENCES, generate_corpus
+
+    with pytest.raises(ValueError, match="no training sentences"):
+        generate_corpus("/tmp/never_written", holdout=len(DEFAULT_SENTENCES))
+    with pytest.raises(ValueError, match="must not contain"):
+        generate_corpus("/tmp/never_written", sentences=("a | b",), holdout=0)
