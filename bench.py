@@ -36,17 +36,92 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 BASELINE_AUDIO_SEC_PER_SEC = 60.0  # reference RTX 4090 aggregate (README.md:891-894)
 K_INNER = 32  # pipeline passes per timed device call
 
 
+def _probe_backend(budget_s: float) -> str | None:
+    """Initialize the ambient jax backend in a SUBPROCESS with bounded
+    retry-with-backoff; return the platform name, or None if it never comes up.
+
+    A dead TPU tunnel makes in-process backend init hang or raise UNAVAILABLE
+    (round-3 driver artifact BENCH_r03.json was rc=1 with a 40-line traceback
+    for exactly this). Probing in a subprocess bounds both failure modes so the
+    caller can emit a parseable one-line diagnostic instead."""
+    import subprocess
+
+    deadline = time.monotonic() + budget_s
+    delay = 5.0
+    attempts = 0
+    while attempts < 5:
+        attempts += 1
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return None
+        # The env var alone is NOT honored when a platform plugin pre-registers
+        # itself (this environment's axon hook): replay it via jax.config so
+        # JAX_PLATFORMS=cpu really probes the CPU backend.
+        code = (
+            "import os, jax; p = os.environ.get('JAX_PLATFORMS'); "
+            "p and jax.config.update('jax_platforms', p); "
+            "print(jax.default_backend())"
+        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True,
+                text=True,
+                timeout=min(120.0, max(5.0, remaining)),
+            )
+            if proc.returncode == 0:
+                return proc.stdout.strip().splitlines()[-1]
+        except Exception:
+            pass
+        if time.monotonic() + delay >= deadline:
+            return None
+        time.sleep(delay)
+        delay = min(delay * 2.0, 60.0)
+    return None
+
+
+def _fail_unavailable(detail: str) -> None:
+    """Emit the parseable diagnostic the driver contract expects and exit fast."""
+    print(
+        json.dumps(
+            {
+                "error": "tpu_backend_unavailable",
+                "metric": "audio_sec_per_sec_per_chip",
+                "detail": detail,
+            }
+        )
+    )
+    sys.exit(1)
+
+
 def main() -> None:
+    budget = float(os.environ.get("BENCH_PROBE_BUDGET_S", "480"))
+    platform = _probe_backend(budget)
+    if platform is None:
+        _fail_unavailable(
+            f"jax backend failed to initialize within {budget:.0f}s probe budget "
+            f"(JAX_PLATFORMS={os.environ.get('JAX_PLATFORMS', '')!r})"
+        )
+
+    import jax
+
+    # Same env replay as the probe (see _probe_backend): without it the in-process
+    # backend would ignore JAX_PLATFORMS and re-attempt the plugin the probe
+    # deliberately bypassed.
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+    import jax.numpy as jnp
+    import numpy as np
     # Persistent compilation cache: first-ever compile through the tunnel costs
     # minutes; subsequent bench runs reuse the binary.
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")

@@ -209,16 +209,22 @@ class Mp3Encoder:
 
 # Ogg page CRC: 32-bit, poly 0x04c11db7, init 0, not reflected, no final xor
 # (RFC 3533 §6). Table built once.
-_OGG_CRC_TABLE = []
+def _build_ogg_crc_table() -> list:
+    table = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = ((r << 1) ^ 0x04C11DB7) if (r & 0x80000000) else (r << 1)
+        table.append(r & 0xFFFFFFFF)
+    return table
+
+
+# Built eagerly at import: a lazy `if not table: append` is racy under concurrent
+# first encodes (two threads interleaving appends would corrupt every CRC after).
+_OGG_CRC_TABLE = _build_ogg_crc_table()
 
 
 def _ogg_crc(data: bytes) -> int:
-    if not _OGG_CRC_TABLE:
-        for i in range(256):
-            r = i << 24
-            for _ in range(8):
-                r = ((r << 1) ^ 0x04C11DB7) if (r & 0x80000000) else (r << 1)
-            _OGG_CRC_TABLE.append(r & 0xFFFFFFFF)
     crc = 0
     for b in data:
         crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[((crc >> 24) & 0xFF) ^ b]
@@ -453,15 +459,51 @@ def content_type(fmt: str) -> str:
     return _CONTENT_TYPES.get(fmt, "application/octet-stream")
 
 
-def available_formats() -> List[str]:
+def available_formats(
+    sample_rate: Optional[int] = None,
+    mp3_bitrate: int = 192,
+    opus_bitrate: int = 64,
+) -> List[str]:
     """Formats this host can actually produce (pcm/wav always; mp3/opus when the
-    system codec library loads)."""
+    system codec library loads). With `sample_rate` given, also drop formats whose
+    codec rejects that rate/bitrate combo (opus accepts only 8/12/16/24/48 kHz;
+    lame rejects non-MPEG rates) — so admission-time checks agree exactly with
+    synthesis-time encoder construction instead of 500ing after a full synthesis."""
     fmts = ["pcm", "wav"]
-    if _get_lame() is not None:
-        fmts.append("mp3")
-    if _get_opus() is not None:
-        fmts.append("opus")
+    for fmt in ("mp3", "opus"):
+        if sample_rate is None:
+            if (_get_lame() if fmt == "mp3" else _get_opus()) is not None:
+                fmts.append(fmt)
+        elif (
+            probe_format(
+                fmt, sample_rate, mp3_bitrate=mp3_bitrate, opus_bitrate=opus_bitrate
+            )
+            is None
+        ):
+            fmts.append(fmt)
     return fmts
+
+
+def probe_format(
+    fmt: str,
+    sample_rate: int,
+    mp3_bitrate: int = 192,
+    opus_bitrate: int = 64,
+) -> Optional[str]:
+    """Return None when make_encoder(fmt, sample_rate, ...) would succeed, else the
+    failure reason. Constructs (and immediately releases) a real encoder, so the
+    check is exact for any codec-internal rate/bitrate constraint."""
+    try:
+        enc = make_encoder(
+            fmt, sample_rate, mp3_bitrate=mp3_bitrate, opus_bitrate=opus_bitrate
+        )
+    except EncoderUnavailable as exc:
+        return str(exc)
+    try:
+        enc.flush()  # releases native state (lame_close / opus_encoder_destroy)
+    except Exception:
+        pass
+    return None
 
 
 def make_encoder(fmt: str, sample_rate: int, mp3_bitrate: int = 192, opus_bitrate: int = 64):

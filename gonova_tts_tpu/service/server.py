@@ -559,15 +559,22 @@ class TTSService:
             fmt = str(
                 data.get("format", self.config.encoding.default_format)
             ).lower()
-            if fmt not in encode_mod.available_formats():
-                # Validate at admission: a mid-stream encoder failure would cost
-                # the client a full synthesis before learning the format is bad.
+            supported = encode_mod.available_formats(
+                self.config.model.sample_rate,
+                mp3_bitrate=self.config.encoding.mp3_bitrate,
+                opus_bitrate=self.config.encoding.opus_bitrate,
+            )
+            if fmt not in supported:
+                # Validate at admission — sample-rate aware (a codec library may
+                # be present but reject this model's rate, e.g. opus at 22050 Hz):
+                # a mid-stream encoder failure would cost the client a full
+                # synthesis before learning the format is bad.
                 await ws.send_json(
                     {
                         "type": "error",
                         "message": (
                             f"Unsupported format {fmt!r}; supported: "
-                            + ", ".join(encode_mod.available_formats())
+                            + ", ".join(supported)
                         ),
                     }
                 )
@@ -577,6 +584,7 @@ class TTSService:
             accepted = await self.queue_manager.enqueue_request(
                 connection_id=conn_id,
                 text=data.get("text", ""),
+                timeout=self.config.queues.put_timeout_s,
                 voice_id=data.get("voice_id", "default"),
                 chunk_size=data.get("chunk_size", self.config.model.chunk_size),
                 exaggeration=data.get(
@@ -754,11 +762,17 @@ async def rest_synthesize(request: web.Request) -> web.Response:
     # entry points agree on what an unspecified format means.
     fmt = str(data.get("format", svc.config.encoding.default_format)).lower()
     sr = svc.config.model.sample_rate
-    if fmt not in encode_mod.available_formats():
+    supported = encode_mod.available_formats(
+        sr,
+        mp3_bitrate=svc.config.encoding.mp3_bitrate,
+        opus_bitrate=svc.config.encoding.opus_bitrate,
+    )
+    if fmt not in supported:
+        # Sample-rate-aware admission: reject before synthesizing, not after.
         return web.json_response(
             {
                 "error": f"Unsupported format {fmt!r}",
-                "supported": encode_mod.available_formats(),
+                "supported": supported,
             },
             status=400,
         )
@@ -779,11 +793,17 @@ async def rest_synthesize(request: web.Request) -> web.Response:
         buf = io.BytesIO()
         write_wav(buf, audio, sr)
         return web.Response(body=buf.getvalue(), content_type="audio/wav")
-    enc = encode_mod.make_encoder(
-        fmt, sr,
-        mp3_bitrate=svc.config.encoding.mp3_bitrate,
-        opus_bitrate=svc.config.encoding.opus_bitrate,
-    )
+    try:
+        enc = encode_mod.make_encoder(
+            fmt, sr,
+            mp3_bitrate=svc.config.encoding.mp3_bitrate,
+            opus_bitrate=svc.config.encoding.opus_bitrate,
+        )
+    except encode_mod.EncoderUnavailable as exc:
+        # Admission already probed this combo; this is a belt-and-braces guard
+        # (e.g. codec library unloaded between admission and here) — a client
+        # error response, never a 500.
+        return web.json_response({"error": str(exc)}, status=400)
     body = enc.encode(audio) + enc.flush()
     return web.Response(body=body, content_type=encode_mod.content_type(fmt))
 

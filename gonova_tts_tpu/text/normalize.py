@@ -157,10 +157,23 @@ _RE_NUM_ALPHA = re.compile(r"(?<=[0-9])(?!(?:st|nd|rd|th|s)\b)(?=[A-Za-z])")
 _RE_DECIMAL = re.compile(r"\b([0-9]+)\.([0-9]+)\b")
 _RE_PERCENT = re.compile(r"\b([0-9][0-9,]*(?:\.[0-9]+)?)\s*%")
 _RE_YEAR = re.compile(r"\b(1[0-9]{3}|20[0-9]{2})s?\b")
+# Non-year digit→'s' plurals ('90s', '5s'): _RE_NUM_ALPHA exempts the seam so the
+# year rule can own it, but the year rule only covers 4-digit years — without this
+# rule the glued token starts with a digit and the G2P tokenizer silently drops it
+# (that text produced NO audio).
+_RE_NUM_PLURAL = re.compile(r"\b([0-9]+)s\b")
 _RE_COMMA_NUM = re.compile(r"\b[0-9]{1,3}(?:,[0-9]{3})+(?:\.[0-9]+)?\b")
 _RE_INT = re.compile(r"\b[0-9]+\b")
 _RE_ABBREV = re.compile(r"\b([A-Za-z]+)\.(?=\s|$)")
 _RE_WS = re.compile(r"\s+")
+
+
+def _pluralize_words(words: str) -> str:
+    """Pluralize the last word of a verbalized number ('ninety' → 'nineties',
+    'five' → 'fives') so the result stays in lexicon territory."""
+    head, _, last = words.rpartition(" ")
+    last = last[:-1] + "ies" if last.endswith("y") else last + "s"
+    return (head + " " + last) if head else last
 
 
 def _expand_year(m: re.Match) -> str:
@@ -169,11 +182,7 @@ def _expand_year(m: re.Match) -> str:
     word into the unconstrained neural-OOV path)."""
     plural = m.group(0).endswith("s")
     words = year_to_words(int(m.group(0).rstrip("s")))
-    if not plural:
-        return words
-    head, _, last = words.rpartition(" ")
-    last = last[:-1] + "ies" if last.endswith("y") else last + "s"
-    return (head + " " + last) if head else last
+    return _pluralize_words(words) if plural else words
 
 
 def normalize_text(text: str) -> str:
@@ -213,6 +222,9 @@ def normalize_text(text: str) -> str:
     text = _RE_COMMA_NUM.sub(lambda m: _numeric_words(m.group(0)), text)
     text = _RE_DECIMAL.sub(_expand_decimal, text)
     text = _RE_YEAR.sub(_expand_year, text)
+    text = _RE_NUM_PLURAL.sub(
+        lambda m: _pluralize_words(number_to_words(int(m.group(1)))), text
+    )
     text = _RE_INT.sub(lambda m: number_to_words(int(m.group(0))), text)
     text = _RE_WS.sub(" ", text).strip()
     return text

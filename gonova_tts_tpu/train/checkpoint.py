@@ -9,12 +9,31 @@ The reference is inference-only; its weights come from `from_pretrained` downloa
 
 from __future__ import annotations
 
+import json
 import os
-from typing import Any, Optional
+from typing import Any, Dict, Optional
+
+_META_FILE = "tts_meta.json"  # orbax-dir sidecar
+_META_KEY = "__meta__"  # npz-embedded JSON bytes
 
 
-def save_params(path: str, params: Any, step: Optional[int] = None) -> str:
-    """Save a params pytree; returns the checkpoint directory written."""
+def _default_meta() -> Dict[str, Any]:
+    """Frontend-mode facts the serving engine must replay to feed the checkpoint
+    the token inventory it was trained on (ADVICE r3: a stress-trained checkpoint
+    served without TTS_STRESS=1 silently gets ids it never saw)."""
+    from ..text import frontend
+
+    return {"format_version": 1, "stress": frontend.stress_enabled()}
+
+
+def save_params(
+    path: str,
+    params: Any,
+    step: Optional[int] = None,
+    meta: Optional[Dict[str, Any]] = None,
+) -> str:
+    """Save a params pytree; returns the checkpoint directory written. Frontend
+    metadata (stress mode) is recorded alongside — pass `meta` to override."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
@@ -23,6 +42,11 @@ def save_params(path: str, params: Any, step: Optional[int] = None) -> str:
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, params, force=True)
     ckptr.wait_until_finished()
+    try:
+        with open(os.path.join(path, _META_FILE), "w") as fh:
+            json.dump(meta if meta is not None else _default_meta(), fh)
+    except OSError:
+        pass  # metadata is advisory; params are the checkpoint
     return path
 
 
@@ -44,10 +68,13 @@ def restore_params(path: str, template: Optional[Any] = None) -> Any:
     return ckptr.restore(path)
 
 
-def save_params_npz(path: str, params: Any, dtype="float16") -> str:
+def save_params_npz(
+    path: str, params: Any, dtype="float16", meta: Optional[Dict[str, Any]] = None
+) -> str:
     """Compact single-file checkpoint: '/'-joined tree paths → (by default) f16
     arrays, zip-compressed. ~4× smaller than f32 orbax — the repo-committable
-    format for demo checkpoints. Restore upcasts to f32."""
+    format for demo checkpoints. Restore upcasts to f32. Frontend metadata is
+    embedded as JSON bytes under a reserved key (see load_meta)."""
     import numpy as np
     import jax
 
@@ -62,8 +89,32 @@ def save_params_npz(path: str, params: Any, dtype="float16") -> str:
             else:
                 parts.append(str(k))
         flat["/".join(parts)] = np.asarray(leaf).astype(dtype)
+    payload = json.dumps(meta if meta is not None else _default_meta())
+    flat[_META_KEY] = np.frombuffer(payload.encode("utf-8"), dtype=np.uint8)
     np.savez_compressed(path, **flat)
     return path
+
+
+def load_meta(path: str) -> Dict[str, Any]:
+    """Frontend metadata recorded at save time ({} for pre-metadata checkpoints).
+    Accepts the same path forms as restore_params."""
+    import numpy as np
+
+    path = os.path.abspath(path)
+    try:
+        if path.endswith(".npz"):
+            with np.load(path) as z:
+                if _META_KEY not in z.files:
+                    return {}
+                return json.loads(bytes(np.asarray(z[_META_KEY])).decode("utf-8"))
+        latest = latest_step_dir(path)
+        meta_path = os.path.join(latest or path, _META_FILE)
+        if os.path.isfile(meta_path):
+            with open(meta_path) as fh:
+                return json.load(fh)
+    except (OSError, ValueError, json.JSONDecodeError):
+        pass
+    return {}
 
 
 def restore_params_npz(path: str) -> Any:
@@ -72,7 +123,9 @@ def restore_params_npz(path: str) -> Any:
     import numpy as np
 
     with np.load(path) as z:
-        flat = {k: np.asarray(z[k], np.float32) for k in z.files}
+        flat = {
+            k: np.asarray(z[k], np.float32) for k in z.files if k != _META_KEY
+        }
     root: dict = {}
     for key, leaf in flat.items():
         node = root

@@ -71,6 +71,71 @@ def test_dryrun_multichip_self_bootstraps_without_conftest():
     assert "dryrun_multichip ok" in proc.stdout
 
 
+def _clean_env(platform: str) -> dict:
+    """Env for a driver-mode subprocess: no conftest device-count flags, ambient
+    JAX_PLATFORMS pinned to `platform` (possibly a nonexistent one, simulating the
+    driver's axon preset with the tunnel down)."""
+    import os
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("PYTHONPATH", None)
+    env["JAX_PLATFORMS"] = platform
+    return env
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_survives_dead_backend():
+    """Round-3 regression: the driver calls dryrun_multichip(8) with ambient
+    JAX_PLATFORMS=axon and the tunnel down — backend init hangs/raises. The probe
+    must degrade to 0 devices in a bounded subprocess and the virtual-CPU-mesh
+    fallback must still produce 'dryrun_multichip ok' (MULTICHIP_r03.json rc=124)."""
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = "import __graft_entry__ as g; g.dryrun_multichip(8)"
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=repo,
+        env=_clean_env("no_such_platform"),
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip ok" in proc.stdout
+
+
+def test_bench_fails_fast_with_parseable_diagnostic_on_dead_backend():
+    """Round-3 regression: bench.py died at backend init with rc=1 and a 40-line
+    traceback, leaving BENCH_r03.json unparseable. With an unavailable backend it
+    must exit nonzero quickly with a one-line JSON diagnostic as the last stdout
+    line (VERDICT r3 #1b)."""
+    import os
+    import subprocess
+    import time as _time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = _clean_env("no_such_platform")
+    env["BENCH_PROBE_BUDGET_S"] = "8"
+    t0 = _time.monotonic()
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    elapsed = _time.monotonic() - t0
+    assert proc.returncode != 0
+    data = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert data["error"] == "tpu_backend_unavailable"
+    assert data["metric"] == "audio_sec_per_sec_per_chip"
+    assert elapsed < 100, f"diagnostic path too slow: {elapsed:.0f}s"
+
+
 @pytest.mark.slow
 def test_bench_prints_driver_json(capsys):
     sys.argv = ["bench.py"]

@@ -58,6 +58,32 @@ def test_unknown_format_raises():
         enc.make_encoder("flac", 24000)
 
 
+def test_available_formats_sample_rate_aware():
+    """ADVICE r3 (medium): admission must drop formats whose codec rejects the
+    model's rate — opus accepts only 8/12/16/24/48 kHz, so at 22050 Hz it must
+    vanish from the supported list even when libopus is present."""
+    fmts_22k = enc.available_formats(22050)
+    assert "opus" not in fmts_22k
+    assert "pcm" in fmts_22k and "wav" in fmts_22k
+    if "opus" in enc.available_formats():
+        assert "opus" in enc.available_formats(24000)
+        assert enc.probe_format("opus", 24000) is None
+        assert "unsupported sample rate" in enc.probe_format("opus", 22050)
+
+
+def test_probe_format_matches_make_encoder():
+    for fmt in enc.available_formats(24000):
+        assert enc.probe_format(fmt, 24000) is None
+    assert enc.probe_format("flac", 24000) is not None
+
+
+def test_ogg_crc_table_built_at_import():
+    """The lazy-init race fix: the table must be complete before any encode."""
+    assert len(enc._OGG_CRC_TABLE) == 256
+    assert enc._OGG_CRC_TABLE[0] == 0
+    assert all(isinstance(v, int) for v in enc._OGG_CRC_TABLE)
+
+
 # ------------------------------------------------------------------------- mp3
 
 mp3_available = pytest.mark.skipif(

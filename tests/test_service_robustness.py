@@ -338,6 +338,10 @@ def test_admission_drop_does_not_ungate_later_requests(tmp_path_factory):
     cfg = service_config(tmp_path)
     cfg.queues.input_queue_size = 1
     cfg.engine.max_batch = 1  # one worker: admission pressure lands on the queue
+    # Widen the timing margin 10x (VERDICT r3 #9 de-flake): the synthetic 2.5 s
+    # stall races the admission timeout, and 2.5 vs the production 2.0 was one
+    # CPU-contention hiccup away from flipping the outcome.
+    cfg.queues.put_timeout_s = 0.25
     loop = asyncio.new_event_loop()
     app = srv.create_app(cfg)
     client = TestClient(TestServer(app), loop=loop)
@@ -346,10 +350,12 @@ def test_admission_drop_does_not_ungate_later_requests(tmp_path_factory):
     try:
         async def run():
             real = svc.batcher.submit
+            at_worker = asyncio.Event()  # request 0 reached the worker — no sleep race
 
             async def slow(*a, **kw):
-                # Longer than the 2.0 s admission put-timeout: sentence tasks run
+                # Longer than the admission put-timeout: sentence tasks run
                 # concurrently, so this must exceed it per REQUEST, not per call.
+                at_worker.set()
                 await asyncio.sleep(2.5)
                 return await real(*a, **kw)
 
@@ -359,7 +365,7 @@ def test_admission_drop_does_not_ungate_later_requests(tmp_path_factory):
                 await ws.send_json(
                     {"type": "synthesize", "text": "First one. First two. First three."}
                 )
-                await asyncio.sleep(0.1)  # let request 0 reach the worker
+                await asyncio.wait_for(at_worker.wait(), timeout=60)
                 for i in range(6):  # queue bound 1 → at least one admission drop
                     await ws.send_json({"type": "synthesize", "text": f"Later item {i}."})
                 completes = []

@@ -210,6 +210,38 @@ def test_rest_synthesize_mp3_opus(client_ctx):
     assert loop.run_until_complete(run())
 
 
+def test_format_admission_is_sample_rate_aware(client_ctx):
+    """ADVICE r3 (medium): with a model sample rate opus can't encode (22050 Hz),
+    admission must reject BEFORE synthesizing — REST 400, WS admission error —
+    instead of running the full synthesis and 500ing at encoder construction."""
+    loop, client, srv = client_ctx
+    svc = client.server.app["service"]
+    orig_sr = svc.config.model.sample_rate
+
+    async def run():
+        svc.config.model.sample_rate = 22050
+        try:
+            resp = await client.post(
+                "/v1/synthesize", json={"text": "Rate gated.", "format": "opus"}
+            )
+            assert resp.status == 400
+            body = await resp.json()
+            assert "opus" not in body["supported"]
+
+            ws = await client.ws_connect("/v1/stream/tts")
+            await ws.send_json(
+                {"type": "synthesize", "text": "Rate gated.", "format": "opus"}
+            )
+            msg = json.loads((await asyncio.wait_for(ws.receive(), timeout=30)).data)
+            assert msg["type"] == "error" and "Unsupported format" in msg["message"]
+            await ws.close()
+        finally:
+            svc.config.model.sample_rate = orig_sr
+        return True
+
+    assert loop.run_until_complete(run())
+
+
 def test_ws_register_then_synthesize_with_voice(client_ctx):
     loop, client, srv = client_ctx
 

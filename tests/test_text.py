@@ -390,6 +390,19 @@ def test_normalize_decade_plural():
     assert "eightys" not in normalize_text("back in the 1980s")
 
 
+def test_normalize_short_decade_and_digit_plurals():
+    """ADVICE r3: '90s' / '5s' stayed glued (the year rule covers only 4-digit
+    years), started with a digit, and were silently dropped by the G2P tokenizer —
+    that text produced NO audio. They must verbalize as proper plurals."""
+    assert "nineties" in normalize_text("back in the 90s")
+    assert "fives" in normalize_text("a pack of 5s")
+    assert "twenties" in normalize_text("in her 20s she moved")
+    # Must not regress ordinary verbalization or the year rule.
+    assert "nineteen eighties" in normalize_text("the 1980s")
+    out = normalize_text("the 90s")
+    assert not any(ch.isdigit() for ch in out)
+
+
 def test_quoted_words_hit_lexicon():
     """Regression: \"'hello'\" reached the neural model as \"'hello\" (guaranteed
     lexicon miss) instead of looking up 'hello'."""

@@ -191,6 +191,62 @@ def test_checkpoint_npz_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), b, atol=2e-3, rtol=2e-3)
 
 
+def test_checkpoint_meta_roundtrip_and_engine_stress_guard(tmp_path):
+    """ADVICE r3: stress mode is a property of the checkpoint, not a process-global
+    env toggle. Saves record it (npz + orbax), load_meta reads it back, and
+    engine.load replays it into the frontend when mismatched."""
+    import jax
+
+    from gonova_tts_tpu.engine import TTSEngine
+    from gonova_tts_tpu.models import tts
+    from gonova_tts_tpu.text import frontend
+    from gonova_tts_tpu.train.checkpoint import (
+        load_meta,
+        restore_params,
+        save_params,
+        save_params_npz,
+    )
+
+    cfg = tiny_mcfg()
+    params = jax.jit(lambda k: tts.init(k, cfg))(jax.random.PRNGKey(0))
+
+    orig = frontend.stress_enabled()
+    try:
+        frontend.set_stress(True)
+        npz = save_params_npz(str(tmp_path / "m.npz"), params)
+        step_dir = save_params(str(tmp_path / "r"), params, step=3)
+        assert load_meta(npz) == {"format_version": 1, "stress": True}
+        assert load_meta(step_dir)["stress"] is True
+        assert load_meta(str(tmp_path / "r"))["stress"] is True  # root resolves
+        # The reserved meta key must not leak into the restored tree.
+        restored = restore_params(npz)
+        assert len(jax.tree_util.tree_leaves(restored)) == len(
+            jax.tree_util.tree_leaves(params)
+        )
+
+        # Engine restores the checkpoint's stress mode over the ambient toggle.
+        frontend.set_stress(False)
+        cfg2 = Config()
+        cfg2.model = tiny_mcfg()
+        cfg2.model.model_path = npz
+        cfg2.engine.warmup_shapes = []
+        eng = TTSEngine(cfg2)
+        eng.load(warmup=False)
+        assert frontend.stress_enabled() is True
+    finally:
+        frontend.set_stress(orig)
+
+
+def test_checkpoint_without_meta_leaves_stress_alone(tmp_path):
+    """Pre-metadata checkpoints (e.g. the vendored round-3 demo) must not flip
+    the frontend mode."""
+    import numpy
+    from gonova_tts_tpu.train.checkpoint import load_meta
+
+    numpy.savez_compressed(str(tmp_path / "bare.npz"), **{"a/w": numpy.zeros((2,))})
+    assert load_meta(str(tmp_path / "bare.npz")) == {}
+
+
 def test_restore_params_resolves_training_root(tmp_path):
     """restore_params('<root>') descends to the newest step_NNNNNNNN dir."""
     import jax
