@@ -94,6 +94,139 @@ DEFAULT_SENTENCES: Tuple[str, ...] = (
     "Stop! Who goes there, asked the guard?",
 )
 
+# --- Scalable corpus: deterministic sentence/speaker pools -------------------
+#
+# The generalization study (TRAIN_EVAL.md) varies corpus size while keeping the
+# held-out texts FIXED: make_sentences(n) appends generated sentences BEFORE the
+# last two defaults, so `--holdout 2` always holds out the same two sentences
+# regardless of n and held-out numbers stay comparable across corpus sizes.
+
+_POOL_NOUNS = (
+    "table", "river", "garden", "window", "mountain", "basket", "letter",
+    "candle", "bridge", "market", "forest", "bottle", "pillow", "hammer",
+    "ladder", "meadow", "saddle", "ribbon", "shadow", "silver", "copper",
+    "monkey", "rabbit", "farmer", "sailor", "doctor", "painter", "teacher",
+    "singer", "winter", "summer", "morning", "evening", "village", "station",
+    "engine", "jacket", "pocket", "carpet", "mirror", "branch", "stone",
+    "cloud", "storm", "valley", "harbor", "temple", "castle", "wagon", "barrel",
+)
+_POOL_ADJS = (
+    "quiet", "heavy", "gentle", "narrow", "golden", "frozen", "hollow",
+    "little", "purple", "simple", "steady", "sudden", "wooden", "yellow",
+    "bright", "clever", "distant", "eager", "faithful", "graceful", "humble",
+    "modest", "patient", "rugged", "smooth", "sturdy", "tender", "vivid",
+)
+_POOL_VERBS_PAST = (
+    "carried", "folded", "gathered", "lifted", "mended", "opened", "painted",
+    "planted", "polished", "pushed", "raised", "repaired", "sorted", "stacked",
+    "studied", "traded", "washed", "watched", "weighed", "wrapped", "counted",
+    "covered", "crossed", "followed", "guarded", "measured",
+)
+_POOL_VERBS_PRES = (
+    "carries", "folds", "gathers", "lifts", "mends", "opens", "paints",
+    "plants", "polishes", "pushes", "raises", "repairs", "sorts", "stacks",
+    "studies", "trades", "washes", "watches", "weighs", "wraps", "counts",
+)
+_POOL_ADVERBS = (
+    "slowly", "quickly", "quietly", "carefully", "suddenly", "gladly",
+    "rarely", "often", "always", "gently", "firmly", "early",
+)
+_POOL_PLACES = (
+    "near the bridge", "by the river", "under the window", "behind the barn",
+    "beside the gate", "over the hill", "along the road", "inside the shed",
+    "past the orchard", "across the field",
+)
+
+
+def _pool_sentence(i: int) -> str:
+    """Deterministic generated sentence #i (templates x word banks, seeded)."""
+    rng = np.random.default_rng(zlib.crc32(f"pool-sentence|{i}".encode()))
+
+    def pick(bank):
+        return bank[int(rng.integers(len(bank)))]
+
+    template = int(rng.integers(6))
+    n1, n2 = pick(_POOL_NOUNS), pick(_POOL_NOUNS)
+    a1, a2 = pick(_POOL_ADJS), pick(_POOL_ADJS)
+    vp, vs = pick(_POOL_VERBS_PAST), pick(_POOL_VERBS_PRES)
+    adv, place = pick(_POOL_ADVERBS), pick(_POOL_PLACES)
+    if template == 0:
+        return f"The {a1} {n1} {vs} the {a2} {n2} {place}."
+    if template == 1:
+        return f"A {a1} {n1} {adv} {vp} the {n2}."
+    if template == 2:
+        return f"They {vp} the {a1} {n1} and the {a2} {n2}."
+    if template == 3:
+        return f"The {n1} {place} was {a1} and {a2}."
+    if template == 4:
+        return f"{adv.capitalize()}, the {a1} {n1} {vs} {place}."
+    return f"Every {a1} {n1} {adv} {vs} a {a2} {n2}."
+
+
+def make_sentences(n: int) -> Tuple[str, ...]:
+    """First n sentences of the scalable pool; the LAST TWO defaults stay last
+    so a fixed `--holdout 2` split holds out identical texts at every n."""
+    if n <= len(DEFAULT_SENTENCES):
+        return DEFAULT_SENTENCES[:n]
+    extras: List[str] = []
+    seen = set(DEFAULT_SENTENCES)
+    i = 0
+    while len(extras) < n - len(DEFAULT_SENTENCES):
+        s = _pool_sentence(i)
+        i += 1
+        if s in seen:
+            continue
+        seen.add(s)
+        extras.append(s)
+    return DEFAULT_SENTENCES[:-2] + tuple(extras) + DEFAULT_SENTENCES[-2:]
+
+
+def make_speakers(n: int) -> Tuple[Speaker, ...]:
+    """First n speakers: the 4 defaults, then deterministic generated voices
+    spread over the same F0/formant/tilt ranges (seeded jitter, no collisions)."""
+    if n <= len(DEFAULT_SPEAKERS):
+        return DEFAULT_SPEAKERS[:n]
+    out = list(DEFAULT_SPEAKERS)
+    for i in range(n - len(DEFAULT_SPEAKERS)):
+        rng = np.random.default_rng(zlib.crc32(f"pool-speaker|{i}".encode()))
+        frac = (i + 0.5) / (n - len(DEFAULT_SPEAKERS))
+        f0 = 100.0 + 170.0 * frac + float(rng.uniform(-8.0, 8.0))
+        scale = 0.93 + 0.25 * frac + float(rng.uniform(-0.02, 0.02))
+        tilt = 0.52 + 0.5 * frac + float(rng.uniform(-0.05, 0.05))
+        out.append(Speaker(f"spk_gen{i:02d}", round(f0, 1), round(scale, 3), round(tilt, 3)))
+    return tuple(out)
+
+
+def load_corpus_meta(corpus_dir: str) -> Dict:
+    """Read the `corpus_meta.json` written by generate_corpus so eval tools
+    (tools/eval_checkpoint.py, tools/align_diag.py) recompute ground truth with
+    the exact generation parameters — no flag drift between generation and
+    grading. Falls back to the 4x12 defaults for corpora generated before the
+    meta file existed (they only ever used the defaults)."""
+    path = os.path.join(corpus_dir, "corpus_meta.json")
+    if not os.path.exists(path):
+        return {
+            "sentences": list(DEFAULT_SENTENCES),
+            "speakers": list(DEFAULT_SPEAKERS),
+            "variable": False,
+            "rate_variation": False,
+            "holdout": 0,
+        }
+    import json
+
+    with open(path) as f:
+        meta = json.load(f)
+    return {
+        "sentences": list(meta["sentences"]),
+        "speakers": [
+            Speaker(d["name"], d["f0"], d["formant_scale"], d["tilt"])
+            for d in meta["speakers"]
+        ],
+        "variable": bool(meta.get("variable", False)),
+        "rate_variation": bool(meta.get("rate_variation", False)),
+        "holdout": int(meta.get("holdout", 0)),
+    }
+
 
 def _band_noise(n: int, sr: int, center: float, bw: float, seed: int) -> np.ndarray:
     """Deterministic band-passed white noise via frequency-domain shaping."""
@@ -192,13 +325,27 @@ def is_silence_symbol(symbol: str) -> bool:
     )
 
 
-def utterance_durations(ids: Sequence[int], text: str) -> List[int]:
+def rate_for_text(text: str) -> float:
+    """Deterministic per-sentence speaking-rate multiplier in [0.75, 1.30].
+
+    Keyed on the sentence text alone, so any tool can recompute it; NOT derivable
+    from linguistic features, so it stresses the MAS aligner (which sees the audio
+    and must recover it) rather than the duration predictor (which cannot)."""
+    return 0.75 + 0.55 * (zlib.crc32(f"rate|{text}".encode()) % 1024) / 1023.0
+
+
+def utterance_durations(
+    ids: Sequence[int], text: str, rate_variation: bool = False
+) -> List[int]:
     """Deterministic VARIABLE per-token frame counts (mean ≈ FRAMES_PER_TOKEN).
 
     Class-dependent base + seeded jitter keyed on (symbol, position, text) — so the
     mapping is learnable (phone identity and position drive length) but NOT uniform:
     a model that merely spreads frames evenly gets the alignment measurably wrong,
-    which is exactly what the aligner-learning eval needs to detect."""
+    which is exactly what the aligner-learning eval needs to detect.
+    rate_variation=True additionally scales the whole sentence by `rate_for_text`
+    (the harder-corpus mode: global tempo the aligner must absorb per utterance)."""
+    rate = rate_for_text(text) if rate_variation else 1.0
     out = []
     for pos, tok in enumerate(ids):
         sym = SYMBOLS[tok]
@@ -215,17 +362,22 @@ def utterance_durations(ids: Sequence[int], text: str) -> List[int]:
             dur = 2 + jitter % 2  # 2-3
         else:
             dur = 2 + jitter % 4  # 2-5: silence/punctuation varies most
-        out.append(int(dur))
+        out.append(max(1, int(round(dur * rate))))
     return out
 
 
 def synthesize_utterance(
-    text: str, speaker: Speaker, cfg: ModelConfig, variable: bool = False
+    text: str, speaker: Speaker, cfg: ModelConfig, variable: bool = False,
+    rate_variation: bool = False,
 ) -> Tuple[np.ndarray, List[int]]:
     """Text → (waveform, token ids); FRAMES_PER_TOKEN frames per token, or the
     deterministic `utterance_durations` spread when variable=True."""
     ids = text_to_ids(text)
-    durs = utterance_durations(ids, text) if variable else [FRAMES_PER_TOKEN] * len(ids)
+    durs = (
+        utterance_durations(ids, text, rate_variation=rate_variation)
+        if variable
+        else [FRAMES_PER_TOKEN] * len(ids)
+    )
     segs = []
     n_tok = len(ids)
     for pos, (tok, d) in enumerate(zip(ids, durs)):
@@ -245,13 +397,19 @@ def generate_corpus(
     speakers: Sequence[Speaker] = DEFAULT_SPEAKERS,
     variable: bool = False,
     holdout: int = 0,
+    rate_variation: bool = False,
 ) -> str:
     """Write WAVs + manifest + per-speaker reference clips; returns manifest path.
 
     variable=True renders `utterance_durations` per token (non-uniform; the corpus
     for alignment-learning runs). holdout=N additionally writes
     manifest_train.txt / manifest_heldout.txt with the LAST N sentences of every
-    speaker held out — the generalization split the training eval reports."""
+    speaker held out — the generalization split the training eval reports.
+    rate_variation=True adds the per-sentence tempo multiplier (`rate_for_text`).
+
+    Writes `corpus_meta.json` describing the generation parameters so eval tools
+    (tools/eval_checkpoint.py, tools/align_diag.py) recompute ground truth without
+    flag drift."""
     cfg = cfg or ModelConfig()
     os.makedirs(out_dir, exist_ok=True)
     for text in sentences:
@@ -275,20 +433,37 @@ def generate_corpus(
         # eval — the model must key on this fixed embedding, exactly as serving does.
         ref = np.concatenate(
             [
-                synthesize_utterance(sentences[j], spk, cfg, variable)[0]
+                synthesize_utterance(sentences[j], spk, cfg, variable, rate_variation)[0]
                 for j in ref_idx
             ]
         )
         ref_path = os.path.join(out_dir, f"ref_{spk.name}.wav")
         write_wav(ref_path, ref, cfg.sample_rate)
         for i, text in enumerate(sentences):
-            wav, _ = synthesize_utterance(text, spk, cfg, variable)
+            wav, _ = synthesize_utterance(text, spk, cfg, variable, rate_variation)
             path = os.path.join(out_dir, f"{spk.name}_{i:02d}.wav")
             write_wav(path, wav, cfg.sample_rate)
             lines.append(f"{path}|{text}|ref={ref_path}")
     manifest = os.path.join(out_dir, "manifest.txt")
     with open(manifest, "w") as f:
         f.write("\n".join(lines) + "\n")
+    import json
+
+    with open(os.path.join(out_dir, "corpus_meta.json"), "w") as f:
+        json.dump(
+            {
+                "variable": variable,
+                "rate_variation": rate_variation,
+                "holdout": holdout,
+                "sentences": list(sentences),
+                "speakers": [
+                    {"name": s.name, "f0": s.f0, "formant_scale": s.formant_scale,
+                     "tilt": s.tilt}
+                    for s in speakers
+                ],
+            },
+            f, indent=1,
+        )
     if holdout > 0:
         train_lines = [ln for ln in lines if ln.split("|")[1] not in heldout_texts]
         held_lines = [ln for ln in lines if ln.split("|")[1] in heldout_texts]
@@ -308,8 +483,22 @@ def main() -> None:
                     help="non-uniform per-token durations (alignment-learning corpus)")
     ap.add_argument("--holdout", type=int, default=0,
                     help="hold out the last N sentences per speaker into manifest_heldout.txt")
+    ap.add_argument("--sentences", type=int, default=len(DEFAULT_SENTENCES),
+                    help="corpus size: first N of the deterministic sentence pool "
+                         "(>12 appends generated sentences; the held-out texts stay fixed)")
+    ap.add_argument("--speakers", type=int, default=len(DEFAULT_SPEAKERS),
+                    help="number of speakers (>4 appends generated voices)")
+    ap.add_argument("--rate-variation", action="store_true",
+                    help="per-sentence speaking-rate multiplier (harder aligner corpus)")
     args = ap.parse_args()
-    manifest = generate_corpus(args.out_dir, variable=args.variable, holdout=args.holdout)
+    manifest = generate_corpus(
+        args.out_dir,
+        sentences=make_sentences(args.sentences),
+        speakers=make_speakers(args.speakers),
+        variable=args.variable,
+        holdout=args.holdout,
+        rate_variation=args.rate_variation,
+    )
     print(manifest)
 
 

@@ -485,3 +485,60 @@ def test_generate_corpus_guards():
         generate_corpus("/tmp/never_written", holdout=len(DEFAULT_SENTENCES))
     with pytest.raises(ValueError, match="must not contain"):
         generate_corpus("/tmp/never_written", sentences=("a | b",), holdout=0)
+
+
+def test_scalable_corpus_pools():
+    """make_sentences/make_speakers: deterministic, unique, and the held-out
+    tail (last two default sentences) is IDENTICAL at every corpus size so the
+    generalization study's held-out numbers stay comparable across sizes."""
+    from gonova_tts_tpu.train.synth_corpus import (
+        DEFAULT_SENTENCES, DEFAULT_SPEAKERS, make_sentences, make_speakers,
+        rate_for_text,
+    )
+
+    s48, s120 = make_sentences(48), make_sentences(120)
+    assert s48 == make_sentences(48)  # deterministic
+    assert len(set(s120)) == 120  # unique
+    assert s48[-2:] == s120[-2:] == DEFAULT_SENTENCES[-2:]  # fixed held-out tail
+    assert s48[:-2] == s120[: len(s48) - 2]  # train side is a prefix
+    assert make_sentences(5) == DEFAULT_SENTENCES[:5]
+    sp = make_speakers(10)
+    assert sp[:4] == DEFAULT_SPEAKERS and len({s.name for s in sp}) == 10
+    f0s = [s.f0 for s in sp[4:]]
+    assert all(90.0 < f < 290.0 for f in f0s) and f0s == sorted(f0s)
+    # Per-sentence tempo is deterministic and bounded.
+    r = rate_for_text(s120[0])
+    assert r == rate_for_text(s120[0]) and 0.75 <= r <= 1.30
+
+
+def test_corpus_meta_roundtrip(tmp_path):
+    """generate_corpus writes corpus_meta.json; load_corpus_meta reconstructs
+    the exact generation parameters (the eval tools' ground-truth source)."""
+    from gonova_tts_tpu.train.synth_corpus import (
+        generate_corpus, load_corpus_meta, make_sentences, make_speakers,
+        utterance_durations,
+    )
+    from gonova_tts_tpu.text import text_to_ids
+
+    cfg = ModelConfig()
+    sents, spks = make_sentences(3), make_speakers(2)
+    generate_corpus(str(tmp_path / "c"), cfg, sentences=sents, speakers=spks,
+                    variable=True, holdout=1, rate_variation=True)
+    meta = load_corpus_meta(str(tmp_path / "c"))
+    assert tuple(meta["sentences"]) == sents
+    assert tuple(meta["speakers"]) == spks
+    assert meta["variable"] and meta["rate_variation"] and meta["holdout"] == 1
+    # Pre-meta corpora fall back to the defaults.
+    legacy = load_corpus_meta(str(tmp_path))
+    assert len(legacy["sentences"]) == 12 and not legacy["variable"]
+    # rate_variation scales the ground-truth durations the meta flag gates:
+    # total length tracks the per-sentence tempo within per-token rounding.
+    from gonova_tts_tpu.train.synth_corpus import make_sentences as _ms, rate_for_text
+
+    text = next(t for t in _ms(40) if abs(rate_for_text(t) - 1.0) > 0.15)
+    ids = text_to_ids(text)
+    base = utterance_durations(ids, text)
+    rated = utterance_durations(ids, text, rate_variation=True)
+    assert all(d >= 1 for d in rated)
+    ratio = sum(rated) / sum(base)
+    assert abs(ratio - rate_for_text(text)) < 0.1

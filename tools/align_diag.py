@@ -53,9 +53,14 @@ def main() -> None:
     from gonova_tts_tpu.text import text_to_ids
     from gonova_tts_tpu.train.data import ManifestDataset, load_manifest
     from gonova_tts_tpu.text.symbols import SYMBOLS
-    from gonova_tts_tpu.train.synth_corpus import is_silence_symbol, utterance_durations
+    from gonova_tts_tpu.train.synth_corpus import (
+        is_silence_symbol, load_corpus_meta, utterance_durations,
+    )
 
     cfg = ModelConfig()
+    # Generation flags from the corpus itself: rate-varied corpora scale every
+    # token's ground-truth duration by the per-sentence tempo (corpus_meta.json).
+    rate_variation = load_corpus_meta(args.corpus)["rate_variation"]
     manifest = os.path.join(args.corpus, "manifest_train.txt")
     if not os.path.exists(manifest):
         manifest = os.path.join(args.corpus, "manifest.txt")
@@ -71,7 +76,8 @@ def main() -> None:
     for e in load_manifest(manifest):
         ids = text_to_ids(e["text"])
         truth[np.asarray(ids, np.int32).tobytes()] = np.asarray(
-            utterance_durations(ids, e["text"]), np.int64
+            utterance_durations(ids, e["text"], rate_variation=rate_variation),
+            np.int64,
         )
 
     params = aligner.init(jax.random.PRNGKey(0), cfg, dim=args.dim)

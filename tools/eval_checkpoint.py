@@ -31,12 +31,17 @@ def main() -> None:
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--corpus", required=True, help="synth_corpus output dir")
     ap.add_argument("--sentences", type=int, default=3, help="held-in sentences to grade")
-    ap.add_argument("--heldout", type=int, default=0,
+    ap.add_argument("--heldout", type=int, default=-1,
                     help="also grade the LAST N sentences (the generalization split "
-                         "written by synth_corpus --holdout)")
+                         "written by synth_corpus --holdout); -1 = read the corpus "
+                         "meta, 0 = disable")
     ap.add_argument("--variable", action="store_true",
                     help="corpus was generated with --variable: grade per-token "
-                         "durations against utterance_durations ground truth")
+                         "durations against utterance_durations ground truth "
+                         "(auto-detected from corpus_meta.json when present)")
+    ap.add_argument("--max-speakers", type=int, default=8,
+                    help="cap graded speakers on large corpora (0 = all); the cap "
+                         "takes an even spread so generated voices are represented")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--f32", action="store_true", help="serve in float32 (default bf16)")
     args = ap.parse_args()
@@ -52,10 +57,24 @@ def main() -> None:
     from gonova_tts_tpu.audio.mel import mel_spectrogram
     from gonova_tts_tpu.config import Config
     from gonova_tts_tpu.engine import TTSEngine
-    from gonova_tts_tpu.train.synth_corpus import DEFAULT_SENTENCES, DEFAULT_SPEAKERS
+    from gonova_tts_tpu.train.synth_corpus import load_corpus_meta
     from gonova_tts_tpu.utils import read_wav
 
     import jax.numpy as jnp
+
+    # Generation parameters from the corpus itself (scaled corpora carry extra
+    # sentences/speakers + flags in corpus_meta.json; pre-meta corpora fall back
+    # to the 4x12 defaults, which is all they ever were).
+    meta = load_corpus_meta(args.corpus)
+    SENTENCES, ALL_SPEAKERS = meta["sentences"], meta["speakers"]
+    rate_variation = meta["rate_variation"]
+    variable = args.variable or meta["variable"]
+    n_heldout = meta["holdout"] if args.heldout < 0 else args.heldout
+    if args.max_speakers > 0 and len(ALL_SPEAKERS) > args.max_speakers:
+        idx = np.linspace(0, len(ALL_SPEAKERS) - 1, args.max_speakers).astype(int)
+        SPEAKERS = [ALL_SPEAKERS[i] for i in sorted(set(idx.tolist()))]
+    else:
+        SPEAKERS = list(ALL_SPEAKERS)
 
     cfg = Config()
     cfg.model.model_path = args.checkpoint
@@ -80,7 +99,7 @@ def main() -> None:
 
     # Reference embeddings from the per-speaker reference clips.
     ref_embs = {}
-    for spk in DEFAULT_SPEAKERS:
+    for spk in SPEAKERS:
         path = os.path.join(args.corpus, f"ref_{spk.name}.wav")
         audio, sr = read_wav(path)
         ref_embs[spk.name] = engine.embed_voice(np.asarray(audio, np.float32), sr)
@@ -145,9 +164,9 @@ def main() -> None:
 
     def grade(sentence_indices):
         recon = []
-        for spk in DEFAULT_SPEAKERS:
+        for spk in SPEAKERS:
             for i in sentence_indices:
-                text = DEFAULT_SENTENCES[i]
+                text = SENTENCES[i]
                 gt, sr = read_wav(os.path.join(args.corpus, f"{spk.name}_{i:02d}.wav"))
                 gt = np.asarray(gt, np.float32)
                 out = engine.synthesize_batch([text], speakers=[ref_embs[spk.name]])[0]
@@ -176,7 +195,7 @@ def main() -> None:
                     "voc_floor_mel_l1": vocoder_floor(gt),
                     "len_ratio": float(len(m_out) / max(len(m_gt), 1)),
                 }
-                if args.variable:
+                if variable:
                     # Per-token duration accuracy vs the corpus generator's ground
                     # truth — the direct evidence that alignment was LEARNED (the
                     # manifest carries no durations; uniform spreading would score
@@ -187,7 +206,10 @@ def main() -> None:
                     )
 
                     ids = text_to_ids(text)
-                    true_d = np.asarray(utterance_durations(ids, text), np.float64)
+                    true_d = np.asarray(
+                        utterance_durations(ids, text, rate_variation=rate_variation),
+                        np.float64,
+                    )
                     pred_d = predicted_durations(text, ref_embs[spk.name]).astype(np.float64)
                     # Bucket truncation backstop: grade the overlapping prefix
                     # (a >largest-bucket sentence used to crash the whole eval).
@@ -219,7 +241,7 @@ def main() -> None:
             "voc_floor_mel_l1": float(np.mean([r["voc_floor_mel_l1"] for r in recon])),
             "len_ratio": float(np.mean([r["len_ratio"] for r in recon])),
         }
-        if args.variable:
+        if variable:
             agg["dur_mae_frames"] = float(np.mean([r["dur_mae_frames"] for r in recon]))
             corrs = [r["dur_corr"] for r in recon if "dur_corr" in r]
             if corrs:
@@ -237,13 +259,13 @@ def main() -> None:
     ac_l1, floor_l1 = held_in["acoustic_mel_l1"], held_in["voc_floor_mel_l1"]
     len_ratio = held_in["len_ratio"]
     held_out = None
-    if args.heldout > 0:
-        n = len(DEFAULT_SENTENCES)
-        held_out = grade(range(n - args.heldout, n))
+    if n_heldout > 0:
+        n = len(SENTENCES)
+        held_out = grade(range(n - n_heldout, n))
 
     # 2. Streaming exactness on trained weights.
-    spk0 = DEFAULT_SPEAKERS[0]
-    text0 = DEFAULT_SENTENCES[0]
+    spk0 = SPEAKERS[0]
+    text0 = SENTENCES[0]
     batch_out = engine.synthesize_batch([text0], speakers=[ref_embs[spk0.name]])[0]
     stream_out = np.concatenate(
         list(engine.synthesize_stream(text0, speaker=ref_embs[spk0.name]))
@@ -256,9 +278,9 @@ def main() -> None:
 
     # 3. Clone margin on synthesized audio.
     same, cross = [], []
-    for spk in DEFAULT_SPEAKERS:
+    for spk in SPEAKERS:
         out = engine.synthesize_batch(
-            [DEFAULT_SENTENCES[1]], speakers=[ref_embs[spk.name]]
+            [SENTENCES[1]], speakers=[ref_embs[spk.name]]
         )[0]
         emb = engine.embed_voice(out, engine.sample_rate)
         for other, ref in ref_embs.items():
@@ -281,7 +303,7 @@ def main() -> None:
         "clone_cross_voice_mean": round(float(np.mean(cross)), 4),
         "clone_margin": round(margin, 4),
     }
-    if args.variable and "dur_mae_frames" in held_in:
+    if variable and "dur_mae_frames" in held_in:
         result["held_in_dur_mae_frames"] = round(held_in["dur_mae_frames"], 3)
         result["held_in_dur_corr"] = round(held_in.get("dur_corr", 0.0), 4)
         if "dur_mae_nonsil" in held_in:
@@ -297,7 +319,7 @@ def main() -> None:
         result["generalization_gap_mel_l1"] = round(
             held_out["mel_l1"] - held_in["mel_l1"], 4
         )
-        if args.variable and "dur_mae_frames" in held_out:
+        if variable and "dur_mae_frames" in held_out:
             result["held_out_dur_mae_frames"] = round(held_out["dur_mae_frames"], 3)
             result["held_out_dur_corr"] = round(held_out.get("dur_corr", 0.0), 4)
             if "dur_mae_nonsil" in held_out:
