@@ -84,12 +84,16 @@ class ModelConfig(_SectionModel):
     # per deployment after the kernel-vs-XLA parity check on the target chip.
     # Falls back to XLA automatically above the kernel's MAX_T frame budget.
     vocos_pallas: bool = False
-    # iSTFT inverse-DFT matmul accuracy. None (auto) = split-bf16 on TPU, plain
-    # f32 elsewhere: on TPU an f32 matmul at DEFAULT precision runs one-pass-bf16
-    # multiplies (~1e-3 relative error, above the int16 LSB), while the 3-pass
-    # split-bf16 form is ~f24 (<3e-5, below the LSB) for ~0.08 ms at B=16/T=320
-    # (PERF.md). True/False force the split/plain form.
-    istft_split_bf16: Optional[bool] = None
+    # iSTFT inverse-DFT matmul precision: "auto" | "default" | "high" | "highest".
+    # On TPU an f32 matmul at DEFAULT precision runs one-pass-bf16 multiplies
+    # (~2e-3 mean relative error, above the PCM16 LSB). "high" (XLA 3-pass) is
+    # ~f24 (1.3e-5 mean, below the LSB) at −1% two-stage / −6% one-graph
+    # throughput; "highest" (6-pass) is f32-true (1.3e-7) but costs ~12%
+    # (PERF.md "iDFT precision" — all measured on chip). "auto" = "high" on TPU,
+    # "default" on backends whose f32 matmul is already exact. Replaces rounds-
+    # 2/3's hand-rolled split-bf16, which XLA's simplifier silently defeated
+    # under jit (default accuracy at 3-pass cost — the worst of both).
+    istft_precision: Literal["auto", "default", "high", "highest"] = "auto"
     # Run the acoustic encoder/decoder through the fused whole-stack Pallas kernel
     # (ops/transformer_stack_kernel.py): all layers in one pallas_call, activations
     # VMEM-resident, per-layer weights double-buffered. Inference-only (no VJP) —

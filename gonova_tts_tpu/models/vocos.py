@@ -139,20 +139,28 @@ def forward(params: Params, mel: jnp.ndarray, cfg: ModelConfig, dtype=jnp.float3
         phase = head[..., n_bins:]
         real = mag * jnp.cos(phase)
         imag = mag * jnp.sin(phase)
-    # iDFT accuracy (config.ModelConfig.istft_split_bf16): on TPU a plain f32
-    # matmul at DEFAULT precision runs one-pass-bf16 multiplies (~1e-3 relative —
-    # above the int16 LSB), so auto selects the 3-pass split-bf16 form (~f24,
-    # <3e-5) there and plain f32 on backends whose default matmul is full f32.
-    split = cfg.istft_split_bf16
-    if split is None:
-        split = jax.default_backend() == "tpu"
+    # iDFT accuracy (config.ModelConfig.istft_precision): on TPU a plain f32
+    # matmul at DEFAULT precision runs one-pass-bf16 multiplies (~2e-3 mean
+    # relative error, above the PCM16 LSB); precision=HIGH is XLA's 3-pass
+    # ~f24 algorithm (1.3e-5 mean — below the LSB) at −1% two-stage headline
+    # cost, while HIGHEST (6-pass, f32-true 1.3e-7) costs ~12% (on-chip A/B in
+    # PERF.md "iDFT precision"). Auto = HIGH on TPU, default precision on
+    # backends whose f32 matmul is already exact.
+    mode = cfg.istft_precision
+    if mode == "auto":
+        mode = "high" if jax.default_backend() == "tpu" else "default"
     return istft_synthesis(
-        real, imag, n_fft, hop, dtype=jnp.bfloat16 if split else jnp.float32
+        real, imag, n_fft, hop,
+        precision={
+            "default": None,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST,
+        }[mode],
     )
 
 
 def istft_synthesis(
-    real: jnp.ndarray, imag: jnp.ndarray, n_fft: int, hop: int, dtype=jnp.float32
+    real: jnp.ndarray, imag: jnp.ndarray, n_fft: int, hop: int, precision=None
 ) -> jnp.ndarray:
     """Exact windowed iSTFT for 4x-overlap framing: [B, T, bins]x2 → [B, T*hop].
 
@@ -160,14 +168,18 @@ def istft_synthesis(
     normalization (matches audio/stft.py's framing convention; unit-tested against its
     istft).
 
-    dtype=bfloat16 selects a split-bf16 inverse-DFT (x = hi + lo on both operands,
-    three bf16 MXU passes; ~f24-accurate, ~108 dB SNR — tests pin <3e-5 relative
-    error). The round-2 A/B (PERF.md: 0.320 "f32" vs 0.395 ms split at B=16/T=320)
-    compared against the f32 matmul at jax's DEFAULT precision, which on TPU runs
-    ONE-pass bf16 multiplies — i.e. the cheaper path was also the ~1e-3-error one,
-    above the int16 LSB. `forward` therefore selects split-bf16 on TPU (the
-    accuracy floor PCM16 needs, at 3-pass cost) and plain f32 on backends whose
-    default matmul is genuinely f32 (CPU)."""
+    `precision` is forwarded to the inverse-DFT einsum. On TPU the DEFAULT
+    precision runs one-pass-bf16 multiplies (~2e-3 mean relative error, above the
+    PCM16 LSB), so `forward` passes Precision.HIGH there — XLA's 3-pass ~f24
+    algorithm (1.3e-5 mean rel err, below the LSB) at −1% two-stage headline
+    cost; HIGHEST (6-pass, f32-true 1.3e-7) costs ~12% and stays opt-in.
+    History: rounds 2–3 shipped a hand-rolled split-bf16 form (hi/lo
+    decomposition, three explicit bf16 matmuls) here; a round-4 on-chip probe
+    showed XLA's algebraic simplifier DEFEATS that decomposition under jit —
+    its output was bitwise identical to the default-precision path — so it was
+    one-pass-bf16 accuracy all along (its <3e-5 pinning test only ever ran on
+    CPU, where einsum math differs). Precision.HIGH is the supported,
+    actually-working way to ask for what the hand split intended."""
     b, t, _ = real.shape
     icos, isin = idft_bases(n_fft)
     # Same (R, I) convention as audio/stft.py's stft_ri/istft pair. The synthesis
@@ -176,15 +188,8 @@ def istft_synthesis(
     window = jnp.asarray(hann_window(n_fft))
     bases = jnp.concatenate([jnp.asarray(icos), -jnp.asarray(isin)], axis=0) * window[None, :]
     coef = jnp.concatenate([real, imag], axis=-1)  # [B, T, 2*bins]
-    if dtype == jnp.bfloat16:
-        c_hi = coef.astype(jnp.bfloat16)
-        c_lo = (coef - c_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        b_hi = bases.astype(jnp.bfloat16)
-        b_lo = (bases - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        mm = lambda a, w: jnp.einsum("btc,cn->btn", a, w, preferred_element_type=jnp.float32)
-        frames = mm(c_hi, b_hi) + (mm(c_hi, b_lo) + mm(c_lo, b_hi))
-    else:
-        frames = coef @ bases  # [B, T, n_fft] (window already applied via bases)
+    # [B, T, n_fft] (window already applied via bases)
+    frames = jnp.einsum("btc,cn->btn", coef, bases, precision=precision)
 
     # frames[:, i, :] contributes to samples [i*hop - (n_fft-hop)/2 ... ) in the
     # stft.py convention (reflect pad (n_fft-hop)/2 trimmed). With n_fft = 4*hop:

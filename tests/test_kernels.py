@@ -251,9 +251,10 @@ def test_mel_pallas_unsupported_framing_falls_back(rng):
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
-def test_vocos_forward_istft_split_config(rng):
-    """istft_split_bf16 knob: forced-split output stays within the documented
-    <3e-5 relative error of the plain-f32 path through the full forward."""
+def test_vocos_forward_istft_precision_config(rng):
+    """istft_precision knob: every mode's output stays within the documented
+    <3e-5 relative error of the default-precision path through the full forward
+    (trivially true on CPU where all are f32; the TPU gaps are pinned in PERF.md)."""
     import jax
     import jax.numpy as jnp
 
@@ -262,12 +263,13 @@ def test_vocos_forward_istft_split_config(rng):
 
     cfg = ModelConfig(
         vocos_dim=128, vocos_ff=256, vocos_layers=2, compute_dtype="float32",
-        istft_split_bf16=False,
+        istft_precision="default",
     )
     params = vocos.init(jax.random.PRNGKey(3), cfg)
     mel = jnp.asarray(rng.standard_normal((1, 24, cfg.n_mels)).astype(np.float32))
     plain = np.asarray(vocos.forward(params, mel, cfg))
-    cfg_split = cfg.model_copy(update={"istft_split_bf16": True})
-    split = np.asarray(vocos.forward(params, mel, cfg_split))
     scale = np.abs(plain).max()
-    assert np.abs(split - plain).max() / scale < 3e-5
+    for mode in ("auto", "high", "highest"):
+        cfg_m = cfg.model_copy(update={"istft_precision": mode})
+        out = np.asarray(vocos.forward(params, mel, cfg_m))
+        assert np.abs(out - plain).max() / scale < 3e-5, mode

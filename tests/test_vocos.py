@@ -102,9 +102,15 @@ def test_vocos_bf16(cfg, params):
     assert np.isfinite(np.asarray(wav)).all()
 
 
-def test_istft_split_bf16_matches_f32():
-    # The split-bf16 inverse-DFT path (hi/lo on both operands, 3 bf16 matmuls) must
-    # stay far below the int16 transfer LSB relative to the f32 path.
+def test_istft_precision_matches_default():
+    # The HIGH / HIGHEST inverse-DFT must stay far below the int16 transfer LSB
+    # relative to the default-precision path. NOTE: on CPU all paths are true
+    # f32, so this only pins that the knob doesn't change semantics there; the
+    # TPU-side accuracy claims (default ~2e-3 mean rel err, HIGH 1.3e-5,
+    # HIGHEST 1.3e-7) were measured on-chip (PERF.md "iDFT precision") — the
+    # predecessor split-bf16 path's CPU-only <3e-5 pin is exactly how its
+    # jit-time breakage on TPU hid.
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -116,11 +122,12 @@ def test_istft_split_bf16_matches_f32():
     n_bins = cfg.n_fft // 2 + 1
     real = jnp.asarray(rng.standard_normal((2, 12, n_bins)), jnp.float32)
     imag = jnp.asarray(rng.standard_normal((2, 12, n_bins)), jnp.float32)
-    f32 = istft_synthesis(real, imag, cfg.n_fft, cfg.hop_length)
-    bf = istft_synthesis(real, imag, cfg.n_fft, cfg.hop_length, dtype=jnp.bfloat16)
-    scale = float(jnp.max(jnp.abs(f32))) + 1e-9
-    err = float(jnp.max(jnp.abs(bf - f32))) / scale
-    assert err < 3e-5, f"split-bf16 istft relative error {err}"
+    base = istft_synthesis(real, imag, cfg.n_fft, cfg.hop_length)
+    scale = float(jnp.max(jnp.abs(base))) + 1e-9
+    for prec in (jax.lax.Precision.HIGH, jax.lax.Precision.HIGHEST):
+        out = istft_synthesis(real, imag, cfg.n_fft, cfg.hop_length, precision=prec)
+        err = float(jnp.max(jnp.abs(out - base))) / scale
+        assert err < 3e-5, f"{prec} istft relative error {err}"
 
 
 def test_cartesian_head_shape_and_finite(cfg):

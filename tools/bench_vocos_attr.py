@@ -88,7 +88,7 @@ def main() -> None:
         n_bins = cfg.n_fft // 2 + 1
         log_mag, phase = hd[..., :n_bins], hd[..., n_bins:]
         mag = jnp.exp(jnp.clip(log_mag, -14.0, 6.0))
-        return _v.istft_synthesis(mag * jnp.cos(phase), mag * jnp.sin(phase), cfg.n_fft, cfg.hop_length, dtype=jnp.bfloat16)
+        return _v.istft_synthesis(mag * jnp.cos(phase), mag * jnp.sin(phase), cfg.n_fft, cfg.hop_length, precision=jax.lax.Precision.HIGH)
 
     results["head_istft_ms"] = round(timeit(head, x0), 3)
     print(json.dumps(results), flush=True)
@@ -108,7 +108,8 @@ def main() -> None:
         xd, yd = hd[..., n_bins : 2 * n_bins], hd[..., 2 * n_bins :]
         inv = jax.lax.rsqrt(xd * xd + yd * yd + 1e-12)
         return _v.istft_synthesis(
-            mag * xd * inv, mag * yd * inv, cfg.n_fft, cfg.hop_length, dtype=jnp.bfloat16
+            mag * xd * inv, mag * yd * inv, cfg.n_fft, cfg.hop_length,
+            precision=jax.lax.Precision.HIGH,
         )
 
     results["head_istft_cartesian_ms"] = round(timeit(head_cart, x0), 3)
