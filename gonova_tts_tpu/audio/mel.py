@@ -104,11 +104,16 @@ def mel_mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def mcd(a: jnp.ndarray, b: jnp.ndarray, n_coeffs: int = 13) -> jnp.ndarray:
     """Mel-cepstral distortion (dB) between two log-mel tensors [..., T, n_mels].
 
-    Standard MCD: DCT-II of the log-mel, drop c0, 10/ln(10)*sqrt(2*sum((da-db)^2)).
+    Standard MCD (Kubichek): c_i = sqrt(2/N) * DCT-II of the log-mel, drop c0,
+    10/ln(10)*sqrt(2*sum((da-db)^2)). The sqrt(2/N) cepstral normalization is
+    what makes the number literature-comparable — without it every coefficient
+    (and the reported dB) is inflated by sqrt(N/2) ≈ 6.3 at N=80.
     """
     n_mels = a.shape[-1]
     k = jnp.arange(n_mels)
-    basis = jnp.cos(jnp.pi * jnp.arange(n_coeffs)[:, None] * (2 * k[None, :] + 1) / (2 * n_mels))
+    basis = jnp.sqrt(2.0 / n_mels) * jnp.cos(
+        jnp.pi * jnp.arange(n_coeffs)[:, None] * (2 * k[None, :] + 1) / (2 * n_mels)
+    )
     ca = a @ basis.T
     cb = b @ basis.T
     diff = (ca - cb)[..., 1:]  # drop c0 (overall energy)
