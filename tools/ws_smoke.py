@@ -67,27 +67,42 @@ async def run(args) -> dict:
         assert msg == {"type": "voice_registered", "voice_id": "smoke_mid"}, msg
 
         text = " ".join(DEFAULT_SENTENCES[: args.sentences])
-        t0 = time.perf_counter()
-        await ws.send_json({"type": "synthesize", "text": text, "voice_id": "smoke_mid"})
-        chunks, ttfa = [], None
-        while True:
-            msg = await asyncio.wait_for(ws.receive(), timeout=600)
-            if msg.type == WSMsgType.BINARY:
-                if ttfa is None:
-                    ttfa = time.perf_counter() - t0
-                chunks.append(np.frombuffer(msg.data, dtype=np.float32))
-            elif msg.type == WSMsgType.TEXT:
-                data = json.loads(msg.data)
-                if data.get("type") == "synthesis_complete":
-                    final = data
-                    break
-                if data.get("type") == "error":
-                    # Surface the server's error instead of masking it behind a
-                    # zero-chunk np.concatenate crash below.
-                    raise AssertionError(f"server error frame: {data.get('message')}")
-            else:
-                raise AssertionError(f"unexpected WS message: {msg.type}")
-        total = time.perf_counter() - t0
+
+        async def one_request():
+            t0 = time.perf_counter()
+            await ws.send_json(
+                {"type": "synthesize", "text": text, "voice_id": "smoke_mid"}
+            )
+            chunks, ttfa = [], None
+            while True:
+                msg = await asyncio.wait_for(ws.receive(), timeout=600)
+                if msg.type == WSMsgType.BINARY:
+                    if ttfa is None:
+                        ttfa = time.perf_counter() - t0
+                    chunks.append(np.frombuffer(msg.data, dtype=np.float32))
+                elif msg.type == WSMsgType.TEXT:
+                    data = json.loads(msg.data)
+                    if data.get("type") == "synthesis_complete":
+                        final = data
+                        break
+                    if data.get("type") == "error":
+                        # Surface the server's error instead of masking it behind
+                        # a zero-chunk np.concatenate crash below.
+                        raise AssertionError(
+                            f"server error frame: {data.get('message')}"
+                        )
+                else:
+                    raise AssertionError(f"unexpected WS message: {msg.type}")
+            return chunks, ttfa, final, time.perf_counter() - t0
+
+        chunks, ttfa, final, total = await one_request()
+        # Steady-state pass (--repeat): the first request on a freshly registered
+        # voice pays one-time work (speaker-embedding extraction at the reference
+        # length); repeats measure the warmed serving path.
+        for _ in range(max(0, args.repeat)):
+            chunks, ttfa2, final, total2 = await one_request()
+            report["ttfa_steady_ms"] = round(ttfa2 * 1000, 1)
+            report["wall_steady_s"] = round(total2, 2)
         await ws.close()
 
         if not chunks:
@@ -129,6 +144,10 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--sr", type=int, default=24000,
                     help="served model sample rate (audio_s/realtime_x math + output WAV)")
+    ap.add_argument("--repeat", type=int, default=0,
+                    help="re-send the same request N times and report the last "
+                         "pass as ttfa_steady_ms/wall_steady_s (first-request "
+                         "one-time costs excluded)")
     args = ap.parse_args()
     print(json.dumps(asyncio.run(run(args))))
 
