@@ -237,7 +237,7 @@ def train(
             batches=len(epoch_batches),
             bucket=int(epoch_batches[0]["tokens"].shape[1]),
         )
-        run_chunk, _ = tstep.make_resident_train_chunk(
+        run_chunk, corpus = tstep.make_resident_train_chunk(
             mcfg, optimizer, epoch_batches, chunk=chunk, ema_decay=ema_decay,
             learn_alignment=learn_alignment,
         )
@@ -248,7 +248,7 @@ def train(
         done = 0
         metrics = {}
         while done < steps:
-            state, ema, metrics = run_chunk(state, ema, done)
+            state, ema, metrics = run_chunk(state, ema, done, corpus)
             done += chunk
             log_point(done, {k: v for k, v in metrics.items()}, t0)
             if checkpoint_dir and done % checkpoint_every < chunk and done < steps:
@@ -339,14 +339,14 @@ def train(
         t0 = time.time()
         gm = {}
         if resident:
-            run_gan, _ = tstep.make_resident_gan_chunk(
+            run_gan, gan_corpus = tstep.make_resident_gan_chunk(
                 mcfg, g_opt, d_opt, epoch_batches, chunk=chunk, ema_decay=ema_decay
             )
             ema_voc = tstep.ema_init_zeros(gen_state.params)
             done = 0
             while done < n_gan:
                 gen_state, disc_state, ema_voc, gm = run_gan(
-                    gen_state, disc_state, ema_voc, done
+                    gen_state, disc_state, ema_voc, done, gan_corpus
                 )
                 done += chunk
                 log_gan(done, gm, t0)

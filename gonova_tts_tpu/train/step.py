@@ -332,8 +332,14 @@ def make_resident_train_chunk(
     dispatch and one scalar readback per K steps.
 
     Returns (run_chunk, stacked) where
-      run_chunk(state, ema, start_step) -> (state, ema, mean_metrics_over_chunk).
+      run_chunk(state, ema, start_step, corpus) -> (state, ema, mean_metrics).
     All batches must share one (bucket, frame-cap) shape.
+
+    The stacked corpus is an explicit ARGUMENT of run_chunk, not a closure
+    capture: a captured array is a jit constant embedded in the serialized HLO,
+    and this environment's tunneled remote compiler rejects large request
+    bodies (HTTP 413 at the 944-utterance corpus). As an argument it is
+    uploaded once as device arrays and merely referenced by the executable.
     """
     stacked = {k: jnp.stack([jnp.asarray(b[k]) for b in batches]) for k in batches[0]}
     n = len(batches)
@@ -348,17 +354,17 @@ def make_resident_train_chunk(
         return TrainState(params, opt_state, state.step + 1), ema, metrics
 
     @jax.jit
-    def run_chunk(state: TrainState, ema, start: jnp.ndarray):
+    def run_chunk(state: TrainState, ema, start: jnp.ndarray, corpus):
         def body(i, carry):
             state, ema, acc = carry
             batch = jax.tree_util.tree_map(
-                lambda x: x[(start + i) % n], stacked
+                lambda x: x[(start + i) % n], corpus
             )
             state, ema, metrics = one_step(state, ema, batch)
             acc = jax.tree_util.tree_map(lambda a, m: a + m, acc, metrics)
             return state, ema, acc
 
-        batch0 = jax.tree_util.tree_map(lambda x: x[start % n], stacked)
+        batch0 = jax.tree_util.tree_map(lambda x: x[start % n], corpus)
         _, _, m0 = jax.eval_shape(one_step, state, ema, batch0)
         acc0 = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), m0)
         state, ema, acc = jax.lax.fori_loop(0, chunk, body, (state, ema, acc0))
@@ -509,8 +515,10 @@ def make_resident_gan_chunk(
     weights that receive no adversarial gradient.
 
     Returns (run_chunk, stacked) where
-      run_chunk(gen_state, disc_state, ema, start) ->
-          (gen_state, disc_state, ema, mean_metrics)."""
+      run_chunk(gen_state, disc_state, ema, start, corpus) ->
+          (gen_state, disc_state, ema, mean_metrics).
+    The corpus is a run_chunk argument, not a closure capture — see
+    make_resident_train_chunk (tunnel compiler rejects constant-embedded HLO)."""
     d_loss_fn, g_loss_fn = _gan_loss_fns(cfg, dtype)
     keys = ("mel", "audio", "frame_mask")
     stacked = {k: jnp.stack([jnp.asarray(b[k]) for b in batches]) for k in keys}
@@ -545,17 +553,17 @@ def make_resident_gan_chunk(
         return gen_state, disc_state, ema, {"d": d_loss, **g_metrics}
 
     @jax.jit
-    def run_chunk(gen_state: TrainState, disc_state: TrainState, ema, start):
+    def run_chunk(gen_state: TrainState, disc_state: TrainState, ema, start, corpus):
         def body(i, carry):
             gen_state, disc_state, ema, acc = carry
-            batch = jax.tree_util.tree_map(lambda x: x[(start + i) % n], stacked)
+            batch = jax.tree_util.tree_map(lambda x: x[(start + i) % n], corpus)
             gen_state, disc_state, ema, metrics = one_pair(
                 gen_state, disc_state, ema, batch
             )
             acc = jax.tree_util.tree_map(lambda a, m: a + m, acc, metrics)
             return gen_state, disc_state, ema, acc
 
-        batch0 = jax.tree_util.tree_map(lambda x: x[start % n], stacked)
+        batch0 = jax.tree_util.tree_map(lambda x: x[start % n], corpus)
         _, _, _, m0 = jax.eval_shape(one_pair, gen_state, disc_state, ema, batch0)
         acc0 = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), m0)
         gen_state, disc_state, ema, acc = jax.lax.fori_loop(

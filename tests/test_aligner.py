@@ -246,13 +246,13 @@ def test_resident_gan_chunk_runs():
     d_opt = optax.adam(1e-4)
     gen_state = tstep.init_state(gen_params, g_opt)
     disc_state = tstep.init_state(disc_params, d_opt)
-    run_chunk, _ = tstep.make_resident_gan_chunk(
+    run_chunk, corpus = tstep.make_resident_gan_chunk(
         cfg, g_opt, d_opt, batches, chunk=2
     )
     ema = tstep.ema_init(gen_state.params)
     before = np.asarray(jax.tree_util.tree_leaves(gen_state.params)[0]).copy()
     gen_state, disc_state, ema, metrics = run_chunk(
-        gen_state, disc_state, ema, jnp.zeros((), jnp.int32)
+        gen_state, disc_state, ema, jnp.zeros((), jnp.int32), corpus
     )
     for k in ("d", "adv", "fm", "mel"):
         assert np.isfinite(float(metrics[k])), (k, metrics)
