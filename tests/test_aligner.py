@@ -296,3 +296,61 @@ def test_gan_phase_runs_and_checkpoints(tmp_path):
         assert k in metrics and np.isfinite(metrics[k]), (k, metrics)
     restored = restore_params(str(tmp / "ckpt"))
     assert "vocoder" in restored and "aligner" not in restored
+
+
+def test_resident_chunk_does_not_embed_corpus_in_hlo():
+    """Regression (round 4, tunnel HTTP 413): the resident trainers must take the
+    stacked corpus as a jit ARGUMENT — a closure capture becomes a constant
+    embedded in the serialized HLO, whose size then scales with the corpus and
+    overflows the remote compiler's request-body limit at the 944-utterance
+    generalization corpus. Pin: the lowered module text stays orders of magnitude
+    smaller than the corpus bytes."""
+    import optax
+
+    from gonova_tts_tpu.models import tts, vocoder
+    from gonova_tts_tpu.train import step as tstep
+
+    cfg = tiny_mcfg()
+    rng = np.random.default_rng(9)
+    t_frames = 8
+
+    def make(n_batches):
+        batches = [
+            {
+                "mel": rng.standard_normal((2, t_frames, cfg.n_mels)).astype(np.float32),
+                "audio": 0.1 * rng.standard_normal((2, t_frames * 256)).astype(np.float32),
+                "frame_mask": np.ones((2, t_frames), np.float32),
+            }
+            for _ in range(n_batches)
+        ]
+        params = tts.init(jax.random.PRNGKey(0), cfg)
+        gen_params = {"vocoder": params["vocoder"]}
+        disc_params = {
+            "mpd": vocoder.mpd_init(jax.random.PRNGKey(1), width=0.25),
+            "msd": vocoder.msd_init(jax.random.PRNGKey(2), width=0.25),
+        }
+        g_opt = optax.adam(1e-4)
+        d_opt = optax.adam(1e-4)
+        gen_state = tstep.init_state(gen_params, g_opt)
+        disc_state = tstep.init_state(disc_params, d_opt)
+        run_chunk, corpus = tstep.make_resident_gan_chunk(
+            cfg, g_opt, d_opt, batches, chunk=1
+        )
+        ema = tstep.ema_init(gen_state.params)
+        lowered = run_chunk.lower(
+            gen_state, disc_state, ema, jnp.zeros((), jnp.int32), corpus
+        )
+        bytes_ = sum(int(np.asarray(v).nbytes) for v in corpus.values())
+        return len(lowered.as_text()), bytes_
+
+    hlo_small, corpus_small = make(4)
+    hlo_big, corpus_big = make(64)
+    grown = corpus_big - corpus_small  # ~1.3 MB of extra corpus data
+    assert grown > 1_000_000
+    # Fixed model constants (iDFT bases etc.) dominate the module text either
+    # way; the pin is that the module must NOT grow with the corpus (closure
+    # capture would add ~10x the extra corpus bytes as decimal literals).
+    assert hlo_big - hlo_small < grown / 10, (
+        f"HLO grew {hlo_big - hlo_small} B for {grown} B more corpus - corpus "
+        "constants are being embedded in the compile payload again"
+    )
