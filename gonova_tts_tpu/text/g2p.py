@@ -505,6 +505,13 @@ def word_to_phonemes(
     if raw is None and lower in LEXICON:
         raw = list(LEXICON[lower])
     if raw is None:
+        # Inflected/derived forms of lexicon lemmas: lemma lookup + suffix rule
+        # gives exact pronunciations (text/morph.py) — preferred over the neural
+        # model for this word class.
+        from . import morph
+
+        raw = morph.decompose(lower, LEXICON)
+    if raw is None:
         # Out-of-lexicon: the trained neural G2P (text/neural_g2p.py) outperforms
         # the LTS rules on the held-out split (tools/train_g2p.py numbers); used
         # when its vendored weights are present, with the rules as the

@@ -1,0 +1,121 @@
+"""Morphological decomposition (text/morph.py): exact pronunciations for
+inflected/derived forms of lexicon lemmas, and the guards that keep it from
+mis-splitting non-morphological words."""
+
+from gonova_tts_tpu.text import morph
+from gonova_tts_tpu.text.g2p import LEXICON, word_to_phonemes
+
+
+def _p(w):
+    return " ".join(word_to_phonemes(w))
+
+
+class TestSuffixAllomorphs:
+    def test_plural_voicing(self):
+        assert _p("dogs") == "D AO G Z"  # voiced → Z
+        assert _p("cats") == "K AE T S"  # voiceless → S
+        assert _p("boxes") == "B AA K S IH Z"  # sibilant → IH Z
+        assert _p("churches") == "CH ER CH IH Z"
+
+    def test_plural_orthography(self):
+        assert _p("cities") == "S IH T IY Z"  # y → ies
+        assert _p("goes") == "G OW Z"  # o → oes
+        assert _p("ties") == "T AY Z"  # e-final lemma
+
+    def test_past_allomorphs(self):
+        assert _p("walked") == "W AO K T"  # voiceless → T
+        assert _p("played") == "P L EY D"  # voiced → D
+        assert _p("wanted") == "W AA N T IH D"  # T/D → IH D
+        assert _p("carried") == "K AE R IY D"  # y → ied
+
+    def test_past_orthography(self):
+        assert _p("hoped") == "HH OW P T"  # e-drop reversed
+        assert _p("stopped") == "S T AA P T"  # CVC doubling reversed
+
+    def test_progressive(self):
+        assert _p("eating") == "IY T IH NG"
+        assert _p("making") == "M EY K IH NG"  # e-restore
+        assert _p("running") == "R AH N IH NG"  # doubling
+        assert _p("dying") == "D AY IH NG"  # ie → y
+
+    def test_cvc_edrop_vs_doubling(self):
+        # "hoping" must resolve to "hope", not the lexicon word "hop";
+        # "hopping" (doubled) is the one that means "hop".
+        assert _p("hoping") == "HH OW P IH NG"
+        assert _p("hopping") == "HH AA P IH NG"
+
+    def test_comparative_superlative(self):
+        assert _p("bigger") == "B IH G ER"
+        assert _p("nicer") == "N AY S ER"
+        assert _p("heavier") == "HH EH V IY ER"
+        assert _p("quickest") == "K W IH K IH S T"
+        assert _p("happiest") == "HH AE P IY IH S T"
+
+    def test_adverbial_ly(self):
+        assert _p("happily") == "HH AE P AH L IY"  # -ily reduction
+        assert _p("fully") == "F UH L L IY"  # degemination reversed
+
+    def test_derivation(self):
+        assert _p("kindness") == "K AY N D N AH S"
+        assert _p("payment") == "P EY M AH N T"
+        assert _p("careless") == "K EH R L AH S"
+
+
+class TestStackingAndAffixes:
+    def test_suffix_stacking(self):
+        assert _p("researchers") == "R IY S ER CH ER Z"  # -er then -s
+        assert _p("paintings") == "P EY N T IH NG Z"  # -ing then -s
+
+    def test_possessives(self):
+        assert _p("dog's") == "D AO G Z"
+        assert _p("teachers'") == "T IY CH ER Z"
+        assert _p("children's") == "CH IH L D R AH N Z"  # irregular base
+
+    def test_men_plural(self):
+        assert _p("fishermen") == "F IH SH ER M EH N"
+
+    def test_prefixes(self):
+        assert _p("unexpected") == "AH N IH K S P EH K T IH D"  # prefix + suffix
+        assert _p("rebuilt") == "R IY B IH L T"
+        assert _p("misunderstood") == "M IH S AH N D ER S T UH D"
+        assert _p("outperformed") == "AW T P ER F AO R M D"
+
+
+class TestGuards:
+    def test_lexicon_wins_over_decomposition(self):
+        # "number" must never become numb+ER; lexicon entry is consulted first.
+        assert "B" in word_to_phonemes("number")
+        # Irregular comparatives carry the epenthetic G via their lexicon pins.
+        assert _p("stronger") == "S T R AO NG G ER"
+        assert _p("longest") == "L AO NG G IH S T"
+
+    def test_no_false_splits(self):
+        # Short/function-ish words never decompose.
+        for w in ["best", "rest", "test", "this", "was", "has", "red", "bed"]:
+            if w not in LEXICON:
+                assert morph.decompose(w, LEXICON) is None, w
+
+    def test_us_is_not_a_verb_stem(self):
+        # "using"/"used" must resolve via "use", never the pronoun "us".
+        assert _p("using") == "Y UW Z IH NG"
+        assert _p("used") == "Y UW Z D"
+
+    def test_decompose_returns_fresh_list(self):
+        a = morph.decompose("dogs", LEXICON)
+        a.append("XX")
+        assert morph.decompose("dogs", LEXICON)[-1] != "XX"
+
+
+def test_coverage_harness_runs():
+    """tools/g2p_coverage.py: lexicon+morph resolve the entire dev sample."""
+    import json
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/g2p_coverage.py"], capture_output=True, text=True
+    )
+    assert r.returncode == 0, r.stderr
+    stats = json.loads(r.stdout.splitlines()[0])
+    assert stats["exact_coverage"] >= 0.97
+    assert stats["morph"] > 0.2  # the morph tier carries real weight
