@@ -102,6 +102,27 @@ def main() -> None:
                 stress_full_ok / max(stress_base_ok, 1), 4
             )
 
+    # 2c. OOV-pipeline on the held-out split: what word_to_phonemes actually does
+    # for a word MISSING from the lexicon — morph decomposition (which may resolve
+    # it from a different lemma that IS in the lexicon) > neural > LTS. This is
+    # the honest "unseen word through the shipped frontend" number.
+    from gonova_tts_tpu.text import morph
+
+    oov_pairs = []
+    morph_hits = 0
+    for w in sorted(held_out):
+        pred = morph.decompose(w, {k: v for k, v in LEXICON_SANS(held_out).items()})
+        if pred is not None:
+            morph_hits += 1
+        else:
+            pred = (
+                neural_g2p.predict_word(w) if neural_g2p.available() else None
+            ) or _word_to_phonemes_lts(w.replace("'", ""))
+            pred = strip_stress(pred)
+        oov_pairs.append((pred, held_out[w]))
+    oov = grade(oov_pairs)
+    oov["morph_share"] = round(morph_hits / max(len(held_out), 1), 4)
+
     # 3. Homograph spot checks.
     homo_cases = [
         ("read", "have", "", ["R", "EH", "D"]),
