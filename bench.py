@@ -230,12 +230,49 @@ def main() -> None:
     v_two = audio_sec / wall_two
     value, mode = max((v_one, "one_graph"), (v_two, "two_stage"))
 
+    # Single-stream time-to-first-audio (BASELINE.md's second target: p50 TTFA
+    # < 200 ms; reference first-chunk 472 ms, README.md:872). Measured through
+    # the streamed serving shape exactly as engine._stream_sentence dispatches
+    # it: one batch-1 acoustic pass, then the FIRST vocoder window
+    # (stride + 2*ctx frames), then the host readback of the first chunk — the
+    # leg this environment's tunnel taxes (~30 ms/round trip). Wall-clock
+    # includes dispatch + compute + readback; p50 over 15 reps.
+    tok1, mask1 = tokens[:1], mask[:1]
+    spk1, ex1, dur1 = speaker[:1], exagg[:1], durations[:1]
+    stride = ecfg.stream_chunk_frames
+    ctx = min(ecfg.stream_context_frames, stride)
+    w_first = stride + 2 * ctx
+
+    @jax.jit
+    def acoustic_first(params, spk1):
+        ac = acoustic.forward(
+            params["acoustic"], tok1, mask1, spk1, ex1, cfg,
+            durations=dur1, dtype=dtype,
+        )
+        return jax.lax.dynamic_slice_in_dim(ac["mel"], 0, w_first, axis=1)
+
+    @jax.jit
+    def vocode_window(params, window):
+        return tts.vocode(params, window, cfg, dtype=dtype)
+
+    np.asarray(vocode_window(params, acoustic_first(params, spk1)))  # compile
+    ttfas = []
+    for _ in range(15 if on_tpu else 3):
+        t0 = time.perf_counter()
+        first_chunk = np.asarray(vocode_window(params, acoustic_first(params, spk1)))
+        ttfas.append(time.perf_counter() - t0)
+    del first_chunk
+    ttfa_p50_ms = 1e3 * float(np.median(ttfas))
+    ttfa_p90_ms = 1e3 * float(np.percentile(ttfas, 90))
+
     # Attribution detail on its own line; the FINAL line carries exactly the
     # driver-contract fields (pinned by tests/test_driver_contract.py).
     print(
         json.dumps(
             {"detail": {"mode": mode, "one_graph": round(v_one, 2),
-                        "two_stage_compute": round(v_two, 2)}}
+                        "two_stage_compute": round(v_two, 2),
+                        "ttfa_p50_ms": round(ttfa_p50_ms, 1),
+                        "ttfa_p90_ms": round(ttfa_p90_ms, 1)}}
         )
     )
     print(

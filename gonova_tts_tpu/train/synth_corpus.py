@@ -197,6 +197,30 @@ def make_speakers(n: int) -> Tuple[Speaker, ...]:
     return tuple(out)
 
 
+def make_unseen_speakers(n: int) -> Tuple[Speaker, ...]:
+    """n NEVER-SEEN evaluation voices for the one-shot-cloning study
+    (reference capability: cloning from 3-10 s of a voice the model never
+    trained on — services/tts/README.md:48-51).
+
+    Drawn from the same F0/formant/tilt ranges as `make_speakers` so they
+    interpolate the training speaker space (the honest test: a voice *between*
+    training voices, not an out-of-range outlier), but seeded on a disjoint
+    key ("unseen-speaker|i" vs "pool-speaker|i") and offset by half a stride,
+    so no evaluation voice coincides with a training voice at any training
+    speaker count."""
+    out: List[Speaker] = []
+    for i in range(n):
+        rng = np.random.default_rng(zlib.crc32(f"unseen-speaker|{i}".encode()))
+        frac = (i + 0.5) / max(n, 1)
+        f0 = 105.0 + 165.0 * frac + float(rng.uniform(-10.0, 10.0))
+        scale = 0.94 + 0.24 * frac + float(rng.uniform(-0.02, 0.02))
+        tilt = 0.55 + 0.45 * frac + float(rng.uniform(-0.05, 0.05))
+        out.append(
+            Speaker(f"spk_uns{i:02d}", round(f0, 1), round(scale, 3), round(tilt, 3))
+        )
+    return tuple(out)
+
+
 def load_corpus_meta(corpus_dir: str) -> Dict:
     """Read the `corpus_meta.json` written by generate_corpus so eval tools
     (tools/eval_checkpoint.py, tools/align_diag.py) recompute ground truth with

@@ -85,6 +85,40 @@ def _clean_env(platform: str) -> dict:
 
 
 @pytest.mark.slow
+def test_dryrun_multichip_driver_env_matrix():
+    """Pin the driver's EXACT round-4 failing invocation (MULTICHIP_r04.json rc=1):
+    ambient env intact — including this environment's axon platform plugin, which
+    pre-registers and wins over JAX_PLATFORMS — plus the driver's two overrides:
+
+        XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \\
+            python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+    Round 4's probe subprocess replayed jax_platforms=cpu and saw 8 virtual CPU
+    devices, then gated an AMBIENT direct call where the plugin won and only 1
+    device existed → make_mesh raised. The fix: no ambient path at all — the impl
+    always runs in the hermetic virtual-CPU-mesh subprocess."""
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)  # keep ambient plugin registration intact
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env.pop("PYTHONPATH", None)
+    code = "import __graft_entry__ as g; g.dryrun_multichip(8)"
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip ok" in proc.stdout
+
+
+@pytest.mark.slow
 def test_dryrun_multichip_survives_dead_backend():
     """Round-3 regression: the driver calls dryrun_multichip(8) with ambient
     JAX_PLATFORMS=axon and the tunnel down — backend init hangs/raises. The probe

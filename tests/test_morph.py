@@ -111,9 +111,14 @@ def test_coverage_harness_runs():
     import json
     import subprocess
     import sys
+    from pathlib import Path
 
+    repo = Path(__file__).resolve().parents[1]
     r = subprocess.run(
-        [sys.executable, "tools/g2p_coverage.py"], capture_output=True, text=True
+        [sys.executable, str(repo / "tools" / "g2p_coverage.py")],
+        capture_output=True,
+        text=True,
+        cwd=repo,
     )
     assert r.returncode == 0, r.stderr
     stats = json.loads(r.stdout.splitlines()[0])

@@ -42,6 +42,13 @@ def main() -> None:
     ap.add_argument("--max-speakers", type=int, default=8,
                     help="cap graded speakers on large corpora (0 = all); the cap "
                          "takes an even spread so generated voices are represented")
+    ap.add_argument("--unseen-speakers", type=int, default=0,
+                    help="additionally grade N NEVER-SEEN voices (one-shot cloning, "
+                         "the reference's signature capability — README.md:48-51): "
+                         "generates an eval-only corpus of make_unseen_speakers(N) "
+                         "voices next to --corpus, embeds each 3-10 s reference "
+                         "through the serving path, and reports clone margin / mel "
+                         "L1 / durations for speakers the model never trained on")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--f32", action="store_true", help="serve in float32 (default bf16)")
     args = ap.parse_args()
@@ -162,16 +169,19 @@ def main() -> None:
         )
         return np.asarray(out["durations"], np.int32)[0, :n]
 
-    def grade(sentence_indices):
+    def grade(sentence_indices, corpus_dir=None, speakers=None, embs=None):
+        corpus_dir = corpus_dir or args.corpus
+        speakers = speakers if speakers is not None else SPEAKERS
+        embs = embs if embs is not None else ref_embs
         recon = []
-        for spk in SPEAKERS:
+        for spk in speakers:
             for i in sentence_indices:
                 text = SENTENCES[i]
-                gt, sr = read_wav(os.path.join(args.corpus, f"{spk.name}_{i:02d}.wav"))
+                gt, sr = read_wav(os.path.join(corpus_dir, f"{spk.name}_{i:02d}.wav"))
                 gt = np.asarray(gt, np.float32)
-                out = engine.synthesize_batch([text], speakers=[ref_embs[spk.name]])[0]
+                out = engine.synthesize_batch([text], speakers=[embs[spk.name]])[0]
                 m_gt, m_out = mel_of(gt), mel_of(out)
-                m_ac = acoustic_mel_pred(text, ref_embs[spk.name])
+                m_ac = acoustic_mel_pred(text, embs[spk.name])
                 t = min(len(m_gt), len(m_out))
                 ta = min(len(m_gt), len(m_ac))
                 d = m_out[:t] - m_gt[:t]
@@ -210,7 +220,7 @@ def main() -> None:
                         utterance_durations(ids, text, rate_variation=rate_variation),
                         np.float64,
                     )
-                    pred_d = predicted_durations(text, ref_embs[spk.name]).astype(np.float64)
+                    pred_d = predicted_durations(text, embs[spk.name]).astype(np.float64)
                     # Bucket truncation backstop: grade the overlapping prefix
                     # (a >largest-bucket sentence used to crash the whole eval).
                     n_cmp = min(len(true_d), len(pred_d))
@@ -288,6 +298,77 @@ def main() -> None:
             (same if other == spk.name else cross).append(sim)
     margin = float(np.mean(same) - np.mean(cross))
 
+    # 4. NEVER-SEEN speakers (one-shot cloning, the reference's signature
+    #    capability — /root/reference/services/tts/README.md:48-51). Every number
+    #    above grades speakers the model TRAINED on; this block generates voices
+    #    from a disjoint seed pool, embeds each reference clip through the real
+    #    serving path (engine.embed_voice), and grades synthesis quality + clone
+    #    margin for voices the model has never observed.
+    unseen = None
+    if args.unseen_speakers > 0:
+        from gonova_tts_tpu.train.synth_corpus import (
+            generate_corpus, make_unseen_speakers,
+        )
+
+        uns_spk = make_unseen_speakers(args.unseen_speakers)
+        uns_dir = args.corpus.rstrip("/") + f"_unseen{args.unseen_speakers}"
+        if not os.path.exists(os.path.join(uns_dir, "corpus_meta.json")):
+            generate_corpus(
+                uns_dir, sentences=list(SENTENCES), speakers=uns_spk,
+                variable=variable, holdout=n_heldout,
+                rate_variation=rate_variation,
+            )
+        uns_embs = {}
+        for spk in uns_spk:
+            audio, sr = read_wav(os.path.join(uns_dir, f"ref_{spk.name}.wav"))
+            uns_embs[spk.name] = engine.embed_voice(np.asarray(audio, np.float32), sr)
+
+        uns_held_in = grade(range(args.sentences), uns_dir, uns_spk, uns_embs)
+        uns_held_out = None
+        if n_heldout > 0:
+            n = len(SENTENCES)
+            uns_held_out = grade(range(n - n_heldout, n), uns_dir, uns_spk, uns_embs)
+
+        # Clone margin with the cross pool = OTHER unseen refs + ALL training
+        # refs. Including training refs is the sharp test: a model that collapses
+        # a new voice onto its nearest training voice scores high same-voice
+        # cosine on training speakers but fails here.
+        all_refs = {**ref_embs, **uns_embs}
+        u_same, u_cross, u_cross_train = [], [], []
+        for spk in uns_spk:
+            out = engine.synthesize_batch(
+                [SENTENCES[1]], speakers=[uns_embs[spk.name]]
+            )[0]
+            emb = engine.embed_voice(out, engine.sample_rate)
+            for other, ref in all_refs.items():
+                sim = float(np.dot(emb, ref))
+                if other == spk.name:
+                    u_same.append(sim)
+                else:
+                    u_cross.append(sim)
+                    if other in ref_embs:
+                        u_cross_train.append(sim)
+        unseen = {
+            "n_speakers": len(uns_spk),
+            "held_in_mel_l1": round(uns_held_in["mel_l1"], 4),
+            "held_in_acoustic_mel_l1": round(uns_held_in["acoustic_mel_l1"], 4),
+            "len_ratio": round(uns_held_in["len_ratio"], 4),
+            "clone_same_voice_mean": round(float(np.mean(u_same)), 4),
+            "clone_cross_voice_mean": round(float(np.mean(u_cross)), 4),
+            "clone_cross_train_mean": round(float(np.mean(u_cross_train)), 4),
+            "clone_margin": round(float(np.mean(u_same) - np.mean(u_cross)), 4),
+        }
+        if variable and "dur_corr_nonsil" in uns_held_in:
+            unseen["held_in_dur_corr_nonsil"] = round(
+                uns_held_in["dur_corr_nonsil"], 4
+            )
+        if uns_held_out is not None:
+            unseen["held_out_mel_l1"] = round(uns_held_out["mel_l1"], 4)
+            if variable and "dur_corr_nonsil" in uns_held_out:
+                unseen["held_out_dur_corr_nonsil"] = round(
+                    uns_held_out["dur_corr_nonsil"], 4
+                )
+
     result = {
         "checkpoint": args.checkpoint,
         "backend": __import__("jax").default_backend(),
@@ -329,6 +410,8 @@ def main() -> None:
                 result["held_out_dur_corr_nonsil"] = round(
                     held_out.get("dur_corr_nonsil", 0.0), 4
                 )
+    if unseen is not None:
+        result["unseen_speakers"] = unseen
     print(json.dumps(result))
     sys.exit(0 if margin > 0 else 1)
 

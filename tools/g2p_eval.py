@@ -23,6 +23,7 @@ import zlib
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from gonova_tts_tpu.text.g2p import (  # noqa: E402
+    LEXICON,
     VENDORED_LEXICON,
     _word_to_phonemes_lts,
     word_to_phonemes,
@@ -108,10 +109,15 @@ def main() -> None:
     # the honest "unseen word through the shipped frontend" number.
     from gonova_tts_tpu.text import morph
 
+    # The shipped frontend's lexicon (builtin function words + vendored entries)
+    # with every held-out word removed, so each held-out word is genuinely OOV to
+    # the decomposition pass while its LEMMA (a different key) can still resolve.
+    lexicon_sans = {k: v for k, v in LEXICON.items() if k not in held_out}
+
     oov_pairs = []
     morph_hits = 0
     for w in sorted(held_out):
-        pred = morph.decompose(w, {k: v for k, v in LEXICON_SANS(held_out).items()})
+        pred = morph.decompose(w, lexicon_sans)
         if pred is not None:
             morph_hits += 1
         else:
@@ -146,6 +152,7 @@ def main() -> None:
                 "lts_held_out": lts,
                 "neural_held_out": neural,
                 "neural_held_out_with_stress": neural_stress,
+                "oov_pipeline": oov,
                 "homographs_ok": f"{homo_ok}/{len(homo_cases)}",
             }
         )
