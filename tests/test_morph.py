@@ -25,7 +25,9 @@ class TestSuffixAllomorphs:
     def test_past_allomorphs(self):
         assert _p("walked") == "W AO K T"  # voiceless → T
         assert _p("played") == "P L EY D"  # voiced → D
-        assert _p("wanted") == "W AA N T IH D"  # T/D → IH D
+        # T/D → AH D: the lexicon's own -ed entries use AH D 23:7 over IH D,
+        # so the allomorph follows the majority convention.
+        assert _p("wanted") == "W AA N T AH D"
         assert _p("carried") == "K AE R IY D"  # y → ied
 
     def test_past_orthography(self):
@@ -48,12 +50,15 @@ class TestSuffixAllomorphs:
         assert _p("bigger") == "B IH G ER"
         assert _p("nicer") == "N AY S ER"
         assert _p("heavier") == "HH EH V IY ER"
-        assert _p("quickest") == "K W IH K IH S T"
-        assert _p("happiest") == "HH AE P IY IH S T"
+        # -est → AH S T (lexicon majority 8:5 over IH S T).
+        assert _p("quickest") == "K W IH K AH S T"
+        assert _p("happiest") == "HH AE P IY AH S T"
 
     def test_adverbial_ly(self):
         assert _p("happily") == "HH AE P AH L IY"  # -ily reduction
-        assert _p("fully") == "F UH L L IY"  # degemination reversed
+        assert _p("fully") == "F UH L IY"  # L-final bases degeminate
+        assert _p("accidentally") == _p("accidentally")  # never crashes
+        assert _p("basically").endswith("K L IY")  # -ically syncope
 
     def test_derivation(self):
         assert _p("kindness") == "K AY N D N AH S"
@@ -75,10 +80,42 @@ class TestStackingAndAffixes:
         assert _p("fishermen") == "F IH SH ER M EH N"
 
     def test_prefixes(self):
-        assert _p("unexpected") == "AH N IH K S P EH K T IH D"  # prefix + suffix
-        assert _p("rebuilt") == "R IY B IH L T"
+        assert _p("unexpected") == "AH N IH K S P EH K T AH D"  # prefix + suffix
+        # re- is R IH by the lexicon's majority convention (IH 167 vs IY 68).
+        assert _p("rebuilt") == "R IH B IH L T"
         assert _p("misunderstood") == "M IH S AH N D ER S T UH D"
         assert _p("outperformed") == "AW T P ER F AO R M D"
+
+
+class TestDerivationalSuffixes:
+    def test_tion_families(self):
+        assert _p("creation") == "K R IY EY SH AH N"  # create: T → SH AH N
+        assert _p("consideration").endswith("EY SH AH N")  # -ation forces EY
+        assert _p("discussion") == "D IH S K AH SH AH N"  # -ssion
+        assert _p("confusion") == "K AH N F Y UW ZH AH N"  # -se → ZH AH N
+
+    def test_fixed_appends(self):
+        assert _p("dangerous").endswith("AH S")
+        assert _p("wooden") == "W UH D AH N"
+        assert _p("foolish").endswith("IH SH")
+        d = morph.decompose("guitarist", {"guitar": ["G", "IH", "T", "AA", "R"]})
+        assert d == ["G", "IH", "T", "AA", "R", "IH", "S", "T"]
+
+    def test_en_ablaut(self):
+        # Class-I participles shorten AY → IH; EY/OW participles keep theirs.
+        assert _p("risen") == "R IH Z AH N"
+        assert _p("taken") == "T EY K AH N"
+
+    def test_adjectival_y(self):
+        assert _p("rainy") == "R EY N IY"
+        assert _p("stony") == "S T OW N IY"  # e-restore only for CVC stems
+
+    def test_compounds(self):
+        assert _p("sunlight") == "S AH N L AY T"
+        # Suffix-homograph tails never split: no accident+ally.
+        from gonova_tts_tpu.text.morph import decompose
+        d = decompose("accidentally", {"accident": ["AE", "K"], "ally": ["AE", "L", "AY"]})
+        assert d is None
 
 
 class TestGuards:
