@@ -336,17 +336,26 @@ def _np_predict(params, chars: np.ndarray, beam: int = 1, prepared=None) -> np.n
     small length-normalized beam search — measured +2-3 pts held-out exact at
     beam 4 on the serving path. Dimensions come from the LOADED weights, so any
     vendored npz (old 128-d or current 192-d) runs regardless of the module's
-    init-time constants."""
-    p, pos_c, pos_p = prepared if prepared is not None else _prepare(params)
-    mask = (chars != CHAR_PAD).astype(np.float32)
-    x = p["char_embed"]["table"][chars] + pos_c
-    for blk in p["enc"]:
-        n = _np_ln(blk["ln1"], x)
-        x = x + _np_attn(blk["self"], n, n, key_mask=mask)
-        x = x + _np_ffn(blk["ffn"], _np_ln(blk["ln2"], x))
-    enc = x
+    init-time constants.
 
-    def step_logp(ids):
+    `prepared` may be a LIST of _prepare bundles: the beam is then scored by the
+    ensemble-average log-probability over the member models (vendored siblings
+    g2p_weights_e2/_e3.npz) — the standard product-of-experts seq2seq ensemble."""
+    if isinstance(prepared, list):
+        bundles = prepared
+    else:
+        bundles = [prepared if prepared is not None else _prepare(params)]
+    mask = (chars != CHAR_PAD).astype(np.float32)
+    encs = []
+    for p, pos_c, _ in bundles:
+        x = p["char_embed"]["table"][chars] + pos_c
+        for blk in p["enc"]:
+            n = _np_ln(blk["ln1"], x)
+            x = x + _np_attn(blk["self"], n, n, key_mask=mask)
+            x = x + _np_ffn(blk["ffn"], _np_ln(blk["ln2"], x))
+        encs.append(x)
+
+    def _one_logp(p, pos_p, enc, ids):
         y = p["phon_embed"]["table"][np.asarray(ids)] + pos_p[: len(ids)]
         for blk in p["dec"]:
             n = _np_ln(blk["ln1"], y)
@@ -355,6 +364,13 @@ def _np_predict(params, chars: np.ndarray, beam: int = 1, prepared=None) -> np.n
             y = y + _np_ffn(blk["ffn"], _np_ln(blk["ln3"], y))
         logits = _np_dense(p["out"], _np_ln(p["ln_out"], y[-1:]))[0]
         return logits - np.log(np.exp(logits - logits.max()).sum()) - logits.max()
+
+    def step_logp(ids):
+        acc = None
+        for (p, _, pos_p), enc in zip(bundles, encs):
+            lp = _one_logp(p, pos_p, enc, ids)
+            acc = lp if acc is None else acc + lp
+        return acc / len(bundles)
 
     # Hypotheses: (decoder input ids incl BOS, summed logprob, finished,
     # n_terms = number of logprob terms in the sum). Normalizing by n_terms —
@@ -400,8 +416,24 @@ _LOCK = threading.Lock()
 # (plain dict preserves insertion order) like the other serving-path caches.
 _WORD_CACHE: Dict[str, Optional[List[str]]] = {}
 _WORD_CACHE_MAX = 4096
-_PARAMS: List[object] = []  # empty = not yet loaded; [None] = unavailable
-_PREPARED: List[object] = []  # _prepare(params) bundle, same lifecycle as _PARAMS
+# Loaded-model slot: empty = not yet loaded; [None] = unavailable;
+# [[(params, pos_c, pos_p), ...]] = prepared ensemble bundles. ONE slot holds
+# both params and their prepared form so clearing _PARAMS (tests do) can never
+# leave a stale prepared bundle behind.
+_PARAMS: List[object] = []
+
+
+def _ensemble_paths() -> List[str]:
+    """The vendored weights plus any ensemble siblings (_e2.npz, _e3.npz, ...)
+    next to them. Member count is whatever is shipped; serving cost scales
+    linearly and stays microseconds-per-word at 3 members."""
+    root, ext = os.path.splitext(WEIGHTS_PATH)
+    out = [WEIGHTS_PATH]
+    for i in range(2, 9):
+        p = f"{root}_e{i}{ext}"
+        if os.path.exists(p):
+            out.append(p)
+    return out
 
 
 def available() -> bool:
@@ -410,19 +442,21 @@ def available() -> bool:
     return os.path.exists(WEIGHTS_PATH)
 
 
-def _get_params() -> Optional[Params]:
+def _get_models() -> Optional[List[tuple]]:
     with _LOCK:
         if not _PARAMS:
-            _PARAMS.append(load_weights(WEIGHTS_PATH) if available() else None)
-            _PREPARED.append(_prepare(_PARAMS[0]) if _PARAMS[0] is not None else None)
+            if available():
+                _PARAMS.append([_prepare(load_weights(p)) for p in _ensemble_paths()])
+            else:
+                _PARAMS.append(None)
         return _PARAMS[0]
 
 
 def predict_word(word: str) -> Optional[List[str]]:
     """Neural pronunciation for one word, or None when unavailable/unencodable.
     Results are memoized (serving calls this per OOV word)."""
-    params = _get_params()
-    if params is None:
+    models = _get_models()
+    if models is None:
         return None
     key = word.lower()
     with _LOCK:
@@ -436,9 +470,7 @@ def predict_word(word: str) -> Optional[List[str]]:
     except ValueError:
         beam = 4
     beam = max(1, beam)  # 0/negative used to crash the decoder (argsort[-0:])
-    phons = decode_ids(
-        _np_predict(params, chars, beam=beam, prepared=_PREPARED[0])
-    ) or None
+    phons = decode_ids(_np_predict(None, chars, beam=beam, prepared=models)) or None
     with _LOCK:
         while len(_WORD_CACHE) >= _WORD_CACHE_MAX:
             _WORD_CACHE.pop(next(iter(_WORD_CACHE)))

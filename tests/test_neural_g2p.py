@@ -140,3 +140,24 @@ def test_tree_skeleton_matches_init_structure():
     ref = jax.tree_util.tree_structure(ng.init(jax.random.PRNGKey(0)))
     sk = jax.tree_util.tree_structure(ng._tree_skeleton())
     assert ref == sk
+
+
+def test_ensemble_siblings_loaded_and_decodable(tmp_path, monkeypatch):
+    """predict_word scores the beam with the ensemble average when _e2/_e3
+    sibling weights sit next to the primary npz; a lone primary still works."""
+    p1 = ng.init(jax.random.PRNGKey(3))
+    p2 = ng.init(jax.random.PRNGKey(4))
+    path = str(tmp_path / "w.npz")
+    ng.save_weights(p1, path)
+    ng.save_weights(p2, str(tmp_path / "w_e2.npz"))
+    monkeypatch.setattr(ng, "WEIGHTS_PATH", path)
+    with ng._LOCK:
+        ng._WORD_CACHE.clear()
+        ng._PARAMS.clear()
+    models = ng._get_models()
+    assert models is not None and len(models) == 2
+    out = ng.predict_word("ensembleword")
+    assert out is None or all(isinstance(p, str) for p in out)
+    with ng._LOCK:
+        ng._WORD_CACHE.clear()
+        ng._PARAMS.clear()

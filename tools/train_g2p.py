@@ -242,6 +242,9 @@ def main() -> None:
     ap.add_argument("--weight-decay", type=float, default=3e-3)
     ap.add_argument("--label-smooth", type=float, default=0.1)
     ap.add_argument("--no-save", action="store_true")
+    ap.add_argument("--save-path", default=None,
+                    help="weights npz destination (default: the vendored path); "
+                    "use g2p_weights_e2.npz / _e3.npz for ensemble members")
     ap.add_argument("--no-stress", action="store_true",
                     help="train stressless targets (pre-round-3 behavior)")
     ap.add_argument("--compounds", type=int, default=0,
@@ -335,8 +338,9 @@ def main() -> None:
     print(json.dumps(report), flush=True)
 
     if not args.no_save:
-        ng.save_weights(params)
-        print(f"saved {ng.WEIGHTS_PATH} ({os.path.getsize(ng.WEIGHTS_PATH) // 1024} KiB)")
+        dest = args.save_path or ng.WEIGHTS_PATH
+        ng.save_weights(params, dest)
+        print(f"saved {dest} ({os.path.getsize(dest) // 1024} KiB)")
 
 
 if __name__ == "__main__":
