@@ -312,6 +312,30 @@ def _np_attn(p, q_in, kv_in, key_mask=None, causal=False):
     return _np_dense(p["o"], out)
 
 
+def _np_attn_b(p, q_in, kv_in, key_mask=None, causal=False):
+    """Batched attention: q_in [B,Tq,D]; kv_in [B,Tk,D] or broadcastable [Tk,D].
+    The beam decoder batches every unfinished hypothesis (they share a length at
+    each step) into ONE call — the serving-path cost of ensemble × beam stays at
+    roughly the old single-hypothesis level."""
+    b, tq, d = q_in.shape
+    if kv_in.ndim == 2:
+        kv_in = np.broadcast_to(kv_in, (b,) + kv_in.shape)
+    tk = kv_in.shape[1]
+    h, dh = N_HEADS, d // N_HEADS
+    q = _np_dense(p["q"], q_in).reshape(b, tq, h, dh)
+    k = _np_dense(p["k"], kv_in).reshape(b, tk, h, dh)
+    v = _np_dense(p["v"], kv_in).reshape(b, tk, h, dh)
+    logits = np.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(dh)
+    if key_mask is not None:
+        logits = logits + np.where(key_mask[None, None, None, :] > 0, 0.0, -1e9)
+    if causal:
+        logits = logits + np.where(
+            np.tril(np.ones((tq, tk), bool))[None, None], 0.0, -1e9
+        )
+    out = np.einsum("bhqk,bkhd->bqhd", _np_softmax(logits), v).reshape(b, tq, d)
+    return _np_dense(p["o"], out)
+
+
 def _np_ffn(p, x):
     return _np_dense(p["w2"], np.maximum(_np_dense(p["w1"], x), 0.0))
 
@@ -355,20 +379,24 @@ def _np_predict(params, chars: np.ndarray, beam: int = 1, prepared=None) -> np.n
             x = x + _np_ffn(blk["ffn"], _np_ln(blk["ln2"], x))
         encs.append(x)
 
-    def _one_logp(p, pos_p, enc, ids):
-        y = p["phon_embed"]["table"][np.asarray(ids)] + pos_p[: len(ids)]
+    def _batch_logp(p, pos_p, enc, ids_b):
+        # ids_b [n, t] → per-hypothesis next-token log-probs [n, V].
+        n, t = ids_b.shape
+        y = p["phon_embed"]["table"][ids_b] + pos_p[:t]
         for blk in p["dec"]:
-            n = _np_ln(blk["ln1"], y)
-            y = y + _np_attn(blk["self"], n, n, causal=True)
-            y = y + _np_attn(blk["cross"], _np_ln(blk["ln2"], y), enc, key_mask=mask)
+            nrm = _np_ln(blk["ln1"], y)
+            y = y + _np_attn_b(blk["self"], nrm, nrm, causal=True)
+            y = y + _np_attn_b(blk["cross"], _np_ln(blk["ln2"], y), enc, key_mask=mask)
             y = y + _np_ffn(blk["ffn"], _np_ln(blk["ln3"], y))
-        logits = _np_dense(p["out"], _np_ln(p["ln_out"], y[-1:]))[0]
-        return logits - np.log(np.exp(logits - logits.max()).sum()) - logits.max()
+        logits = _np_dense(p["out"], _np_ln(p["ln_out"], y[:, -1:]))[:, 0]
+        m = logits.max(-1, keepdims=True)
+        return logits - np.log(np.exp(logits - m).sum(-1, keepdims=True)) - m
 
-    def step_logp(ids):
+    def step_logp_batch(ids_list):
+        ids_b = np.asarray(ids_list, np.int32)
         acc = None
         for (p, _, pos_p), enc in zip(bundles, encs):
-            lp = _one_logp(p, pos_p, enc, ids)
+            lp = _batch_logp(p, pos_p, enc, ids_b)
             acc = lp if acc is None else acc + lp
         return acc / len(bundles)
 
@@ -377,16 +405,16 @@ def _np_predict(params, chars: np.ndarray, beam: int = 1, prepared=None) -> np.n
     # not by phoneme count — keeps EOS-finished hypotheses comparable with
     # unfinished ones at the same prefix length (the EOS step's cost used to be
     # added to the sum but not the length, biasing pruning against terminating).
+    # Every unfinished hypothesis at a step has the same prefix length, so one
+    # batched call scores the whole beam across all ensemble members.
     hyps = [([P_BOS], 0.0, False, 0)]
     for _ in range(MAX_PHONS):
-        if all(h[2] for h in hyps):
+        live = [h for h in hyps if not h[2]]
+        if not live:
             break
-        new = []
-        for ids, lp, done, nt in hyps:
-            if done:
-                new.append((ids, lp, True, nt))
-                continue
-            logp = step_logp(ids)
+        new = [h for h in hyps if h[2]]
+        logps = step_logp_batch([h[0] for h in live])
+        for (ids, lp, _, nt), logp in zip(live, logps):
             if beam == 1:
                 top = [int(np.argmax(logp))]
             else:
