@@ -359,7 +359,8 @@ def rate_for_text(text: str) -> float:
 
 
 def utterance_durations(
-    ids: Sequence[int], text: str, rate_variation: bool = False
+    ids: Sequence[int], text: str, rate_variation: bool = False,
+    jitter_salt: str = "",
 ) -> List[int]:
     """Deterministic VARIABLE per-token frame counts (mean ≈ FRAMES_PER_TOKEN).
 
@@ -368,14 +369,17 @@ def utterance_durations(
     a model that merely spreads frames evenly gets the alignment measurably wrong,
     which is exactly what the aligner-learning eval needs to detect.
     rate_variation=True additionally scales the whole sentence by `rate_for_text`
-    (the harder-corpus mode: global tempo the aligner must absorb per utterance)."""
+    (the harder-corpus mode: global tempo the aligner must absorb per utterance).
+    jitter_salt perturbs ONLY the jitter key (not the token ids or rate): it
+    yields an alternative iid realization of the same utterance — the basis of
+    tools/jitter_floor.py's irreducible-error floor on unseen text."""
     rate = rate_for_text(text) if rate_variation else 1.0
     out = []
     for pos, tok in enumerate(ids):
         sym = SYMBOLS[tok]
         if sym and sym[-1] in "012":
             sym = sym[:-1]  # stress marks don't change the segment class
-        jitter = zlib.crc32(f"{sym}|{pos}|{text}".encode())
+        jitter = zlib.crc32(f"{sym}|{pos}|{text}{jitter_salt}".encode())
         if sym in _VOWEL_FORMANTS:
             dur = 4 + jitter % 4  # 4-7: vowels longest
         elif sym in _SONORANT_FORMANTS:
@@ -392,16 +396,23 @@ def utterance_durations(
 
 def synthesize_utterance(
     text: str, speaker: Speaker, cfg: ModelConfig, variable: bool = False,
-    rate_variation: bool = False,
+    rate_variation: bool = False, jitter_salt: str = "",
+    durations: Optional[Sequence[int]] = None,
 ) -> Tuple[np.ndarray, List[int]]:
     """Text → (waveform, token ids); FRAMES_PER_TOKEN frames per token, or the
-    deterministic `utterance_durations` spread when variable=True."""
+    deterministic `utterance_durations` spread when variable=True. `durations`
+    overrides both (tools/jitter_floor.py's expected-duration rendition)."""
     ids = text_to_ids(text)
-    durs = (
-        utterance_durations(ids, text, rate_variation=rate_variation)
-        if variable
-        else [FRAMES_PER_TOKEN] * len(ids)
-    )
+    if durations is not None:
+        durs = list(durations)
+    else:
+        durs = (
+            utterance_durations(
+                ids, text, rate_variation=rate_variation, jitter_salt=jitter_salt
+            )
+            if variable
+            else [FRAMES_PER_TOKEN] * len(ids)
+        )
     segs = []
     n_tok = len(ids)
     for pos, (tok, d) in enumerate(zip(ids, durs)):

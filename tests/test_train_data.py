@@ -542,3 +542,51 @@ def test_corpus_meta_roundtrip(tmp_path):
     assert all(d >= 1 for d in rated)
     ratio = sum(rated) / sum(base)
     assert abs(ratio - rate_for_text(text)) < 0.1
+
+
+def test_jitter_floor_tool(tmp_path):
+    """tools/jitter_floor.py: both floors computed, positive, and the salted
+    rendition differs from ground truth (alt-jitter floor > 0) while the
+    salt leaves token ids untouched (len ratios stay near 1)."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    from gonova_tts_tpu.train import synth_corpus
+
+    cfg = ModelConfig()
+    sents = ("A dog ran.", "Go now!", "She saw him.", "We ate pie.")
+    synth_corpus.generate_corpus(
+        str(tmp_path / "c"), cfg, sentences=sents,
+        speakers=synth_corpus.DEFAULT_SPEAKERS[:2], variable=True, holdout=2,
+    )
+    repo = Path(__file__).resolve().parents[1]
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, str(repo / "tools" / "jitter_floor.py"),
+         "--corpus", str(tmp_path / "c")],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["n_utterances"] == 4  # 2 speakers x 2 held-out sentences
+    assert out["floor_alt_jitter_mel_l1"] > 0.1
+    assert out["floor_mean_dur_mel_l1"] > 0.1
+    assert 0.7 < out["alt_len_ratio"] < 1.3
+    assert 0.7 < out["mean_len_ratio"] < 1.3
+
+
+def test_jitter_salt_changes_durations_only(tmp_path):
+    """jitter_salt yields a different iid realization of the same tokens."""
+    from gonova_tts_tpu.text import text_to_ids
+    from gonova_tts_tpu.train.synth_corpus import utterance_durations
+
+    ids = text_to_ids("The quick brown fox jumps over the lazy dog.")
+    a = utterance_durations(ids, "t", jitter_salt="")
+    b = utterance_durations(ids, "t", jitter_salt="\x00altseed")
+    assert len(a) == len(b) == len(ids)
+    assert a != b  # different realization
+    # Same class-conditional ranges: means within the jitter spread.
+    import numpy as np
+    assert abs(float(np.mean(a)) - float(np.mean(b))) < 1.5
