@@ -161,23 +161,32 @@ def _dec_block_init(rng, d: int, f: int) -> Params:
     }
 
 
-def init(rng) -> Params:
-    ks = jax.random.split(rng, 4 + ENC_LAYERS + DEC_LAYERS)
+def init(
+    rng,
+    d_model: int = D_MODEL,
+    d_ff: int = D_FF,
+    enc_layers: int = ENC_LAYERS,
+    dec_layers: int = DEC_LAYERS,
+) -> Params:
+    """Default dims match the vendored primary; ensemble members may be wider or
+    deeper (dims are read back from the weights everywhere downstream — only
+    N_HEADS is fixed, so d_model must stay divisible by 4)."""
+    ks = jax.random.split(rng, 4 + enc_layers + dec_layers)
     return {
-        "char_embed": layers.embedding_init(ks[0], N_CHAR_VOCAB, D_MODEL),
-        "phon_embed": layers.embedding_init(ks[1], N_PHON_VOCAB, D_MODEL),
-        "enc": [_enc_block_init(ks[2 + i], D_MODEL, D_FF) for i in range(ENC_LAYERS)],
+        "char_embed": layers.embedding_init(ks[0], N_CHAR_VOCAB, d_model),
+        "phon_embed": layers.embedding_init(ks[1], N_PHON_VOCAB, d_model),
+        "enc": [_enc_block_init(ks[2 + i], d_model, d_ff) for i in range(enc_layers)],
         "dec": [
-            _dec_block_init(ks[2 + ENC_LAYERS + i], D_MODEL, D_FF) for i in range(DEC_LAYERS)
+            _dec_block_init(ks[2 + enc_layers + i], d_model, d_ff) for i in range(dec_layers)
         ],
-        "ln_out": layers.layernorm_init(D_MODEL),
-        "out": layers.dense_init(ks[-1], D_MODEL, N_PHON_VOCAB),
+        "ln_out": layers.layernorm_init(d_model),
+        "out": layers.dense_init(ks[-1], d_model, N_PHON_VOCAB),
     }
 
 
 def _encode(params: Params, chars: jnp.ndarray, char_mask: jnp.ndarray) -> jnp.ndarray:
     x = layers.embedding(params["char_embed"], chars)
-    x = x + jnp.asarray(layers.sinusoidal_positions(chars.shape[1], D_MODEL))
+    x = x + jnp.asarray(layers.sinusoidal_positions(chars.shape[1], x.shape[-1]))
     for blk in params["enc"]:
         n = layers.layernorm(blk["ln1"], x)
         x = x + _xattn(blk["self"], n, n, N_HEADS, char_mask, False)
@@ -192,7 +201,7 @@ def _decode(
     phon_in: jnp.ndarray,  # [B, Tp] decoder input ids (BOS-shifted)
 ) -> jnp.ndarray:
     y = layers.embedding(params["phon_embed"], phon_in)
-    y = y + jnp.asarray(layers.sinusoidal_positions(phon_in.shape[1], D_MODEL))
+    y = y + jnp.asarray(layers.sinusoidal_positions(phon_in.shape[1], y.shape[-1]))
     for blk in params["dec"]:
         n = layers.layernorm(blk["ln1"], y)
         y = y + _xattn(blk["self"], n, n, N_HEADS, None, True)
@@ -236,10 +245,17 @@ def greedy_decode(params: Params, chars: jnp.ndarray) -> jnp.ndarray:
 
 def save_weights(params: Params, path: str = WEIGHTS_PATH) -> None:
     flat, _ = jax.tree_util.tree_flatten(params)
-    np.savez_compressed(path, **{f"p{i}": np.asarray(a, np.float16) for i, a in enumerate(flat)})
+    # Self-describing: layer counts ride along so ensemble members of a
+    # DIFFERENT depth than the module constants load correctly (width is
+    # already dynamic — every matmul reads its shape from the table).
+    np.savez_compressed(
+        path,
+        meta_layers=np.asarray([len(params["enc"]), len(params["dec"])], np.int32),
+        **{f"p{i}": np.asarray(a, np.float16) for i, a in enumerate(flat)},
+    )
 
 
-def _tree_skeleton() -> Params:
+def _tree_skeleton(enc_layers: int = ENC_LAYERS, dec_layers: int = DEC_LAYERS) -> Params:
     """Same nested structure as init() with scalar placeholder leaves. Serving
     loads weights through this (tree_unflatten) so the first OOV word never pays
     init()'s ~30 XLA random-init compiles (measured 4-5 s on one CPU core; it was
@@ -255,8 +271,8 @@ def _tree_skeleton() -> Params:
     return {
         "char_embed": {"table": 0.0},
         "phon_embed": {"table": 0.0},
-        "enc": [enc() for _ in range(ENC_LAYERS)],
-        "dec": [dec() for _ in range(DEC_LAYERS)],
+        "enc": [enc() for _ in range(enc_layers)],
+        "dec": [dec() for _ in range(dec_layers)],
         "ln_out": ln(),
         "out": dense(),
     }
@@ -265,10 +281,14 @@ def _tree_skeleton() -> Params:
 def load_weights(path: str = WEIGHTS_PATH) -> Params:
     data = np.load(path)
     n = len([k for k in data.files if k.startswith("p")])
+    if "meta_layers" in data.files:
+        enc_l, dec_l = (int(x) for x in data["meta_layers"])
+    else:
+        enc_l, dec_l = ENC_LAYERS, DEC_LAYERS  # pre-round-5 npz: fixed depth
     # numpy leaves: the serving path is numpy-only (no device transfer per word);
     # jax callers get implicit conversion.
     flat = [np.asarray(data[f"p{i}"], np.float32) for i in range(n)]
-    ref_flat, treedef = jax.tree_util.tree_flatten(_tree_skeleton())
+    ref_flat, treedef = jax.tree_util.tree_flatten(_tree_skeleton(enc_l, dec_l))
     assert len(ref_flat) == n, f"weight count mismatch: {len(ref_flat)} vs {n}"
     return jax.tree_util.tree_unflatten(treedef, flat)
 

@@ -251,6 +251,10 @@ def main() -> None:
                     help="add N sampled two-word pseudo-compounds to the train set")
     ap.add_argument("--avg-tail", type=float, default=0.0,
                     help="Polyak-average the weights over the last FRACTION of steps")
+    ap.add_argument("--d-model", type=int, default=ng.D_MODEL)
+    ap.add_argument("--d-ff", type=int, default=ng.D_FF)
+    ap.add_argument("--enc-layers", type=int, default=ng.ENC_LAYERS)
+    ap.add_argument("--dec-layers", type=int, default=ng.DEC_LAYERS)
     args = ap.parse_args()
 
     x, y, held = build_dataset(
@@ -258,7 +262,10 @@ def main() -> None:
     )
     print(f"train pairs: {len(x)}, held-out: {len(held)}", flush=True)
 
-    params = ng.init(jax.random.PRNGKey(args.seed))
+    params = ng.init(
+        jax.random.PRNGKey(args.seed), d_model=args.d_model, d_ff=args.d_ff,
+        enc_layers=args.enc_layers, dec_layers=args.dec_layers,
+    )
     warmup = min(200, max(1, args.steps // 10))
     sched = optax.warmup_cosine_decay_schedule(0.0, args.lr, warmup, args.steps, args.lr * 0.02)
     opt = optax.adamw(sched, weight_decay=args.weight_decay)
