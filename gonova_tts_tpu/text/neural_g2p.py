@@ -333,10 +333,10 @@ def _np_attn(p, q_in, kv_in, key_mask=None, causal=False):
 
 
 def _np_attn_b(p, q_in, kv_in, key_mask=None, causal=False):
-    """Batched attention: q_in [B,Tq,D]; kv_in [B,Tk,D] or broadcastable [Tk,D].
-    The beam decoder batches every unfinished hypothesis (they share a length at
-    each step) into ONE call — the serving-path cost of ensemble × beam stays at
-    roughly the old single-hypothesis level."""
+    """Batched attention: q_in [B,Tq,D]; kv_in [B,Tk,D] or broadcastable [Tk,D];
+    key_mask [Tk] (shared) or [B,Tk] (per example). The beam decoder batches
+    every live hypothesis of every word into ONE call per step — on a 1-core
+    host this is the difference between ~250 ms and ~5 ms per OOV word."""
     b, tq, d = q_in.shape
     if kv_in.ndim == 2:
         kv_in = np.broadcast_to(kv_in, (b,) + kv_in.shape)
@@ -347,7 +347,8 @@ def _np_attn_b(p, q_in, kv_in, key_mask=None, causal=False):
     v = _np_dense(p["v"], kv_in).reshape(b, tk, h, dh)
     logits = np.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(dh)
     if key_mask is not None:
-        logits = logits + np.where(key_mask[None, None, None, :] > 0, 0.0, -1e9)
+        km = key_mask[None, :] if key_mask.ndim == 1 else key_mask
+        logits = logits + np.where(km[:, None, None, :] > 0, 0.0, -1e9)
     if causal:
         logits = logits + np.where(
             np.tril(np.ones((tq, tk), bool))[None, None], 0.0, -1e9
@@ -373,85 +374,147 @@ def _prepare(params):
     )
 
 
-def _np_predict(params, chars: np.ndarray, beam: int = 1, prepared=None) -> np.ndarray:
-    """chars [MAX_CHARS] int32 → phoneme ids [MAX_PHONS] (single word).
+def _np_predict_batch(bundles, chars_b: np.ndarray, beam: int = 1) -> np.ndarray:
+    """chars_b [N, MAX_CHARS] int32 → phoneme ids [N, MAX_PHONS].
 
-    beam=1 is exact greedy (parity-tested against the jax decoder); beam>1 runs a
-    small length-normalized beam search — measured +2-3 pts held-out exact at
-    beam 4 on the serving path. Dimensions come from the LOADED weights, so any
-    vendored npz (old 128-d or current 192-d) runs regardless of the module's
-    init-time constants.
+    Length-normalized beam search over ALL words at once: each decode step makes
+    exactly one batched call per ensemble member, covering every live hypothesis
+    of every word. On the 1-core serving host this is the difference between
+    ~250 ms and ~5 ms per OOV word at 4 members × beam 4 — and it lets eval
+    harnesses push the whole held-out split through in seconds.
 
-    `prepared` may be a LIST of _prepare bundles: the beam is then scored by the
-    ensemble-average log-probability over the member models (vendored siblings
-    g2p_weights_e2/_e3.npz) — the standard product-of-experts seq2seq ensemble."""
-    if isinstance(prepared, list):
-        bundles = prepared
-    else:
-        bundles = [prepared if prepared is not None else _prepare(params)]
-    mask = (chars != CHAR_PAD).astype(np.float32)
-    encs = []
+    beam=1 is exact greedy (parity-tested against the jax decoder). Hypothesis
+    scores normalize by the number of summed log-prob terms (EOS included), so
+    finished hypotheses stay comparable with unfinished ones. Candidate policy
+    matches the historical per-word decoder: top-`beam` expansions per live
+    hypothesis, merged with carried-over finished hypotheses, pruned to `beam`."""
+    n_words = chars_b.shape[0]
+    k = beam
+    masks = (chars_b != CHAR_PAD).astype(np.float32)  # [N, Tc]
+    encs = []  # per member: [N, Tc, D]
     for p, pos_c, _ in bundles:
-        x = p["char_embed"]["table"][chars] + pos_c
+        x = p["char_embed"]["table"][chars_b] + pos_c
         for blk in p["enc"]:
-            n = _np_ln(blk["ln1"], x)
-            x = x + _np_attn(blk["self"], n, n, key_mask=mask)
+            nrm = _np_ln(blk["ln1"], x)
+            x = x + _np_attn_b(blk["self"], nrm, nrm, key_mask=masks)
             x = x + _np_ffn(blk["ffn"], _np_ln(blk["ln2"], x))
         encs.append(x)
 
-    def _batch_logp(p, pos_p, enc, ids_b):
-        # ids_b [n, t] → per-hypothesis next-token log-probs [n, V].
-        n, t = ids_b.shape
+    def _rows_logp(p, pos_p, enc_rows, ids_b, mask_rows):
+        r, t = ids_b.shape
         y = p["phon_embed"]["table"][ids_b] + pos_p[:t]
         for blk in p["dec"]:
             nrm = _np_ln(blk["ln1"], y)
             y = y + _np_attn_b(blk["self"], nrm, nrm, causal=True)
-            y = y + _np_attn_b(blk["cross"], _np_ln(blk["ln2"], y), enc, key_mask=mask)
+            y = y + _np_attn_b(
+                blk["cross"], _np_ln(blk["ln2"], y), enc_rows, key_mask=mask_rows
+            )
             y = y + _np_ffn(blk["ffn"], _np_ln(blk["ln3"], y))
         logits = _np_dense(p["out"], _np_ln(p["ln_out"], y[:, -1:]))[:, 0]
         m = logits.max(-1, keepdims=True)
         return logits - np.log(np.exp(logits - m).sum(-1, keepdims=True)) - m
 
-    def step_logp_batch(ids_list):
-        ids_b = np.asarray(ids_list, np.int32)
+    NEG = -1e30
+    # Hypothesis state [N, k]: slot 0 is the lone BOS hypothesis at t=0.
+    ids = np.full((n_words, k, 1 + MAX_PHONS), P_PAD, np.int32)
+    ids[:, :, 0] = P_BOS
+    length = np.ones((n_words, k), np.int32)  # ids length incl BOS
+    sumlp = np.full((n_words, k), NEG, np.float64)
+    sumlp[:, 0] = 0.0
+    nterms = np.zeros((n_words, k), np.int64)
+    done = np.zeros((n_words, k), bool)
+    valid = np.zeros((n_words, k), bool)
+    valid[:, 0] = True
+
+    for t in range(MAX_PHONS):
+        live = valid & ~done
+        if not live.any():
+            break
+        rows = np.nonzero(live.reshape(-1))[0]
+        word_of = rows // k
+        ids_rows = ids.reshape(n_words * k, -1)[rows, : t + 1]
         acc = None
         for (p, _, pos_p), enc in zip(bundles, encs):
-            lp = _batch_logp(p, pos_p, enc, ids_b)
+            lp = _rows_logp(p, pos_p, enc[word_of], ids_rows, masks[word_of])
             acc = lp if acc is None else acc + lp
-        return acc / len(bundles)
+        logp = acc / len(bundles)  # [R, V]
+        if k == 1:
+            top_tok = np.argmax(logp, axis=1)  # [R]
+            top_lp = logp[np.arange(len(rows)), top_tok]
+        else:
+            top_tok = np.argpartition(-logp, k - 1, axis=1)[:, :k]  # [R, k]
+            top_lp = np.take_along_axis(logp, top_tok, axis=1)
 
-    # Hypotheses: (decoder input ids incl BOS, summed logprob, finished,
-    # n_terms = number of logprob terms in the sum). Normalizing by n_terms —
-    # not by phoneme count — keeps EOS-finished hypotheses comparable with
-    # unfinished ones at the same prefix length (the EOS step's cost used to be
-    # added to the sum but not the length, biasing pruning against terminating).
-    # Every unfinished hypothesis at a step has the same prefix length, so one
-    # batched call scores the whole beam across all ensemble members.
-    hyps = [([P_BOS], 0.0, False, 0)]
-    for _ in range(MAX_PHONS):
-        live = [h for h in hyps if not h[2]]
-        if not live:
-            break
-        new = [h for h in hyps if h[2]]
-        logps = step_logp_batch([h[0] for h in live])
-        for (ids, lp, _, nt), logp in zip(live, logps):
-            if beam == 1:
-                top = [int(np.argmax(logp))]
-            else:
-                top = np.argsort(logp)[-beam:][::-1].tolist()
-            for nxt in top:
-                nl = lp + float(logp[nxt])
-                if nxt in (P_EOS, P_PAD):
-                    new.append((ids, nl, True, nt + 1))
-                else:
-                    cand = ids + [int(nxt)]
-                    # Reserve the final slot for EOS: cap output at MAX_PHONS-1.
-                    new.append((cand, nl, len(cand) - 1 >= MAX_PHONS - 1, nt + 1))
-        new.sort(key=lambda h: h[1] / max(h[3], 1), reverse=True)
-        hyps = new[:beam]
-    best = max(hyps, key=lambda h: h[1] / max(h[3], 1))
-    out = best[0][1:] + [P_EOS]
-    return np.asarray(out + [P_PAD] * (MAX_PHONS - len(out)), np.int32)
+        # Per-word candidate merge (small python loop over live words only —
+        # the heavy math above is fully batched).
+        row_of_word = {}
+        for ri, w in enumerate(word_of):
+            row_of_word.setdefault(int(w), []).append(ri)
+        for w, ris in row_of_word.items():
+            cands = []  # (norm, sum, nterms, src_slot, tok_or_None, done)
+            for s in range(k):
+                if valid[w, s] and done[w, s]:
+                    cands.append(
+                        (sumlp[w, s] / max(nterms[w, s], 1), sumlp[w, s],
+                         nterms[w, s], s, None, True)
+                    )
+            for ri in ris:
+                s = int(rows[ri] % k)
+                toks = [int(top_tok[ri])] if k == 1 else [int(x) for x in top_tok[ri]]
+                lps = [float(top_lp[ri])] if k == 1 else [float(x) for x in top_lp[ri]]
+                for tok, tlp in zip(toks, lps):
+                    ns = sumlp[w, s] + tlp
+                    nt = nterms[w, s] + 1
+                    if tok in (P_EOS, P_PAD):
+                        cands.append((ns / max(nt, 1), ns, nt, s, None, True))
+                    else:
+                        # Reserve the final slot for EOS: cap at MAX_PHONS-1 tokens.
+                        fin = (length[w, s] + 1) - 1 >= MAX_PHONS - 1
+                        cands.append((ns / max(nt, 1), ns, nt, s, tok, fin))
+            cands.sort(key=lambda c: c[0], reverse=True)
+            cands = cands[:k]
+            new_ids = np.full((k, 1 + MAX_PHONS), P_PAD, np.int32)
+            new_ids[:, 0] = P_BOS
+            new_len = np.ones(k, np.int32)
+            new_sum = np.full(k, NEG, np.float64)
+            new_nt = np.zeros(k, np.int64)
+            new_done = np.zeros(k, bool)
+            new_valid = np.zeros(k, bool)
+            for j, (_, ns, nt, s, tok, fin) in enumerate(cands):
+                ln = int(length[w, s])
+                new_ids[j, :ln] = ids[w, s, :ln]
+                if tok is not None:
+                    new_ids[j, ln] = tok
+                    ln += 1
+                new_len[j] = ln
+                new_sum[j] = ns
+                new_nt[j] = nt
+                new_done[j] = fin
+                new_valid[j] = True
+            ids[w], length[w], sumlp[w] = new_ids, new_len, new_sum
+            nterms[w], done[w], valid[w] = new_nt, new_done, new_valid
+
+    out = np.full((n_words, MAX_PHONS), P_PAD, np.int32)
+    norm = np.where(valid, sumlp / np.maximum(nterms, 1), NEG)
+    best = np.argmax(norm, axis=1)
+    for w in range(n_words):
+        s = int(best[w])
+        ln = int(length[w, s])
+        toks = [int(x) for x in ids[w, s, 1:ln]]
+        seq = toks + [P_EOS]
+        out[w, : len(seq)] = np.asarray(seq[:MAX_PHONS], np.int32)
+    return out
+
+
+def _np_predict(params, chars: np.ndarray, beam: int = 1, prepared=None) -> np.ndarray:
+    """Single-word wrapper over _np_predict_batch (kept for the jax-parity test
+    and any older callers). `prepared` may be one _prepare bundle or a list of
+    them (ensemble)."""
+    if isinstance(prepared, list):
+        bundles = prepared
+    else:
+        bundles = [prepared if prepared is not None else _prepare(params)]
+    return _np_predict_batch(bundles, np.asarray(chars, np.int32)[None], beam=beam)[0]
 
 
 # ---------------------------------------------------------------- serving path
@@ -500,27 +563,61 @@ def _get_models() -> Optional[List[tuple]]:
         return _PARAMS[0]
 
 
-def predict_word(word: str) -> Optional[List[str]]:
-    """Neural pronunciation for one word, or None when unavailable/unencodable.
-    Results are memoized (serving calls this per OOV word)."""
-    models = _get_models()
-    if models is None:
-        return None
-    key = word.lower()
-    with _LOCK:
-        if key in _WORD_CACHE:
-            return _WORD_CACHE[key]
-    chars = encode_word(key)
-    if chars is None:
-        return None
+def _beam_width() -> int:
     try:
         beam = int(os.environ.get("TTS_G2P_BEAM", "4"))
     except ValueError:
         beam = 4
-    beam = max(1, beam)  # 0/negative used to crash the decoder (argsort[-0:])
-    phons = decode_ids(_np_predict(None, chars, beam=beam, prepared=models)) or None
+    return max(1, beam)  # 0/negative used to crash the decoder (argsort[-0:])
+
+
+def predict_words(words: List[str]) -> Dict[str, Optional[List[str]]]:
+    """Batched neural pronunciations: ONE vectorized beam decode for every
+    un-memoized encodable word in `words`. The per-word path delegates here;
+    eval harnesses push hundreds of words per call (seconds for the whole
+    held-out split on one core, vs minutes word-at-a-time)."""
+    models = _get_models()
+    out: Dict[str, Optional[List[str]]] = {}
+    if models is None:
+        return {w: None for w in words}
+    todo, chars_list = [], []
     with _LOCK:
-        while len(_WORD_CACHE) >= _WORD_CACHE_MAX:
-            _WORD_CACHE.pop(next(iter(_WORD_CACHE)))
-        _WORD_CACHE[key] = phons
-    return phons
+        for w in words:
+            key = w.lower()
+            if key in _WORD_CACHE:
+                out[w] = _WORD_CACHE[key]
+            elif key not in todo:
+                todo.append(key)
+    for key in list(todo):
+        c = encode_word(key)
+        if c is None:
+            todo.remove(key)
+            out[key] = None
+        else:
+            chars_list.append(c)
+    if todo:
+        beam = _beam_width()
+        # Chunked: one huge batch (1000+ words × beam hypotheses) thrashes the
+        # allocator; ~64 words keeps every step's arrays cache-sized.
+        CHUNK = 64
+        for lo in range(0, len(todo), CHUNK):
+            keys = todo[lo : lo + CHUNK]
+            ids = _np_predict_batch(
+                models,
+                np.stack(chars_list[lo : lo + CHUNK]).astype(np.int32),
+                beam=beam,
+            )
+            with _LOCK:
+                for key, row in zip(keys, ids):
+                    phons = decode_ids(row) or None
+                    while len(_WORD_CACHE) >= _WORD_CACHE_MAX:
+                        _WORD_CACHE.pop(next(iter(_WORD_CACHE)))
+                    _WORD_CACHE[key] = phons
+                    out[key] = phons
+    return {w: out.get(w, out.get(w.lower())) for w in words}
+
+
+def predict_word(word: str) -> Optional[List[str]]:
+    """Neural pronunciation for one word, or None when unavailable/unencodable.
+    Results are memoized (serving calls this per OOV word)."""
+    return predict_words([word])[word]

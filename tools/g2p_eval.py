@@ -82,11 +82,13 @@ def main() -> None:
     from gonova_tts_tpu.text.stress import assign_stress, strip_stress
 
     if neural_g2p.available():
-        # numpy inference path (backend-free; no jit compile through the TPU tunnel).
+        # numpy inference path (backend-free; no jit compile through the TPU
+        # tunnel). One batched call decodes the whole split.
+        all_preds = neural_g2p.predict_words(sorted(held_out))
         pairs, spairs = [], []
         stress_base_ok = stress_full_ok = 0
         for w in sorted(held_out):
-            pred = neural_g2p.predict_word(w)
+            pred = all_preds[w]
             if pred is None:
                 continue
             gold_s = assign_stress(w, held_out[w])
