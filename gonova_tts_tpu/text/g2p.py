@@ -481,6 +481,81 @@ HOMOGRAPHS: Dict[str, tuple] = {
     "tear": (["T", "IH", "R"], {"a", "single", "every"}, {"fell", "rolled", "drop"}),
     # "bow" defaults to B OW (ribbon/violin); the bend/greeting before down/to.
     "bow": (["B", "AW"], set(), {"down", "to", "before", "out"}),
+    # "bass" defaults to B EY S (music); the fish in angling context.
+    "bass": (["B", "AE", "S"], {"caught", "striped", "largemouth", "sea"},
+             {"fishing", "fisherman", "fish"}),
+    # "desert" defaults to the noun D EH Z ER T; the verb after modals/to.
+    "desert": (["D", "IH", "Z", "ER", "T"],
+               {"to", "will", "would", "never", "not"}, set()),
+    # "dove" defaults to D AH V (bird); past-of-dive before direction words.
+    "dove": (["D", "OW", "V"], set(), {"into", "under", "off", "headfirst", "down"}),
+    # "minute" defaults to M IH N AH T (time); the adjective before quantity nouns.
+    "minute": (["M", "AY", "N", "UW", "T"], set(),
+               {"amount", "amounts", "quantity", "quantities", "detail",
+                "details", "traces", "particles", "differences"}),
+    # "object" defaults to the noun AA B JH; the verb after modals/to or before to.
+    "object": (["AH", "B", "JH", "EH", "K", "T"],
+               {"to", "will", "would", "must", "may", "might", "strongly"}, {"to"}),
+    # "present" defaults to the noun/adj P R EH Z; the verb after modals/to.
+    "present": (["P", "R", "IH", "Z", "EH", "N", "T"],
+                {"to", "will", "would", "must", "shall", "may", "might"},
+                {"their", "our", "its", "evidence", "findings", "arguments",
+                 "itself", "himself", "herself", "themselves"}),
+    # "record" defaults to the noun R EH K ER D; the verb after modals/to.
+    "record": (["R", "IH", "K", "AO", "R", "D"],
+               {"to", "will", "would", "must", "can", "could", "should",
+                "shall", "may", "might", "please"}, set()),
+    # "refuse" defaults to the verb R IH F Y UW Z; the garbage noun in waste context.
+    "refuse": (["R", "EH", "F", "Y", "UW", "S"], {"of"},
+               {"collection", "collector", "collectors", "dump", "bin", "bins",
+                "heap", "pile"}),
+    # "produce" defaults to the verb P R AH D UW S; the noun in grocery context.
+    "produce": (["P", "R", "OW", "D", "UW", "S"],
+                {"fresh", "local", "organic", "farm"},
+                {"aisle", "section", "market", "stand"}),
+    # "content" defaults to the noun K AA N; the adjective in predicate position.
+    "content": (["K", "AH", "N", "T", "EH", "N", "T"],
+                {"is", "was", "are", "were", "be", "feel", "feels", "felt",
+                 "seem", "seems", "seemed", "perfectly", "quite"}, {"with"}),
+    # "wound" defaults to W UW N D (injury); past-of-wind before particles.
+    "wound": (["W", "AW", "N", "D"], set(),
+              {"up", "down", "around", "through", "tightly", "its"}),
+    # "contract" defaults to the noun K AA N; the verb after modals/muscle subjects.
+    "contract": (["K", "AH", "N", "T", "R", "AE", "K", "T"],
+                 {"to", "will", "would", "may", "might", "muscles", "can",
+                  "could"}, set()),
+    # "excuse" defaults to the noun IH K S K Y UW S; the verb before object pronouns.
+    "excuse": (["IH", "K", "S", "K", "Y", "UW", "Z"], set(),
+               {"me", "him", "her", "them", "us", "myself", "yourself"}),
+    # "conduct" defaults to the verb K AH N; the noun in behavior context.
+    "conduct": (["K", "AA", "N", "D", "AH", "K", "T"],
+                {"of", "good", "bad", "professional", "personal", "his", "her",
+                 "their"}, set()),
+    # "project" defaults to the noun P R AA JH; the verb after modals/to.
+    "project": (["P", "R", "AH", "JH", "EH", "K", "T"],
+                {"to", "will", "would", "must", "might"},
+                {"onto", "confidence", "strength"}),
+    # "rebel" defaults to the noun R EH B AH L; the verb after modals/to.
+    "rebel": (["R", "IH", "B", "EH", "L"],
+              {"to", "will", "would", "may", "might", "they", "teenagers"},
+              {"against"}),
+    # "perfect" defaults to the adjective P ER F IH K T; the verb after to.
+    "perfect": (["P", "ER", "F", "EH", "K", "T"], {"to"},
+                {"their", "his", "her", "its", "the"}),
+    # "protest" defaults to the noun P R OW T EH S T; the verb after modals/to.
+    "protest": (["P", "R", "AH", "T", "EH", "S", "T"],
+                {"to", "will", "would", "they", "workers", "students"}, set()),
+    # "estimate" defaults to the verb EH S T AH M EY T; the noun after determiners.
+    "estimate": (["EH", "S", "T", "AH", "M", "AH", "T"],
+                 {"an", "the", "rough", "my", "initial", "conservative", "cost"},
+                 set()),
+    # "graduate" defaults to the noun G R AE JH UW AH T; the verb before from.
+    "graduate": (["G", "R", "AE", "JH", "UW", "EY", "T"],
+                 {"to", "will", "would"}, {"from"}),
+    # "separate" defaults to the verb S EH P ER EY T; the adjective before nouns.
+    "separate": (["S", "EH", "P", "ER", "AH", "T"], set(),
+                 {"room", "rooms", "issue", "issues", "occasion", "occasions",
+                  "ways", "entity", "entities", "section", "sections", "lives"}),
 }
 
 

@@ -131,7 +131,7 @@ def main() -> None:
     oov = grade(oov_pairs)
     oov["morph_share"] = round(morph_hits / max(len(held_out), 1), 4)
 
-    # 3. Homograph spot checks.
+    # 3. Homograph spot checks (default reading + cued alternate for each).
     homo_cases = [
         ("read", "have", "", ["R", "EH", "D"]),
         ("read", "to", "", ["R", "IY", "D"]),
@@ -141,6 +141,32 @@ def main() -> None:
         ("lead", "will", "", ["L", "IY", "D"]),
         ("wind", "", "up", ["W", "AY", "N", "D"]),
         ("wind", "the", "", ["W", "IH", "N", "D"]),
+        ("bass", "", "fishing", ["B", "AE", "S"]),
+        ("bass", "the", "player", ["B", "EY", "S"]),
+        ("dove", "", "into", ["D", "OW", "V"]),
+        ("dove", "a", "cooed", ["D", "AH", "V"]),
+        ("minute", "", "detail", ["M", "AY", "N", "UW", "T"]),
+        ("minute", "a", "later", ["M", "IH", "N", "AH", "T"]),
+        ("object", "to", "", ["AH", "B", "JH", "EH", "K", "T"]),
+        ("object", "the", "was", ["AA", "B", "JH", "EH", "K", "T"]),
+        ("present", "will", "", ["P", "R", "IH", "Z", "EH", "N", "T"]),
+        ("present", "a", "for", ["P", "R", "EH", "Z", "AH", "N", "T"]),
+        ("record", "to", "", ["R", "IH", "K", "AO", "R", "D"]),
+        ("record", "world", "was", ["R", "EH", "K", "ER", "D"]),
+        ("refuse", "of", "", ["R", "EH", "F", "Y", "UW", "S"]),
+        ("refuse", "they", "", ["R", "IH", "F", "Y", "UW", "Z"]),
+        ("excuse", "", "me", ["IH", "K", "S", "K", "Y", "UW", "Z"]),
+        ("excuse", "an", "for", ["IH", "K", "S", "K", "Y", "UW", "S"]),
+        ("wound", "", "up", ["W", "AW", "N", "D"]),
+        ("wound", "the", "healed", ["W", "UW", "N", "D"]),
+        ("content", "is", "", ["K", "AH", "N", "T", "EH", "N", "T"]),
+        ("content", "the", "of", ["K", "AA", "N", "T", "EH", "N", "T"]),
+        ("conduct", "of", "", ["K", "AA", "N", "D", "AH", "K", "T"]),
+        ("conduct", "they", "", ["K", "AH", "N", "D", "AH", "K", "T"]),
+        ("graduate", "will", "from", ["G", "R", "AE", "JH", "UW", "EY", "T"]),
+        ("graduate", "a", "of", ["G", "R", "AE", "JH", "UW", "AH", "T"]),
+        ("separate", "", "rooms", ["S", "EH", "P", "ER", "AH", "T"]),
+        ("separate", "please", "the", ["S", "EH", "P", "ER", "EY", "T"]),
     ]
     homo_ok = sum(
         word_to_phonemes(w, prev=p, nxt=n) == ref for w, p, n, ref in homo_cases
