@@ -627,6 +627,26 @@ def text_to_phonemes(text: str, with_stress: bool = False) -> List[str]:
     words_lower = [
         c.lower() if (c and c[0].isalpha()) else "" for c in cores
     ]
+    # Pre-pass: every genuinely OOV word (no lexicon hit, no morph decomposition)
+    # goes through ONE batched neural decode — warming the memo so the per-word
+    # loop below never pays a per-word beam search. A 3-OOV sentence costs one
+    # vectorized call instead of three (text frontend sits on the TTFA path).
+    oov = sorted(
+        {
+            w for w in words_lower
+            if w and w not in LEXICON and w not in HOMOGRAPHS
+        }
+    )
+    if oov:
+        try:
+            from . import morph, neural_g2p
+
+            if neural_g2p.available():
+                oov = [w for w in oov if morph.decompose(w, LEXICON) is None]
+                if oov:
+                    neural_g2p.predict_words(oov)
+        except Exception:  # never let the neural path break text processing
+            pass
     out: List[str] = []
     prev_was_word = False
     for i, tok in enumerate(toks):
