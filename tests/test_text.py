@@ -452,3 +452,25 @@ def test_word_to_phonemes_neural_result_not_cache_aliased():
     got.append("ZZ_MUTATION")
     again = word_to_phonemes(word)
     assert again == first
+
+
+def test_oov_prepass_batches_only_true_oov(monkeypatch):
+    """The sentence pre-pass sends ONLY genuinely OOV words (no lexicon hit, no
+    morph decomposition) to the batched neural decode — lexicon words, homograph
+    entries, and morph-resolvable inflections never pay a beam search."""
+    from gonova_tts_tpu.text import g2p, neural_g2p
+
+    calls = []
+    real = neural_g2p.predict_words
+
+    def spy(words):
+        calls.append(list(words))
+        return real(words)
+
+    monkeypatch.setattr(neural_g2p, "predict_words", spy)
+    # "mousetraps" resolves via morph (compound + plural); "zregnak" is true OOV.
+    g2p.text_to_phonemes("The mousetraps caught a zregnak quickly.")
+    flat = [w for c in calls for w in c]
+    assert "zregnak" in flat
+    assert "mousetraps" not in flat
+    assert "the" not in flat and "quickly" not in flat
