@@ -669,6 +669,11 @@ class TTSEngine:
         stats["timers"] = timers.summary()
         # Observable dispatch mode (esp. under two_stage_batch="auto").
         stats["two_stage_dispatch"] = self.two_stage_enabled
+        # Frontend tier usage: which G2P tier resolved each word lookup
+        # (lexicon/morph hits are exact; neural/lts are model/rule guesses).
+        from ..text import g2p as _g2p
+
+        stats["g2p_tiers"] = _g2p.get_tier_counts()
         return stats
 
     def cleanup(self) -> None:

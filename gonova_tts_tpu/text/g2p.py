@@ -559,6 +559,19 @@ HOMOGRAPHS: Dict[str, tuple] = {
 }
 
 
+# Per-tier resolution counters (observability: which frontend tier words hit).
+# Racy int increments are fine — these feed /metrics, not control flow.
+TIER_COUNTS: Dict[str, int] = {
+    "homograph": 0, "lexicon": 0, "morph": 0, "neural": 0, "lts": 0
+}
+
+
+def get_tier_counts() -> Dict[str, int]:
+    """Snapshot of how many word lookups each G2P tier resolved (since import).
+    Surfaced in engine.get_stats()['g2p_tiers'] and /metrics."""
+    return dict(TIER_COUNTS)
+
+
 def word_to_phonemes(
     word: str, prev: str = "", nxt: str = "", with_stress: bool = False
 ) -> List[str]:
@@ -577,8 +590,10 @@ def word_to_phonemes(
         alt, prev_set, next_set = h
         if prev in prev_set or nxt in next_set:
             raw = list(alt)
+            TIER_COUNTS["homograph"] += 1
     if raw is None and lower in LEXICON:
         raw = list(LEXICON[lower])
+        TIER_COUNTS["lexicon"] += 1
     if raw is None:
         # Inflected/derived forms of lexicon lemmas: lemma lookup + suffix rule
         # gives exact pronunciations (text/morph.py) — preferred over the neural
@@ -586,6 +601,8 @@ def word_to_phonemes(
         from . import morph
 
         raw = morph.decompose(lower, LEXICON)
+        if raw is not None:
+            TIER_COUNTS["morph"] += 1
     if raw is None:
         # Out-of-lexicon: the trained neural G2P (text/neural_g2p.py) outperforms
         # the LTS rules on the held-out split (tools/train_g2p.py numbers); used
@@ -595,8 +612,11 @@ def word_to_phonemes(
         # a caller mutating the return must not corrupt the memoized entry.
         nr = _neural_fallback(lower)
         raw = list(nr) if nr is not None else None
+        if raw is not None:
+            TIER_COUNTS["neural"] += 1
     if raw is None:
         raw = _word_to_phonemes_lts(lower.replace("'", ""))
+        TIER_COUNTS["lts"] += 1
     had_stress = any(p and p[-1] in "012" for p in raw)
     if not with_stress:
         return stress_mod.strip_stress(raw) if had_stress else raw

@@ -474,3 +474,17 @@ def test_oov_prepass_batches_only_true_oov(monkeypatch):
     assert "zregnak" in flat
     assert "mousetraps" not in flat
     assert "the" not in flat and "quickly" not in flat
+
+
+def test_g2p_tier_counters():
+    """Tier counters track which frontend tier resolved each word."""
+    from gonova_tts_tpu.text import g2p
+
+    before = g2p.get_tier_counts()
+    g2p.word_to_phonemes("hello")          # lexicon
+    g2p.word_to_phonemes("mousetraps")     # morph (compound + plural)
+    g2p.word_to_phonemes("read", prev="have")  # homograph alt
+    after = g2p.get_tier_counts()
+    assert after["lexicon"] == before["lexicon"] + 1
+    assert after["morph"] == before["morph"] + 1
+    assert after["homograph"] == before["homograph"] + 1
