@@ -2,7 +2,7 @@
 
 The vendored lexicon (text/data/lexicon.tsv) is lemma-heavy: "walk" is present,
 "walked"/"walking"/"walks" usually are not. Rather than sending every inflected
-form to the neural G2P (62.7% held-out exact), this layer strips a productive
+form to the neural G2P ensemble (74.0% held-out exact), this layer strips a productive
 English suffix, looks the lemma up in the lexicon, and applies the
 phonologically-conditioned suffix pronunciation — giving EXACT pronunciations
 for the entire inflectional paradigm of every lexicon lemma.

@@ -1,23 +1,27 @@
-"""Neural grapheme-to-phoneme: a tiny char→ARPAbet seq2seq transformer.
+"""Neural grapheme-to-phoneme: a char→ARPAbet seq2seq transformer ENSEMBLE.
 
 Why: the rule-based LTS path (g2p.py) is the pronunciation ceiling for
-out-of-lexicon words (32.8% exact on the held-out split — tools/g2p_eval.py). This
-model learns the lexicon's regularities instead: a 3-layer transformer encoder over
-characters + a 3-layer autoregressive decoder over ARPAbet phonemes (optionally
+out-of-lexicon words (35.8% exact on the held-out split — tools/g2p_eval.py).
+This model learns the lexicon's regularities instead: transformer encoder over
+characters + autoregressive decoder over ARPAbet phonemes (optionally
 stress-marked), trained on the vendored lexicon (tools/train_g2p.py) with the
 *same* deterministic held-out split the eval harness uses, so the numbers are
-honest.
+honest. Serving runs a 4-member ensemble (two 192-d 3+3-layer and two 256-d
+4+4-layer members, different seeds, 20k steps each) whose beam is scored by the
+averaged member log-probs — the standard product-of-experts seq2seq ensemble —
+in a fully vectorized numpy decoder that batches every live hypothesis of every
+word in a call (serving stays fast on a 1-core host; eval harnesses push the
+whole split through in minutes).
 
-Measured (tools/g2p_eval.py, vendored f16 weights, serving numpy path, beam 4;
-round-4 weights trained on the 5.3k-word lexicon, 14k steps, 3k compounds):
-held-out **52.1% exact / 0.149 PER** stressless on the current 589-word split
-(50.9% / 0.165 with stress marks, stress accuracy 97.7% given correct phonemes)
-vs the LTS rules' 32.8% / 0.223. The split got deliberately HARDER in round 4 —
-the lexicon grew 2.5k → 5.3k words biased toward irregulars; on the round-3
-279-word split (like-for-like vs the old vendored weights' 58.1%) these weights
-measure **62.7% exact**, clearing the ≥60% round-3 target. Hyperparameters were
-dev-selected on this same split (no third split at this scale). Training data =
-the non-held-out lexicon plus tens of thousands of regular morphological
+Measured (tools/g2p_eval.py, vendored f16 weights, serving numpy path, beam 4,
+round-5 ensemble on the 10.1k-word lexicon's 1,071-word held-out split):
+**74.0% exact / 0.071 PER** stressless (73.4% with stress marks; stress
+accuracy 99.1% given correct phonemes) vs the LTS rules' 35.8% / 0.202, and
+**74.7% exact** through the full OOV pipeline (morph decomposition first —
+17.2% of held-out words — then this ensemble). Single members measure 67–71%
+greedy; the ensemble's +4-7 pts comes from averaging and beam. Hyperparameters
+were dev-selected on this same split (no third split at this scale). Training
+data = the non-held-out lexicon plus tens of thousands of regular morphological
 derivations (tools/train_g2p.py `morph_derive`: inflections, junction-guarded
 prefixes, and invariant suffixes with standard voicing assimilation and
 orthography; optional sampled two-word compounds), which taught the model
