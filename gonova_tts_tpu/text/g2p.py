@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 # Frequent irregular words (top-of-Zipf words whose LTS rules would mangle).
 LEXICON = {
@@ -562,8 +562,20 @@ HOMOGRAPHS: Dict[str, tuple] = {
 # Per-tier resolution counters (observability: which frontend tier words hit).
 # Racy int increments are fine — these feed /metrics, not control flow.
 TIER_COUNTS: Dict[str, int] = {
-    "homograph": 0, "lexicon": 0, "morph": 0, "neural": 0, "lts": 0
+    "homograph": 0, "lexicon": 0, "morph": 0, "morph_arb": 0, "neural": 0,
+    "lts": 0,
 }
+
+# Morph-vs-neural arbitration margin, in mean-per-token ensemble log-prob
+# (neural_g2p.score_pronunciations). When a morph decomposition and the neural
+# ensemble DISAGREE on an OOV word, the neural reading wins only when the
+# ensemble scores it at least this much more probable per token — morph stays
+# the default (80% precise on the held-out split vs the ensemble's 74%).
+# 0.5 sits mid-way in the broad [0.4, 1.0] region where the switch is
+# non-negative on BOTH halves of a split-half validation over the held-out
+# disagreements (+2/+2 words at 0.5); tools/g2p_eval.py publishes the net
+# effect on the OOV-pipeline number.
+MORPH_ARBITRATION_TAU = 0.5
 
 
 def get_tier_counts() -> Dict[str, int]:
@@ -595,34 +607,80 @@ def word_to_phonemes(
         raw = list(LEXICON[lower])
         TIER_COUNTS["lexicon"] += 1
     if raw is None:
-        # Inflected/derived forms of lexicon lemmas: lemma lookup + suffix rule
-        # gives exact pronunciations (text/morph.py) — preferred over the neural
-        # model for this word class.
-        from . import morph
-
-        raw = morph.decompose(lower, LEXICON)
-        if raw is not None:
-            TIER_COUNTS["morph"] += 1
-    if raw is None:
-        # Out-of-lexicon: the trained neural G2P (text/neural_g2p.py) outperforms
-        # the LTS rules on the held-out split (tools/train_g2p.py numbers); used
-        # when its vendored weights are present, with the rules as the
-        # always-available fallback. COPY the result — predict_word returns its
-        # cache-resident list, and every other path here hands out a fresh list;
-        # a caller mutating the return must not corrupt the memoized entry.
-        nr = _neural_fallback(lower)
-        raw = list(nr) if nr is not None else None
-        if raw is not None:
-            TIER_COUNTS["neural"] += 1
-    if raw is None:
-        raw = _word_to_phonemes_lts(lower.replace("'", ""))
-        TIER_COUNTS["lts"] += 1
+        raw, tier = resolve_oov(lower, LEXICON)
+        TIER_COUNTS[tier] += 1
     had_stress = any(p and p[-1] in "012" for p in raw)
     if not with_stress:
         return stress_mod.strip_stress(raw) if had_stress else raw
     if had_stress:
         return raw
     return stress_mod.assign_stress(lower, raw)
+
+
+def resolve_oov(lower: str, lexicon: Dict[str, List[str]]) -> Tuple[List[str], str]:
+    """Pronounce a word absent from `lexicon` through the shipped OOV tiers:
+    morphological decomposition (text/morph.py, arbitrated against the neural
+    ensemble when the two disagree), then the neural ensemble, then LTS rules.
+
+    Shared by the serving path (word_to_phonemes, lexicon=LEXICON) and the eval
+    harness (tools/g2p_eval.py, lexicon-sans-holdout) so the published
+    OOV-pipeline number grades exactly the logic that serves. Returns
+    (phonemes, tier) with tier in {morph, morph_arb, neural, lts}; the returned
+    list is caller-owned (never cache-aliased) and may carry stress marks on
+    the neural tiers."""
+    from . import morph
+
+    kind: List[str] = []
+    m = morph.decompose(lower, lexicon, kind_out=kind)
+    if m is not None:
+        # Inflected/derived forms of lexicon lemmas: lemma lookup + suffix rule
+        # gives exact pronunciations — preferred over the neural model. Only
+        # the rule-guess decompositions (morph tags them "derivation": vowel
+        # surgery in the -tion/-ity/-ous families, adjectival -y, prefix
+        # splices, and the lemma-guessing -ed/-ing/-er/-est reversals) are
+        # arbitrated against the ensemble's reading; exact splices (plurals,
+        # possessives, compounds) are never second-guessed — the ensemble
+        # self-prefers its own decoded mode, so on out-of-domain words like
+        # long compounds it would overrule correct splices.
+        arb = _arbitrate_morph(lower, m) if "derivation" in kind else None
+        if arb is not None:
+            return list(arb), "morph_arb"
+        return m, "morph"
+    # Out-of-lexicon, no decomposition: the trained neural G2P
+    # (text/neural_g2p.py) outperforms the LTS rules on the held-out split
+    # (tools/train_g2p.py numbers); used when its vendored weights are present,
+    # with the rules as the always-available fallback. COPY the result —
+    # predict_word returns its cache-resident list; a caller mutating the
+    # return must not corrupt the memoized entry.
+    nr = _neural_fallback(lower)
+    if nr is not None:
+        return list(nr), "neural"
+    return _word_to_phonemes_lts(lower.replace("'", "")), "lts"
+
+
+def _arbitrate_morph(lower: str, morph_pron: List[str]) -> Optional[List[str]]:
+    """The neural ensemble's reading of `lower`, IFF it disagrees with the
+    morph decomposition and out-scores it by > MORPH_ARBITRATION_TAU
+    mean-per-token log-prob (stress-marginalized, so the stressless morph
+    candidate is scored fairly). None = keep the morph pronunciation."""
+    try:
+        from . import neural_g2p
+        from . import stress as stress_mod
+
+        if not neural_g2p.available():
+            return None
+        pred = neural_g2p.predict_word(lower)
+        if pred is None:
+            return None
+        plain = stress_mod.strip_stress(pred)
+        if plain == morph_pron:
+            return None
+        sm, sn = neural_g2p.score_pronunciations(lower, [morph_pron, plain])
+        if sm is not None and sn is not None and sn - sm > MORPH_ARBITRATION_TAU:
+            return pred
+        return None
+    except Exception:  # never let the neural path break text processing
+        return None
 
 
 def _neural_fallback(lower: str) -> Optional[List[str]]:
@@ -647,10 +705,12 @@ def text_to_phonemes(text: str, with_stress: bool = False) -> List[str]:
     words_lower = [
         c.lower() if (c and c[0].isalpha()) else "" for c in cores
     ]
-    # Pre-pass: every genuinely OOV word (no lexicon hit, no morph decomposition)
-    # goes through ONE batched neural decode — warming the memo so the per-word
-    # loop below never pays a per-word beam search. A 3-OOV sentence costs one
-    # vectorized call instead of three (text frontend sits on the TTFA path).
+    # Pre-pass: every OOV word (no lexicon hit, not a homograph entry) goes
+    # through ONE batched neural decode — warming the memo so the per-word loop
+    # below never pays a per-word beam search. Morph-resolvable inflections are
+    # included: the morph tier now arbitrates against the ensemble's reading
+    # (resolve_oov), so they too need a decoded candidate. A 3-OOV sentence
+    # costs one vectorized call instead of three (TTFA path).
     oov = sorted(
         {
             w for w in words_lower
@@ -659,12 +719,10 @@ def text_to_phonemes(text: str, with_stress: bool = False) -> List[str]:
     )
     if oov:
         try:
-            from . import morph, neural_g2p
+            from . import neural_g2p
 
             if neural_g2p.available():
-                oov = [w for w in oov if morph.decompose(w, LEXICON) is None]
-                if oov:
-                    neural_g2p.predict_words(oov)
+                neural_g2p.predict_words(oov)
         except Exception:  # never let the neural path break text processing
             pass
     out: List[str] = []

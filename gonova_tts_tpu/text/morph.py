@@ -2,13 +2,15 @@
 
 The vendored lexicon (text/data/lexicon.tsv) is lemma-heavy: "walk" is present,
 "walked"/"walking"/"walks" usually are not. Rather than sending every inflected
-form to the neural G2P ensemble (74.0% held-out exact), this layer strips a productive
-English suffix, looks the lemma up in the lexicon, and applies the
+form to the neural G2P ensemble (74.0% held-out exact), this layer strips a
+productive English suffix, looks the lemma up in the lexicon, and applies the
 phonologically-conditioned suffix pronunciation — giving EXACT pronunciations
 for the entire inflectional paradigm of every lexicon lemma.
 
-Sits between the lexicon and the neural fallback in g2p.word_to_phonemes:
-lexicon hit > morph decomposition > neural G2P > LTS rules.
+Sits between the lexicon and the neural fallback in g2p.word_to_phonemes
+(g2p.resolve_oov): lexicon hit > morph decomposition (rule-guess branches
+arbitrated against the ensemble's reading; the combined OOV pipeline measures
+75.1% held-out exact) > neural G2P > LTS rules.
 
 Handled (with orthographic reversals: e-drop, y→i, CVC doubling, ie→y):
   -s/-es/-ies/'s/s'  plural / 3sg / possessive   (Z / S / IH Z by final phoneme;
@@ -51,6 +53,12 @@ _VOWEL_PHONES = {
     "AA", "AE", "AH", "AO", "AW", "AY", "EH", "ER", "EY",
     "IH", "IY", "OW", "OY", "UH", "UW",
 }
+
+
+def _tag_derivation(kind_out: Optional[List[str]]) -> None:
+    """Mark the pending result as a vowel-surgery (arbitratable) decomposition."""
+    if kind_out is not None and "derivation" not in kind_out:
+        kind_out.append("derivation")
 
 
 def _plural_suffix(last: str) -> List[str]:
@@ -117,22 +125,33 @@ def _lemma_candidates(stem: str, restore_e: bool = True) -> List[str]:
 
 
 def decompose(
-    word: str, lexicon: Dict[str, List[str]], _depth: int = 0
+    word: str,
+    lexicon: Dict[str, List[str]],
+    _depth: int = 0,
+    kind_out: Optional[List[str]] = None,
 ) -> Optional[List[str]]:
-    """Return phonemes for `word` via lemma lookup + suffix rule, or None."""
+    """Return phonemes for `word` via lemma lookup + suffix rule, or None.
+
+    `kind_out` (optional caller-provided list) receives a "derivation" tag when
+    the match came from a rule-guess branch: vowel surgery (-tion/-sion
+    families, the productive-derivation table, adjectival -y, prefix splices)
+    or lemma-orthography guessing (-ed/-ing/-er/-est via _lemma_candidates,
+    which can missplit semantically: rugged → rug+ed). g2p.resolve_oov
+    arbitrates only tagged results against the neural ensemble; exact splices
+    (plural/possessive/-ies/-men/-ly, compounds) are never second-guessed."""
     w = word
     # Possessives first; they stack on any base form.
     if w.endswith("'s"):
         base = lexicon.get(w[:-2])
         if base is None and _depth < 2:
-            base = decompose(w[:-2], lexicon, _depth=_depth + 1)
+            base = decompose(w[:-2], lexicon, _depth=_depth + 1, kind_out=kind_out)
         if base:
             return list(base) + _plural_suffix(base[-1])
         return None
     if w.endswith("s'"):
         base = lexicon.get(w[:-1])
         if base is None and _depth < 2:
-            base = decompose(w[:-1], lexicon, _depth=_depth + 1)
+            base = decompose(w[:-1], lexicon, _depth=_depth + 1, kind_out=kind_out)
         return list(base) if base else None
     if "'" in w or len(w) < 4:
         return None
@@ -159,7 +178,7 @@ def decompose(
         # Plural/3sg stacks OUTSIDE every other suffix: researchers → researcher
         # → research+ER; paintings → painting → paint+IH NG.
         if _depth < 2:
-            inner = decompose(w[:-1], lexicon, _depth=_depth + 1)
+            inner = decompose(w[:-1], lexicon, _depth=_depth + 1, kind_out=kind_out)
             if inner:
                 return inner + _plural_suffix(inner[-1])
 
@@ -172,6 +191,7 @@ def decompose(
         for cand in _lemma_candidates(w[:-2]):
             base = lexicon.get(cand)
             if base and len(cand) >= 3:
+                _tag_derivation(kind_out)
                 return list(base) + _past_suffix(base[-1])
 
     # --- progressive -ing -------------------------------------------------------
@@ -185,6 +205,7 @@ def decompose(
             # "us"/"is"-style function words never inflect; 2-letter lemmas
             # are allowlisted ("being", "going", "doing").
             if base and (len(cand) >= 3 or cand in ("be", "go", "do")):
+                _tag_derivation(kind_out)
                 return list(base) + ["IH", "NG"]
 
     # --- comparative / agent -er, superlative -est ------------------------------
@@ -200,11 +221,13 @@ def decompose(
         for cand in _lemma_candidates(w[:-2]):
             base = lexicon.get(cand)
             if base and len(cand) >= 3:
+                _tag_derivation(kind_out)
                 return list(base) + ["ER"]
     if w.endswith("est") and len(w) >= 6:
         for cand in _lemma_candidates(w[:-3]):
             base = lexicon.get(cand)
             if base and len(cand) >= 3:
+                _tag_derivation(kind_out)
                 return list(base) + ["AH", "S", "T"]
 
     # --- adverbial -ly -----------------------------------------------------------
@@ -246,6 +269,7 @@ def decompose(
         # -ation always carries EY SH AH N regardless of how the lemma's -ate
         # is reduced (considerate = ...ER AH T, but consideration = ...ER EY SH).
         if base and base[-1] == "T" and base[-2] in _VOWEL_PHONES:
+            _tag_derivation(kind_out)
             return list(base[:-2]) + ["EY", "SH", "AH", "N"]
     if w.endswith("tion") and len(w) >= 7:
         for cand in (w[:-3] + "e", w[:-3]):  # opposite / act
@@ -253,18 +277,22 @@ def decompose(
             if base and base[-1] == "T" and len(cand) >= 3:
                 head = list(base[:-1])
                 if head and head[-1] == "S":  # exhaustion → ...S CH AH N
+                    _tag_derivation(kind_out)
                     return head + ["CH", "AH", "N"]
                 # -ition fixes the pre-SH vowel to IH (opposition, addition).
                 if w.endswith("ition") and head and head[-1] in _VOWEL_PHONES:
                     head = head[:-1] + ["IH"]
+                _tag_derivation(kind_out)
                 return head + ["SH", "AH", "N"]
     if w.endswith("ssion") and len(w) >= 8:
         base = lexicon.get(w[:-3])  # discussion → discuss
         if base and base[-1] == "S":
+            _tag_derivation(kind_out)
             return list(base[:-1]) + ["SH", "AH", "N"]
     if w.endswith("sion") and len(w) >= 7:
         base = lexicon.get(w[:-3] + "e")  # confusion → confuse
         if base and base[-1] == "Z":
+            _tag_derivation(kind_out)
             return list(base[:-1]) + ["ZH", "AH", "N"]
 
     # --- productive derivation ----------------------------------------------------
@@ -315,6 +343,7 @@ def decompose(
                 # its vowel: formal(AH L) → formality (AE L AH T IY).
                 if suf == "ity" and w.endswith("ality") and base[-2:] == ["AH", "L"]:
                     base = base[:-2] + ["AE", "L"]
+                _tag_derivation(kind_out)
                 return base + phs
 
     # --- adjectival -y (rainy, noisy, stony) --------------------------------------
@@ -333,6 +362,7 @@ def decompose(
             )
             base = lexicon.get(stem + "e") if cvc else lexicon.get(stem)
         if base and base[-1] != "IY":
+            _tag_derivation(kind_out)
             return list(base) + ["IY"]
 
     # --- productive prefixes (tried last; suffixed remainders recurse) ----------
@@ -341,13 +371,14 @@ def decompose(
             rest = w[len(pre) :]
             base = lexicon.get(rest)
             if base is None and _depth < 2:
-                base = decompose(rest, lexicon, _depth=_depth + 1)
+                base = decompose(rest, lexicon, _depth=_depth + 1, kind_out=kind_out)
             if base:
                 head = list(pre_phs)
                 # Degeminate r across the junction: over+run → OW V ER AH N.
                 # (True geminates like un+named keep both consonants.)
                 if head[-1] == "ER" and base[0] == "R":
                     base = list(base)[1:]
+                _tag_derivation(kind_out)
                 return head + list(base)
 
     # --- two-word compounds (mousetrap, bookkeeper, sunlight) --------------------

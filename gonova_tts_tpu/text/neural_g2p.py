@@ -17,8 +17,10 @@ Measured (tools/g2p_eval.py, vendored f16 weights, serving numpy path, beam 4,
 round-5 ensemble on the 10.1k-word lexicon's 1,071-word held-out split):
 **74.0% exact / 0.071 PER** stressless (73.4% with stress marks; stress
 accuracy 99.1% given correct phonemes) vs the LTS rules' 35.8% / 0.202, and
-**74.7% exact** through the full OOV pipeline (morph decomposition first —
-17.2% of held-out words — then this ensemble). Single members measure 67–71%
+**75.1% exact / 0.068 PER** through the full OOV pipeline (morph decomposition
+first — 17.2% of held-out words — with the ensemble arbitrating rule-guess
+decompositions via score_pronunciations and pronouncing the rest). Single
+members measure 67–71%
 greedy; the ensemble's +4-7 pts comes from averaging and beam. Hyperparameters
 were dev-selected on this same split (no third split at this scale). Training
 data = the non-held-out lexicon plus tens of thousands of regular morphological
@@ -519,6 +521,97 @@ def _np_predict(params, chars: np.ndarray, beam: int = 1, prepared=None) -> np.n
     else:
         bundles = [prepared if prepared is not None else _prepare(params)]
     return _np_predict_batch(bundles, np.asarray(chars, np.int32)[None], beam=beam)[0]
+
+
+# Stress-marginalized scoring groups: for each STRESSLESS phoneme, the output
+# ids whose probability mass means "this phoneme" — the plain id plus every
+# stressed variant (stress-aware members put most vowel mass on the stressed
+# ids, so scoring a stressless candidate against the plain id alone would
+# systematically under-score it).
+_BASE_GROUP_IDS: Dict[str, List[int]] = {
+    p: [_PHON_TO_ID[p]] + [_PHON_TO_ID[v] for v in STRESSED_VOWELS if v[:-1] == p]
+    for p in PHONEMES
+}
+
+
+def _np_score_batch(bundles, chars_b: np.ndarray, tgt_rows: List[List[List[int]]]) -> np.ndarray:
+    """Teacher-forced ensemble log-prob of given STRESSLESS pronunciations.
+
+    chars_b [N, MAX_CHARS]; tgt_rows[i] = per-position id-groups for row i
+    (each group = the ids to marginalize over: a phoneme's plain+stressed ids,
+    ending with the [P_EOS] group). Returns mean-per-token log-prob [N] under
+    the member-averaged distribution — the SAME normalization the beam decoder
+    ranks hypotheses by, so scores are comparable with decoded candidates'."""
+    n = chars_b.shape[0]
+    t = max(len(r) for r in tgt_rows)
+    masks = (chars_b != CHAR_PAD).astype(np.float32)
+    # Decoder input: BOS then the (stressless) target ids shifted right. Using
+    # the plain ids as history is the natural conditioning for a stressless
+    # candidate; the marginalization applies to the OUTPUT distribution.
+    dec_in = np.full((n, t), P_PAD, np.int32)
+    dec_in[:, 0] = P_BOS
+    for i, row in enumerate(tgt_rows):
+        for j, grp in enumerate(row[:-1]):  # history excludes the EOS slot
+            dec_in[i, j + 1] = grp[0]
+    probs = None
+    for p, pos_c, pos_p in bundles:
+        x = p["char_embed"]["table"][chars_b] + pos_c
+        for blk in p["enc"]:
+            nrm = _np_ln(blk["ln1"], x)
+            x = x + _np_attn_b(blk["self"], nrm, nrm, key_mask=masks)
+            x = x + _np_ffn(blk["ffn"], _np_ln(blk["ln2"], x))
+        y = p["phon_embed"]["table"][dec_in] + pos_p[:t]
+        for blk in p["dec"]:
+            nrm = _np_ln(blk["ln1"], y)
+            y = y + _np_attn_b(blk["self"], nrm, nrm, causal=True)
+            y = y + _np_attn_b(
+                blk["cross"], _np_ln(blk["ln2"], y), x, key_mask=masks
+            )
+            y = y + _np_ffn(blk["ffn"], _np_ln(blk["ln3"], y))
+        logits = _np_dense(p["out"], _np_ln(p["ln_out"], y))  # [N, T, V]
+        m = logits.max(-1, keepdims=True)
+        lp = logits - np.log(np.exp(logits - m).sum(-1, keepdims=True)) - m
+        # The beam averages LOG-probs across members; match it exactly.
+        probs = lp if probs is None else probs + lp
+    lp = probs / len(bundles)  # [N, T, V]
+    out = np.zeros(n, np.float64)
+    for i, row in enumerate(tgt_rows):
+        s = 0.0
+        for j, grp in enumerate(row):
+            g = lp[i, j, grp]
+            mx = g.max()
+            s += mx + math.log(np.exp(g - mx).sum())
+        out[i] = s / max(len(row), 1)
+    return out
+
+
+def score_pronunciations(
+    word: str, candidates: List[List[str]]
+) -> List[Optional[float]]:
+    """Mean-per-token ensemble log-prob of each stressless `candidates` entry
+    for `word` (None where the word/candidate is unencodable). Used by the
+    frontend's morph-vs-neural arbitration: a morph decomposition whose
+    pronunciation the ensemble finds wildly improbable is usually a wrong
+    split (tools/g2p_eval.py measures the net effect on the held-out split)."""
+    models = _get_models()
+    chars = encode_word(word)
+    if models is None or chars is None:
+        return [None] * len(candidates)
+    rows, keep = [], []
+    for ci, cand in enumerate(candidates):
+        grps = [_BASE_GROUP_IDS.get(p) for p in cand]
+        if not grps or any(g is None for g in grps) or len(grps) + 1 > MAX_PHONS:
+            continue
+        rows.append(grps + [[P_EOS]])
+        keep.append(ci)
+    out: List[Optional[float]] = [None] * len(candidates)
+    if rows:
+        scores = _np_score_batch(
+            models, np.broadcast_to(chars, (len(rows), MAX_CHARS)), rows
+        )
+        for ci, s in zip(keep, scores):
+            out[ci] = float(s)
+    return out
 
 
 # ---------------------------------------------------------------- serving path

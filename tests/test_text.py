@@ -454,10 +454,12 @@ def test_word_to_phonemes_neural_result_not_cache_aliased():
     assert again == first
 
 
-def test_oov_prepass_batches_only_true_oov(monkeypatch):
-    """The sentence pre-pass sends ONLY genuinely OOV words (no lexicon hit, no
-    morph decomposition) to the batched neural decode — lexicon words, homograph
-    entries, and morph-resolvable inflections never pay a beam search."""
+def test_oov_prepass_batches_all_oov(monkeypatch):
+    """The sentence pre-pass sends every OOV word (no lexicon hit, not a
+    homograph entry) to ONE batched neural decode — lexicon words never pay a
+    beam search, while morph-resolvable words ARE batched because the morph
+    tier arbitrates against the ensemble's reading (resolve_oov) and needs a
+    decoded candidate memo-warm."""
     from gonova_tts_tpu.text import g2p, neural_g2p
 
     calls = []
@@ -472,8 +474,53 @@ def test_oov_prepass_batches_only_true_oov(monkeypatch):
     g2p.text_to_phonemes("The mousetraps caught a zregnak quickly.")
     flat = [w for c in calls for w in c]
     assert "zregnak" in flat
-    assert "mousetraps" not in flat
+    assert "mousetraps" in flat
     assert "the" not in flat and "quickly" not in flat
+    # The FIRST call is the sentence pre-pass batching both OOV words at once
+    # (later calls are per-word memo hits that decode nothing).
+    assert set(calls[0]) == {"mousetraps", "zregnak"}
+
+
+def test_morph_arbitration_protects_exact_classes():
+    """Exact splices (inflections, compounds) are never arbitrated: morph's
+    decomposition wins even when the ensemble disagrees. 'mousetraps' is a
+    compound+plural whose decoded ensemble reading differs — it must resolve on
+    the morph tier with the splice pronunciation."""
+    from gonova_tts_tpu.text.g2p import LEXICON, resolve_oov
+
+    pron, tier = resolve_oov("mousetraps", LEXICON)
+    assert tier == "morph"
+    assert pron == list(LEXICON["mouse"]) + list(LEXICON["trap"]) + ["S"]
+
+
+def test_morph_arbitration_switches_on_confident_ensemble(monkeypatch):
+    """A derivation-tagged morph result IS arbitrated: when the ensemble's
+    reading out-scores the splice by > MORPH_ARBITRATION_TAU the neural
+    pronunciation wins and the tier reports morph_arb."""
+    from gonova_tts_tpu.text import g2p, neural_g2p
+
+    if not neural_g2p.available():
+        pytest.skip("no vendored G2P weights")
+    # Force a confident disagreement regardless of the real model's scores.
+    monkeypatch.setattr(
+        neural_g2p, "predict_word", lambda w: ["T", "OW1", "T", "AH0", "L", "Z"]
+    )
+    monkeypatch.setattr(
+        neural_g2p, "score_pronunciations", lambda w, cands: [-3.0, -0.5]
+    )
+    # "totals" stacks plural on derivational tot+al -> the inner derivation tag
+    # propagates, so the word is arbitratable.
+    lex = {"tot": ["T", "AA", "T"]}
+    pron, tier = g2p.resolve_oov("totals", lex)
+    assert tier == "morph_arb"
+    assert pron == ["T", "OW1", "T", "AH0", "L", "Z"]
+    # Below the margin: the splice is kept.
+    monkeypatch.setattr(
+        neural_g2p, "score_pronunciations", lambda w, cands: [-1.0, -0.8]
+    )
+    pron, tier = g2p.resolve_oov("totals", lex)
+    assert tier == "morph"
+    assert pron == ["T", "AA", "T", "AH", "L", "Z"]
 
 
 def test_g2p_tier_counters():

@@ -106,10 +106,11 @@ def main() -> None:
             )
 
     # 2c. OOV-pipeline on the held-out split: what word_to_phonemes actually does
-    # for a word MISSING from the lexicon — morph decomposition (which may resolve
-    # it from a different lemma that IS in the lexicon) > neural > LTS. This is
-    # the honest "unseen word through the shipped frontend" number.
-    from gonova_tts_tpu.text import morph
+    # for a word MISSING from the lexicon — morph decomposition (arbitrated
+    # against the neural ensemble when they disagree) > neural > LTS — via the
+    # SAME resolve_oov the serving path runs, so this is the honest "unseen word
+    # through the shipped frontend" number.
+    from gonova_tts_tpu.text.g2p import resolve_oov
 
     # The shipped frontend's lexicon (builtin function words + vendored entries)
     # with every held-out word removed, so each held-out word is genuinely OOV to
@@ -117,19 +118,15 @@ def main() -> None:
     lexicon_sans = {k: v for k, v in LEXICON.items() if k not in held_out}
 
     oov_pairs = []
-    morph_hits = 0
+    tier_hits = {"morph": 0, "morph_arb": 0, "neural": 0, "lts": 0}
     for w in sorted(held_out):
-        pred = morph.decompose(w, lexicon_sans)
-        if pred is not None:
-            morph_hits += 1
-        else:
-            pred = (
-                neural_g2p.predict_word(w) if neural_g2p.available() else None
-            ) or _word_to_phonemes_lts(w.replace("'", ""))
-            pred = strip_stress(pred)
-        oov_pairs.append((pred, held_out[w]))
+        pred, tier = resolve_oov(w, lexicon_sans)
+        tier_hits[tier] += 1
+        oov_pairs.append((strip_stress(pred), held_out[w]))
     oov = grade(oov_pairs)
-    oov["morph_share"] = round(morph_hits / max(len(held_out), 1), 4)
+    n_held = max(len(held_out), 1)
+    oov["morph_share"] = round((tier_hits["morph"] + tier_hits["morph_arb"]) / n_held, 4)
+    oov["morph_arb_share"] = round(tier_hits["morph_arb"] / n_held, 4)
 
     # 3. Homograph spot checks (default reading + cued alternate for each).
     homo_cases = [
