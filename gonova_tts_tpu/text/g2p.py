@@ -556,6 +556,54 @@ HOMOGRAPHS: Dict[str, tuple] = {
     "separate": (["S", "EH", "P", "ER", "AH", "T"], set(),
                  {"room", "rooms", "issue", "issues", "occasion", "occasions",
                   "ways", "entity", "entities", "section", "sections", "lives"}),
+    # "subject" defaults to the noun S AH B JH IH K T; the verb after modals/to.
+    "subject": (["S", "AH", "B", "JH", "EH", "K", "T"],
+                {"to", "will", "would", "may", "might", "not"}, set()),
+    # "convert" defaults to the verb K AH N V ER T; the noun after determiners.
+    "convert": (["K", "AA", "N", "V", "ER", "T"],
+                {"a", "the", "recent", "new", "devout"}, set()),
+    # "sow" defaults to the verb S OW (plant seeds); the pig in farm context.
+    "sow": (["S", "AW"], {"pregnant"}, {"piglets", "farrowed"}),
+    # "alternate" defaults to the adj/noun AH T; the verb after modals / before between.
+    "alternate": (["AO", "L", "T", "ER", "N", "EY", "T"],
+                  {"to", "will", "would", "must", "they"}, {"between"}),
+    # "appropriate" defaults to the adjective; the verb in funds-seizure context.
+    "appropriate": (["AH", "P", "R", "OW", "P", "R", "IY", "EY", "T"],
+                    {"to", "will", "would", "may", "might"},
+                    {"funds", "money", "land"}),
+    # "deliberate" defaults to the adjective; the verb after modals/jury subjects.
+    "deliberate": (["D", "IH", "L", "IH", "B", "ER", "EY", "T"],
+                   {"to", "will", "would", "jury", "juries"}, {"on", "over"}),
+    # "moderate" defaults to the adjective; the verb before debate-ish objects.
+    "moderate": (["M", "AA", "D", "ER", "EY", "T"],
+                 {"to", "will", "would"}, {"debate", "panel", "discussion"}),
+    # "attribute" defaults to the noun AE T; the verb after modals / before it/this.
+    "attribute": (["AH", "T", "R", "IH", "B", "Y", "UW", "T"],
+                  {"to", "will", "would", "they", "we", "researchers"},
+                  {"it", "this", "that"}),
+    # "console" defaults to the verb K AH N S OW L (comfort); the noun in device context.
+    "console": (["K", "AA", "N", "S", "OW", "L"],
+                {"game", "gaming", "center", "mixing"},
+                {"table", "games", "generation", "exclusive"}),
+    # "duplicate" defaults to the noun/adj AH T; the verb after modals/to.
+    "duplicate": (["D", "UW", "P", "L", "IH", "K", "EY", "T"],
+                  {"to", "will", "would", "can", "could", "may", "might"}, set()),
+    # "advocate" defaults to the noun AH T; the verb after subjects / before for.
+    "advocate": (["AE", "D", "V", "AH", "K", "EY", "T"],
+                 {"to", "will", "would", "they", "we", "i"}, {"for"}),
+    # "associate" defaults to the verb EY T; the noun/adj before titles/degrees.
+    "associate": (["AH", "S", "OW", "S", "IY", "AH", "T"],
+                  {"an", "my", "his", "her", "their", "sales", "research"},
+                  {"professor", "professors", "director", "dean", "degree",
+                   "justice", "editor"}),
+    # "delegate" defaults to the noun AH T; the verb after modals / before tasks.
+    "delegate": (["D", "EH", "L", "AH", "G", "EY", "T"],
+                 {"to", "will", "would", "must", "learn"},
+                 {"tasks", "authority", "responsibility", "responsibilities"}),
+    # "resume" defaults to the verb R IH Z UW M; the CV noun after possessives.
+    "resume": (["R", "EH", "Z", "AH", "M", "EY"],
+               {"my", "your", "his", "her", "their", "a", "the", "updated"},
+               {"writing", "template", "templates"}),
 }
 
 

@@ -164,6 +164,34 @@ def main() -> None:
         ("graduate", "a", "of", ["G", "R", "AE", "JH", "UW", "AH", "T"]),
         ("separate", "", "rooms", ["S", "EH", "P", "ER", "AH", "T"]),
         ("separate", "please", "the", ["S", "EH", "P", "ER", "EY", "T"]),
+        ("subject", "the", "was", ["S", "AH", "B", "JH", "IH", "K", "T"]),
+        ("subject", "to", "", ["S", "AH", "B", "JH", "EH", "K", "T"]),
+        ("convert", "to", "", ["K", "AH", "N", "V", "ER", "T"]),
+        ("convert", "a", "", ["K", "AA", "N", "V", "ER", "T"]),
+        ("sow", "to", "seeds", ["S", "OW"]),
+        ("sow", "pregnant", "", ["S", "AW"]),
+        ("alternate", "an", "route", ["AO", "L", "T", "ER", "N", "AH", "T"]),
+        ("alternate", "they", "between", ["AO", "L", "T", "ER", "N", "EY", "T"]),
+        ("appropriate", "an", "response", ["AH", "P", "R", "OW", "P", "R", "IY", "AH", "T"]),
+        ("appropriate", "to", "funds", ["AH", "P", "R", "OW", "P", "R", "IY", "EY", "T"]),
+        ("deliberate", "a", "act", ["D", "IH", "L", "IH", "B", "ER", "AH", "T"]),
+        ("deliberate", "will", "on", ["D", "IH", "L", "IH", "B", "ER", "EY", "T"]),
+        ("moderate", "a", "increase", ["M", "AA", "D", "ER", "AH", "T"]),
+        ("moderate", "will", "debate", ["M", "AA", "D", "ER", "EY", "T"]),
+        ("attribute", "an", "of", ["AE", "T", "R", "AH", "B", "Y", "UW", "T"]),
+        ("attribute", "they", "it", ["AH", "T", "R", "IH", "B", "Y", "UW", "T"]),
+        ("console", "to", "her", ["K", "AH", "N", "S", "OW", "L"]),
+        ("console", "gaming", "", ["K", "AA", "N", "S", "OW", "L"]),
+        ("duplicate", "a", "copy", ["D", "UW", "P", "L", "IH", "K", "AH", "T"]),
+        ("duplicate", "to", "", ["D", "UW", "P", "L", "IH", "K", "EY", "T"]),
+        ("advocate", "an", "of", ["AE", "D", "V", "AH", "K", "AH", "T"]),
+        ("advocate", "they", "for", ["AE", "D", "V", "AH", "K", "EY", "T"]),
+        ("associate", "to", "with", ["AH", "S", "OW", "S", "IY", "EY", "T"]),
+        ("associate", "an", "professor", ["AH", "S", "OW", "S", "IY", "AH", "T"]),
+        ("delegate", "a", "from", ["D", "EH", "L", "AH", "G", "AH", "T"]),
+        ("delegate", "must", "tasks", ["D", "EH", "L", "AH", "G", "EY", "T"]),
+        ("resume", "will", "", ["R", "IH", "Z", "UW", "M"]),
+        ("resume", "my", "", ["R", "EH", "Z", "AH", "M", "EY"]),
     ]
     homo_ok = sum(
         word_to_phonemes(w, prev=p, nxt=n) == ref for w, p, n, ref in homo_cases
