@@ -2,7 +2,7 @@
 
 The vendored lexicon (text/data/lexicon.tsv) is lemma-heavy: "walk" is present,
 "walked"/"walking"/"walks" usually are not. Rather than sending every inflected
-form to the neural G2P ensemble (74.0% held-out exact), this layer strips a
+form to the neural G2P ensemble (74.5% held-out exact), this layer strips a
 productive English suffix, looks the lemma up in the lexicon, and applies the
 phonologically-conditioned suffix pronunciation — giving EXACT pronunciations
 for the entire inflectional paradigm of every lexicon lemma.
@@ -10,7 +10,7 @@ for the entire inflectional paradigm of every lexicon lemma.
 Sits between the lexicon and the neural fallback in g2p.word_to_phonemes
 (g2p.resolve_oov): lexicon hit > morph decomposition (rule-guess branches
 arbitrated against the ensemble's reading; the combined OOV pipeline measures
-75.1% held-out exact) > neural G2P > LTS rules.
+75.5% held-out exact) > neural G2P > LTS rules.
 
 Handled (with orthographic reversals: e-drop, y→i, CVC doubling, ie→y):
   -s/-es/-ies/'s/s'  plural / 3sg / possessive   (Z / S / IH Z by final phoneme;

@@ -6,28 +6,29 @@ This model learns the lexicon's regularities instead: transformer encoder over
 characters + autoregressive decoder over ARPAbet phonemes (optionally
 stress-marked), trained on the vendored lexicon (tools/train_g2p.py) with the
 *same* deterministic held-out split the eval harness uses, so the numbers are
-honest. Serving runs a 4-member ensemble (two 192-d 3+3-layer and two 256-d
-4+4-layer members, different seeds, 20k steps each) whose beam is scored by the
+honest. Serving runs a 6-member ensemble (two 192-d 3+3-layer and four 256-d
+4+4-layer members, different seeds, 20k steps each; the newest 256-d pair was
+trained after the lexicon grew to 11.1k words) whose beam is scored by the
 averaged member log-probs — the standard product-of-experts seq2seq ensemble —
 in a fully vectorized numpy decoder that batches every live hypothesis of every
 word in a call (serving stays fast on a 1-core host; eval harnesses push the
-whole split through in minutes).
+whole split through in under a minute).
 
 Measured (tools/g2p_eval.py, vendored f16 weights, serving numpy path, beam 4,
-round-5 ensemble on the 10.1k-word lexicon's 1,071-word held-out split):
-**74.0% exact / 0.071 PER** stressless (73.4% with stress marks; stress
-accuracy 99.1% given correct phonemes) vs the LTS rules' 35.8% / 0.202, and
-**75.1% exact / 0.068 PER** through the full OOV pipeline (morph decomposition
-first — 17.2% of held-out words — with the ensemble arbitrating rule-guess
+round-5 ensemble on the 11.1k-word lexicon's 1,162-word held-out split):
+**74.5% exact / 0.070 PER** stressless (74.0% with stress marks; stress
+accuracy 99.3% given correct phonemes) vs the LTS rules' 36.8% / 0.200, and
+**75.5% exact / 0.067 PER** through the full OOV pipeline (morph decomposition
+first — 16.5% of held-out words — with the ensemble arbitrating rule-guess
 decompositions via score_pronunciations and pronouncing the rest). Single
-members measure 67–71%
-greedy; the ensemble's +4-7 pts comes from averaging and beam. Hyperparameters
-were dev-selected on this same split (no third split at this scale). Training
-data = the non-held-out lexicon plus tens of thousands of regular morphological
-derivations (tools/train_g2p.py `morph_derive`: inflections, junction-guarded
-prefixes, and invariant suffixes with standard voicing assimilation and
-orthography; optional sampled two-word compounds), which taught the model
-morphology it could not get from the base forms alone.
+members measure 67–71.5% greedy; the ensemble's +3-7 pts comes from averaging
+and beam. Hyperparameters were dev-selected on this same split (no third split
+at this scale). Training data = the non-held-out lexicon plus tens of
+thousands of regular morphological derivations (tools/train_g2p.py
+`morph_derive`: inflections, junction-guarded prefixes, and invariant suffixes
+with standard voicing assimilation and orthography; optional sampled two-word
+compounds), which taught the model morphology it could not get from the base
+forms alone.
 
 Everything is the repo's plain functional JAX style (params = pytrees, static
 shapes, `lax.fori_loop` greedy decode — jit-clean on TPU and CPU). Weights are a
@@ -711,8 +712,9 @@ _PARAMS: List[object] = []
 
 def _ensemble_paths() -> List[str]:
     """The vendored weights plus any ensemble siblings (_e2.npz, _e3.npz, ...)
-    next to them. Member count is whatever is shipped; serving cost scales
-    linearly and stays microseconds-per-word at 3 members."""
+    next to them. Member count is whatever is shipped; decode cost scales
+    linearly with members (a cold OOV word is ~0.2 s at the vendored 6 on the
+    1-core host, then memoized — see _np_predict_batch)."""
     root, ext = os.path.splitext(WEIGHTS_PATH)
     out = [WEIGHTS_PATH]
     for i in range(2, 9):
