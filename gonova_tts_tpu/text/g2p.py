@@ -196,7 +196,7 @@ LEXICON = {
 
 
 def _load_vendored_lexicon() -> Dict[str, List[str]]:
-    """Merge data/lexicon.tsv (≈10.1k common words, stressless ARPAbet) under the
+    """Merge data/lexicon.tsv (≈11.1k common words, stressless ARPAbet) under the
     handwritten entries above (handwritten wins on conflict — those are pinned by
     tests). Measured by tools/g2p_eval.py."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "lexicon.tsv")

@@ -382,7 +382,7 @@ def _prepare(params):
 
 
 # Words per inner decode batch: bounds the KV-cache memory (~N·2.3 MB across
-# the 4-member ensemble) while keeping every matmul big enough to amortize
+# the vendored ensemble) while keeping every matmul big enough to amortize
 # numpy dispatch on the 1-core serving host.
 _PREDICT_CHUNK = 128
 

@@ -1,7 +1,7 @@
 """G2P accuracy harness (VERDICT.md round-1 item 7).
 
 Grades the text frontend's pronunciation quality against the vendored gold lexicon
-(gonova_tts_tpu/text/data/lexicon.tsv, ~10.1k stressless-ARPAbet entries):
+(gonova_tts_tpu/text/data/lexicon.tsv, ~11.1k stressless-ARPAbet entries):
 
   1. full-pipeline accuracy: word_to_phonemes over all gold words (lexicon hit or
      LTS) — exact match + phoneme error rate (Levenshtein / ref length);
